@@ -1,0 +1,172 @@
+"""Aggregation operators (SURVEY §2.4, A1-A8 + declared cube/rollup/distinct).
+
+Reference parity:
+- A4 word count with combiner → examples/WordCount.java:46-67 (wordcount query
+  lives in relational.py); Spark's partial aggregation replaces the combiner.
+- A5 ValueAggregator framework → lib/aggregate/ValueAggregatorJob.java:1-210:
+  LongValueSum/Max/Min, DoubleValueSum, StringValueMax/Min, UniqValueCount,
+  ValueHistogram (count/min/median/max/avg/stddev of per-value frequencies).
+- A6 global single-group aggregate → JobTracker.java:5604-5655 master merge of
+  GlobalUniqValueWritable; here a groupBy-less agg.
+- cube/rollup/grouping sets are absent in the reference; declared builtins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "agg_value_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+           ROUND(SUM(l_extendedprice), 6) AS price_sum,
+           ROUND(MAX(l_extendedprice), 6) AS price_max,
+           ROUND(MIN(l_extendedprice), 6) AS price_min,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS uniq_parts,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem GROUP BY 1
+    """,
+    doc="A5 ValueAggregator battery: Long/DoubleValueSum, Max, Min, "
+    "UniqValueCount → builtin sum/max/min/countDistinct with partial agg.",
+)
+def agg_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
+        F.round(F.sum("l_extendedprice"), 6).alias("price_sum"),
+        F.round(F.max("l_extendedprice"), 6).alias("price_max"),
+        F.round(F.min("l_extendedprice"), 6).alias("price_min"),
+        F.countDistinct("l_partkey").alias("uniq_parts"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    WITH freq AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT source, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY source, word
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           CAST(MIN(f) AS BIGINT) AS min_freq,
+           ROUND(quantile_cont(f, 0.5), 6) AS median_freq,
+           CAST(MAX(f) AS BIGINT) AS max_freq,
+           ROUND(AVG(f), 6) AS avg_freq,
+           ROUND(stddev_samp(f), 6) AS sd_freq
+    FROM freq GROUP BY source
+    """,
+    doc="A5 ValueHistogram (lib/aggregate/ValueHistogram.java:1-160): "
+    "count/min/median/max/avg/stddev of per-value frequencies.",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.min("f").alias("min_freq"),
+        F.round(F.expr("percentile(f, 0.5)"), 6).alias("median_freq"),
+        F.max("f").alias("max_freq"),
+        F.round(F.avg("f"), 6).alias("avg_freq"),
+        F.round(F.stddev_samp("f"), 6).alias("sd_freq"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT ROUND(SUM(l_quantity), 6) AS total_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    """,
+    doc="A6 global single-group aggregate (GlobalUniqValueWritable master "
+    "merge, JobTracker.java:5604-5655) → groupBy-less agg, one row out.",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(l_quantity), 6) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="declared rollup (absent in reference).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("l_quantity"), 6).alias("qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "cnt",
+            "qty",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS pri,
+           COALESCE(o_orderstatus, 'ALL') AS st,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="declared cube (absent in reference).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+            "cnt",
+        )
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS rf, l_linestatus AS ls FROM lineitem
+    """,
+    doc="dropDuplicates (declared set surface).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
+        .distinct()
+    )

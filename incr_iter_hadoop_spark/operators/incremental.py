@@ -1,0 +1,171 @@
+"""Incremental view maintenance (SURVEY §2.8 I6-I9, §7 Phase 4).
+
+The reference's signature capability: after a computation converges, a
+*preserve* run records every reduce group's inputs and output in an indexed
+local store (IFile.PreserveFile, incr-hadoop-0.1/src/mapred/org/apache/
+hadoop/mapred/IFile.java:478-1100); a later *incremental* run takes a delta
+file of (key, value, '+'|'-') records (UpdatePageRankGraph.java:58-141),
+re-reduces only the affected groups (ReduceTask.java:3324-3500) and
+propagates only results that changed by ≥ threshold (ReduceTask.java:
+3399-3428).
+
+Spark-first redesign (no point-lookup store, no retraction sentinel):
+
+- Preserved state = two co-partitioned DataFrames/Parquet tables:
+  ``contribs(group_key, source_key, payload…)`` and
+  ``results(group_key, aggregates…)`` — immutable, versioned (replaces the
+  in-place updateResKV, IFile.java:805-930).
+- A delta is a DataFrame with an ``op`` column ('+'/'-') keyed by source_key
+  (matches TrippleWriter semantics, IFile.java:255-330).
+- ``refresh`` rebuilds *only the affected groups* from the preserved
+  contributions — exact for any aggregate, including non-invertible min/max
+  (the reference's removeLable() sentinel, OutputCollectorwSource
+  MapTask.java:1855-1911, is replaced by a proper anti-join retraction —
+  SURVEY §7 hard-part 5).
+- ``changed_groups`` applies the propagation filter (I9).
+
+Scale: every step is a key-partitioned join/aggregate — refresh cost is
+O(|delta| + |affected groups' contribs|), not O(|state|); with the state
+tables bucketed by group_key the joins are shuffle-free on the big side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@dataclass
+class PreservedState:
+    """The MRBG-store analogue: contributions + results, both keyed by
+    group_keys. ``source_keys`` identify individual contributions so a
+    delta can retract them ('-')."""
+
+    contribs: DataFrame
+    results: DataFrame
+    group_keys: list[str]
+    source_keys: list[str]
+    agg_exprs: dict[str, Column]  # output col name -> aggregate over contribs
+
+
+def preserve(
+    contribs: DataFrame,
+    group_keys: list[str],
+    source_keys: list[str],
+    agg_exprs: dict[str, Column],
+) -> PreservedState:
+    """I6: materialize the preserved state from a contribution relation.
+
+    ``contribs`` must contain group_keys + source_keys + payload columns;
+    (group_keys, source_keys) must uniquely identify a contribution."""
+    results = contribs.groupBy(*group_keys).agg(
+        *[expr.alias(name) for name, expr in agg_exprs.items()]
+    )
+    return PreservedState(
+        contribs=contribs,
+        results=results,
+        group_keys=list(group_keys),
+        source_keys=list(source_keys),
+        agg_exprs=dict(agg_exprs),
+    )
+
+
+def refresh(state: PreservedState, delta: DataFrame, op_col: str = "op") -> PreservedState:
+    """I7+I8: apply a (+/-) delta and re-aggregate only affected groups.
+
+    '-' rows retract the contribution with the same source key (payload
+    ignored, like the reference's remove records); '+' rows insert. Groups
+    untouched by the delta keep their preserved result row verbatim."""
+    gk, sk = state.group_keys, state.source_keys
+    plus = delta.where(F.col(op_col) == "+").drop(op_col)
+    minus = delta.where(F.col(op_col) == "-").drop(op_col)
+
+    new_contribs = (
+        state.contribs.join(minus.select(*sk).distinct(), sk, "left_anti")
+        .unionByName(plus)
+    )
+    affected = delta.select(*gk).distinct()
+    # recompute ONLY affected groups from the (already pruned) contributions
+    recomputed = (
+        new_contribs.join(affected, gk, "left_semi")
+        .groupBy(*gk)
+        .agg(*[expr.alias(name) for name, expr in state.agg_exprs.items()])
+    )
+    untouched = state.results.join(affected, gk, "left_anti")
+    return PreservedState(
+        contribs=new_contribs,
+        results=untouched.unionByName(recomputed),
+        group_keys=gk,
+        source_keys=sk,
+        agg_exprs=state.agg_exprs,
+    )
+
+
+def changed_groups(
+    old: PreservedState, new: PreservedState, distance: Column, threshold: float
+) -> DataFrame:
+    """I9 change-propagation filter: groups whose result moved ≥ threshold.
+    ``distance`` is an expression over ``old.<col>``/``new.<col>`` aliases."""
+    o = old.results.alias("old")
+    n = new.results.alias("new")
+    joined = o.join(n, on=old.group_keys, how="full_outer")
+    return joined.where(distance >= threshold).select(*old.group_keys)
+
+
+# ---------------------------------------------------------------------------
+# registered end-to-end query: preserve orders-by-customer, apply a delta,
+# compare against full recomputation (the reference's own oracle design —
+# SURVEY §5.2 dual execution).
+
+_CUTOFF = "1999-01-01"
+
+
+@register(
+    "incr_refresh_orders",
+    oracle=f"""
+    SELECT o_custkey,
+           ROUND(SUM(o_totalprice), 6) AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    WHERE NOT (CAST(o_orderdate AS DATE) < DATE '{_CUTOFF}'
+               AND o_orderkey % 97 = 0)
+    GROUP BY o_custkey
+    """,
+    doc="I6-I8 end-to-end: preserve aggregates over pre-1999 orders, apply a "
+    "delta (+ = 1999+ orders, − = every 97th old order), refresh affected "
+    "groups only. Oracle = full recompute over the same effective set — "
+    "includes a non-invertible MAX to prove group-recompute retraction.",
+)
+def incr_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("date")
+    base = o.where(F.col("o_orderdate").cast("date") < cutoff)
+    contribs = base.select("o_custkey", "o_orderkey", "o_totalprice")
+    state = preserve(
+        contribs,
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_exprs={
+            "spend": F.round(F.sum("o_totalprice"), 6),
+            "n_orders": F.count(F.lit(1)),
+            "max_price": F.round(F.max("o_totalprice"), 6),
+        },
+    )
+    additions = (
+        o.where(F.col("o_orderdate").cast("date") >= cutoff)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("+"))
+    )
+    removals = (
+        base.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("-"))
+    )
+    new_state = refresh(state, additions.unionByName(removals))
+    return new_state.results

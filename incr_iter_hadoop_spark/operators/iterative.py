@@ -1,0 +1,531 @@
+"""Iterative algorithms on the loop driver (SURVEY §2.8, §7 Phase 3).
+
+The reference ships four iterative apps on its IterativeMapper/Reducer/
+Projector contract; each is re-expressed here as a declarative step function
+over DataFrames:
+
+- PageRank  (ONE2ONE projector, IterPageRank.java:204-232; formula
+  ``0.2 + 0.8·Σ contrib`` at IterPageRank.java:151-160)
+- SSSP      (generator type ``sp``, utils/genGraphReduce.java:120-168;
+  min-plus relaxation)
+- SpMV      (ONE2MUL blocked matrix-vector, MatrixVector.java:152-313)
+- k-means   (ONE2ALL global centers, IterKmeans.java:295-310 cosine
+  assignment, :413-458 mean recompute, :460-483 Euclidean convergence)
+
+Oracle strategy: the *bounded* variants run a fixed iteration count that a
+DuckDB CTE chain reproduces exactly; the *converged* variants exercise the
+reference's distance-threshold termination (JobTracker.java:5586-5595) and
+get rows-only checks plus naive-twin pytest oracles (SURVEY §5.2).
+
+Scale notes: the static side (edges/matrix) is repartitioned by join key and
+persisted once — iterations reuse the exchange; only the transposed
+aggregation (groupBy dst / row) shuffles per step. State never visits the
+driver except the convergence scalar; k-means centers are O(k·dims) and
+broadcast, mirroring GlobalUniqValueWritable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..catalog import load_table
+from ..functions.vector import cosine
+from ..plans.loopdriver import IterationResult, iterate, l1_state_distance
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# PageRank
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    damping: float = 0.8,
+    retain: float = 0.2,
+    max_iterations: int = 50,
+    threshold: float | None = None,
+    checkpoint_interval: int = 5,
+    num_partitions: int | None = None,
+) -> IterationResult:
+    """Reference-semantics PageRank: rank₀=1.0; rankᵢ₊₁(v) = retain +
+    damping·Σ_{(u,v)∈E} rankᵢ(u)/deg(u). Constants 0.2/0.8 are the
+    reference defaults (IterPageRank.java:37-38)."""
+    spark = edges.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # static side: adjacency + out-degree, partitioned by the join key once
+    static = (
+        edges.join(deg, "src")
+        .repartition(n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition(n, "node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    state0 = nodes.select("node", F.lit(1.0).alias("rank"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        contribs = (
+            static.join(state, static.src == state.node)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("mass"))
+        )
+        return nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+            "node",
+            (F.lit(retain) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+
+    dist = (
+        (lambda p, c: l1_state_distance(p, c, "node", "rank"))
+        if threshold is not None
+        else None
+    )
+    result = iterate(
+        state0,
+        step,
+        max_iterations=max_iterations,
+        distance=dist,
+        threshold=threshold if threshold is not None else 0.0,
+        checkpoint_interval=checkpoint_interval,
+    )
+    static.unpersist()
+    return result
+
+
+def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic graph derived from the driver tables: part→supplier."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    ).distinct()
+
+
+_PR_EDGES_SQL = "SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem"
+
+
+def _pagerank_sql(n_iter: int) -> str:
+    parts = [
+        f"WITH edges AS ({_PR_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", r{i} AS (
+  SELECT n.node, 0.2 + 0.8 * COALESCE(c.mass, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / deg.d) AS mass
+    FROM r{i-1} r JOIN edges e ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    parts.append(f"SELECT node, ROUND(rank, 6) AS rank FROM r{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "pagerank_bounded5",
+    oracle=_pagerank_sql(5),
+    doc="I1-I3 fixed-iteration PageRank (5 steps) on the part→supplier graph; "
+    "oracle is the unrolled CTE chain.",
+)
+def pagerank_bounded5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(_lineitem_edges(spark, sf_dir), max_iterations=5)
+    return res.state.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "pagerank_converged",
+    oracle=None,  # convergence-driven: not SQL-expressible; naive twin in tests
+    doc="I4 distance-threshold termination (θ=1e-3 L1, JobTracker.java:"
+    "5586-5595 semantics).",
+)
+def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(
+        _lineitem_edges(spark, sf_dir), max_iterations=60, threshold=1e-3
+    )
+    return res.state.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SSSP
+
+
+def sssp(
+    edges: DataFrame,
+    source: int,
+    *,
+    max_iterations: int = 50,
+    run_to_fixpoint: bool = True,
+    checkpoint_interval: int = 5,
+) -> IterationResult:
+    """Single-source shortest paths by min-plus relaxation. State holds only
+    *reached* nodes (dist < ∞), so early iterations touch small frontiers.
+    Convergence = no distance changed (the reference's filter-threshold loop
+    with θ=0, ReduceTask.java:3399-3428)."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    static = edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    state0 = spark.createDataFrame([(source, 0.0)], "node long, dist double")
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        relaxed = (
+            static.join(state, static.src == state.node)
+            .select("dst", (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("cand"))
+        )
+        return (
+            state.join(relaxed, state.node == relaxed.dst, "full_outer")
+            .select(
+                F.coalesce("node", "dst").alias("node"),
+                F.least(
+                    F.coalesce("dist", F.lit(float("inf"))),
+                    F.coalesce("cand", F.lit(float("inf"))),
+                ).alias("dist"),
+            )
+        )
+
+    def changed(prev: DataFrame, curr: DataFrame) -> float:
+        j = prev.join(curr, "node", "full_outer")
+        return float(
+            j.where(
+                prev["dist"].isNull()
+                | curr["dist"].isNull()
+                | (prev["dist"] != curr["dist"])
+            ).count()
+        )
+
+    result = iterate(
+        state0,
+        step,
+        max_iterations=max_iterations,
+        distance=changed if run_to_fixpoint else None,
+        threshold=0.0,
+        checkpoint_interval=checkpoint_interval,
+    )
+    static.unpersist()
+    return result
+
+
+def _sssp_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite supplier↔part graph; parts offset by 10000 to keep node ids
+    disjoint. Weight = min quantity on the connecting lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    fwd = li.groupBy(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 10000).alias("dst"),
+    ).agg(F.min("l_quantity").alias("w"))
+    rev = li.groupBy(
+        (F.col("l_partkey") + 10000).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    ).agg(F.min("l_quantity").alias("w"))
+    return fwd.unionByName(rev)
+
+
+_SSSP_EDGES_SQL = """
+  SELECT l_suppkey AS src, 10000 + l_partkey AS dst, MIN(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+  UNION ALL
+  SELECT 10000 + l_partkey AS src, l_suppkey AS dst, MIN(l_quantity) AS w
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _sssp_sql(n_iter: int, source: int = 0) -> str:
+    parts = [
+        f"WITH edges AS ({_SSSP_EDGES_SQL}),",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        " CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", d{i} AS (
+  SELECT COALESCE(s.node, r.dst) AS node,
+         LEAST(COALESCE(s.dist, 1e308), COALESCE(r.cand, 1e308)) AS dist
+  FROM d{i-1} s FULL OUTER JOIN (
+    SELECT e.dst, MIN(s.dist + e.w) AS cand
+    FROM d{i-1} s JOIN edges e ON s.node = e.src GROUP BY e.dst
+  ) r ON s.node = r.dst
+)"""
+        )
+    parts.append(f"SELECT node, ROUND(dist, 6) AS dist FROM d{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "sssp_bounded4",
+    oracle=_sssp_sql(4),
+    doc="4 Bellman-Ford rounds from supplier 0 on the bipartite graph.",
+)
+def sssp_bounded4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = sssp(_sssp_edges(spark, sf_dir), source=0, max_iterations=4,
+               run_to_fixpoint=False)
+    return res.state.select("node", F.round("dist", 6).alias("dist"))
+
+
+@register(
+    "sssp_converged",
+    oracle=None,
+    doc="SSSP to fixpoint (frontier empties); naive twin in tests.",
+)
+def sssp_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = sssp(_sssp_edges(spark, sf_dir), source=0, max_iterations=30)
+    return res.state.select("node", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# SpMV
+
+
+def spmv(matrix: DataFrame, vector: DataFrame, iterations: int) -> IterationResult:
+    """yᵢ₊₁ = A·yᵢ over a coordinate-form sparse matrix (r, c, v). The
+    reference blocks the matrix (ONE2MUL, MatrixVector.java:93-147); in Spark
+    coordinate form + hash shuffle on the join key is the same data movement
+    without bespoke block codecs."""
+    spark = matrix.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        return (
+            static.join(state, static.c == state.i)
+            .select("r", (F.col("v") * F.col("x")).alias("px"))
+            .groupBy("r")
+            .agg(F.sum("px").alias("x"))
+            .select(F.col("r").alias("i"), "x")
+        )
+
+    result = iterate(vector, step, max_iterations=iterations)
+    static.unpersist()
+    return result
+
+
+_SPMV_MATRIX_SQL = """
+  SELECT l_orderkey % 500 AS r, l_partkey % 500 AS c, SUM(l_quantity) AS v
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+def _spmv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        (F.col("l_orderkey") % 500).alias("r"),
+        (F.col("l_partkey") % 500).alias("c"),
+    ).agg(F.sum("l_quantity").alias("v"))
+
+
+def _spmv_sql(n_iter: int) -> str:
+    parts = [
+        f"WITH m AS ({_SPMV_MATRIX_SQL}),",
+        "x0 AS (SELECT DISTINCT c AS i, CAST(1.0 AS DOUBLE) AS x FROM m)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", x{i} AS (
+  SELECT m.r AS i, SUM(m.v * s.x) AS x
+  FROM m JOIN x{i-1} s ON m.c = s.i GROUP BY m.r
+)"""
+        )
+    parts.append(f"SELECT i, ROUND(x, 6) AS x FROM x{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "spmv_bounded2",
+    oracle=_spmv_sql(2),
+    doc="two sparse matrix-vector multiplies (MatrixVector.java:231-276 "
+    "partial-product accumulation → groupBy(row).sum).",
+)
+def spmv_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _spmv_matrix(spark, sf_dir)
+    x0 = m.select(F.col("c").alias("i")).distinct().select(
+        "i", F.lit(1.0).alias("x")
+    )
+    res = spmv(m, x0, iterations=2)
+    return res.state.select("i", F.round("x", 6).alias("x"))
+
+
+# ---------------------------------------------------------------------------
+# k-means (ONE2ALL: small global state broadcast per iteration)
+
+
+def kmeans(
+    points: DataFrame,
+    k: int = 10,
+    *,
+    max_iterations: int = 20,
+    tol: float = 1e-4,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> tuple[DataFrame, int]:
+    """Lloyd iterations with cosine assignment (IterKmeans.java:295-310) and
+    Euclidean center-movement convergence (:460-483). Centers are the
+    ONE2ALL global value: O(k·dims), broadcast-joined to every point; the
+    heavy recompute (posexplode → per-dimension mean) stays distributed.
+
+    Returns (assignment DataFrame ``id, cluster``, iterations run).
+    Initial centers = first k points by id (deterministic)."""
+    spark = points.sparkSession
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    centers = (
+        pts.orderBy("id")
+        .limit(k)
+        .select((F.row_number().over(_id_window()) - 1).alias("cid"), "vec")
+        .select("cid", F.col("vec").alias("cvec"))
+    )
+    iterations = 0
+    for iterations in range(1, max_iterations + 1):
+        assigned = _assign(pts, centers)
+        new_centers = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+            .select(F.col("cluster").alias("cid"), "cvec")
+        )
+        # centers are tiny: materialize driver-side to compare movement
+        old = {r["cid"]: r["cvec"] for r in centers.collect()}
+        new = {r["cid"]: r["cvec"] for r in new_centers.collect()}
+        movement = max(
+            (
+                sum((a - b) ** 2 for a, b in zip(old[cid], new[cid])) ** 0.5
+                for cid in new
+                if cid in old
+            ),
+            default=0.0,
+        )
+        centers = new_centers.sparkSession.createDataFrame(
+            [(cid, list(map(float, vec))) for cid, vec in sorted(new.items())],
+            "cid int, cvec array<double>",
+        )
+        if movement <= tol:
+            break
+    final = _assign(pts, centers).select("id", "cluster")
+    pts.unpersist()
+    return final, iterations
+
+
+def _id_window():
+    from pyspark.sql.window import Window
+
+    return Window.orderBy("id")
+
+
+def _assign(pts: DataFrame, centers: DataFrame) -> DataFrame:
+    """Nearest center by cosine similarity; ties → smaller center id
+    (deterministic, mirrored in the oracle SQL)."""
+    sims = pts.crossJoin(F.broadcast(centers)).select(
+        "id",
+        "vec",
+        "cid",
+        cosine(F.col("vec"), F.col("cvec")).alias("sim"),
+    )
+    best = sims.groupBy("id", "vec").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("b")
+    )
+    return best.select(
+        "id", "vec", (-F.col("b.ncid")).cast("int").alias("cluster")
+    )
+
+
+_KM_CENTERS_SQL = """
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 10
+"""
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH centers AS ({_KM_CENTERS_SQL}),
+    pairs AS (
+      SELECT e.vec_id, c.cid,
+             unnest(e.embedding)::DOUBLE AS ev, unnest(c.cvec)::DOUBLE AS cv
+      FROM embeddings e CROSS JOIN centers c
+    ),
+    sims AS (
+      SELECT vec_id, cid,
+             CASE WHEN sqrt(SUM(ev*ev)) * sqrt(SUM(cv*cv)) > 0
+                  THEN SUM(ev*cv) / (sqrt(SUM(ev*ev)) * sqrt(SUM(cv*cv)))
+                  ELSE 0.0 END AS sim
+      FROM pairs GROUP BY vec_id, cid
+    ),
+    best AS (
+      SELECT vec_id, cid, sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid)
+               AS rn
+      FROM sims
+    )
+    SELECT CAST(cid AS INT) AS cluster,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(sim), 6) AS avg_sim
+    FROM best WHERE rn = 1 GROUP BY cid
+    """,
+    doc="one k-means assignment step (cosine, IterKmeans.java:295-310): "
+    "centers = embeddings vec_id<10; cluster sizes + mean similarity.",
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    centers = (
+        emb.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+    sims = pts.crossJoin(F.broadcast(centers)).select(
+        "id", "cid", cosine(F.col("vec"), F.col("cvec")).alias("sim")
+    )
+    best = sims.groupBy("id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("cid")).alias("ncid"))).alias("b")
+    )
+    return (
+        best.select(
+            (-F.col("b.ncid")).cast("int").alias("cluster"),
+            F.col("b.sim").alias("sim"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("sim"), 6).alias("avg_sim"),
+        )
+    )
+
+
+@register(
+    "kmeans_converged",
+    oracle=None,
+    doc="full Lloyd loop to Euclidean-movement convergence; cluster sizes.",
+)
+def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    assigned, _iters = kmeans(pts, k=10, max_iterations=15, tol=1e-4,
+                              id_col="id", vec_col="vec")
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,217 @@
+"""Join operators (SURVEY §2.3, J1-J7 relational subset + declared extensions).
+
+Reference parity:
+- J1 co-partitioned merge join → MapTask.java:782-817 (runIterativeMapper);
+  in Spark an equi-join whose sides share a partitioner reuses the exchange.
+- J2 broadcast join → MapTask.java:794-800 ONE2ALL; here ``F.broadcast``.
+- J4 reduce-side tagged join → contrib/data_join DataJoinReducerBase.java:1-230.
+- J5 composite inner/outer/override join → join/CompositeInputFormat.java:1-190,
+  OverrideRecordReader.java:1-90; override = COALESCE(right, left) over a
+  full-outer join.
+- semi/anti/non-equi are absent in the reference; declared Spark surface.
+
+Scale notes: small dims (region/nation/supplier) are broadcast explicitly —
+at 100 TB the fact side never shuffles for those joins. AQE handles skew on
+the big equi-joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 6) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="J1/J4: inner equi-join orders⋈customer; customer side broadcast "
+    "(small dim) so the fact table never shuffles for the join.",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    doc="J5 outer: left outer join keeps order-less customers (count 0).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc="left-semi join (declared surface; absent in reference).",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select("c_custkey")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="left-anti join (declared surface).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "join_broadcast_chain",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(s.s_acctbal), 6) AS bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    doc="J2 ONE2ALL analog: dim chain broadcast both hops — zero fact shuffles.",
+)
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum("s_acctbal"), 6).alias("bal"))
+    )
+
+
+@register(
+    "join_nonequi_range",
+    oracle="""
+    SELECT o.o_orderkey, CAST(COUNT(*) AS BIGINT) AS late_lines
+    FROM orders o JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+    doc="range/theta join (declared): equi key + range residual — Catalyst "
+    "plans the equi part as the join key, range as a post-filter.",
+)
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date") > F.date_add(o.o_orderdate.cast("date"), 90)
+    )
+    return (
+        o.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("late_lines"))
+    )
+
+
+@register(
+    "join_override",
+    oracle="""
+    WITH observed AS (
+      SELECT l_partkey, ROUND(AVG(l_extendedprice), 6) AS obs_price
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_partkey,
+           ROUND(COALESCE(o.obs_price, p.p_retailprice), 6) AS eff_price
+    FROM part p FULL OUTER JOIN observed o ON p.p_partkey = o.l_partkey
+    """,
+    doc="J5 override join (OverrideRecordReader.java:1-90): right source "
+    "overrides left per key = full outer + COALESCE(right, left).",
+)
+def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    observed = li.groupBy("l_partkey").agg(
+        F.round(F.avg("l_extendedprice"), 6).alias("obs_price")
+    )
+    return p.join(observed, p.p_partkey == observed.l_partkey, "full_outer").select(
+        F.col("p_partkey"),
+        F.round(F.coalesce(F.col("obs_price"), F.col("p_retailprice")), 6).alias(
+            "eff_price"
+        ),
+    )
+
+
+@register(
+    "q5_multiway_join",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey  = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q5 shape: one fact shuffle on l_orderkey; every dim broadcast. "
+    "Date filter pushed to the orders scan prunes before the join.",
+)
+def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+    )

@@ -1,0 +1,148 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: the payload is a ``binary`` column
+(or a reference to object storage) with a metadata struct alongside; decode /
+feature-extract / resize run as Arrow-batched ``mapInPandas`` stages so bytes
+stream through executors in columnar batches and never visit the driver.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+environment): ``decode_stub`` raises NotImplementedError unless
+``fake=True``, which substitutes a deterministic byte-level feature vector —
+the Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+is real and tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+from ..registry import register
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload_md5", StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Build a media table from a text column: payload = utf-8 bytes (the
+    deterministic stand-in for real image/audio bytes), plus typed metadata.
+    On a real pipeline this is the parquet/binaryFile scan output."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.lit("text/fake").alias("media_type"),
+        payload.alias("payload"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        F.md5(F.col(text_col)).alias("payload_md5"),
+    )
+
+
+def decode_stub(media: DataFrame, fake: bool = False, n_features: int = 4) -> DataFrame:
+    """Arrow-batched decode/feature-extract stage over the payload column.
+
+    With real decoders (PIL/librosa/ffmpeg) the inner function would decode
+    ``payload`` per batch; here it is stubbed: ``fake=False`` raises
+    NotImplementedError (decoder libraries absent), ``fake=True`` emits a
+    deterministic per-payload byte-statistics vector so the distributed
+    plumbing can be exercised end-to-end."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decoding requires image/audio libraries not present "
+                    "in this environment; pass fake=True for the deterministic "
+                    "byte-statistics stand-in"
+                )
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                n = max(len(b), 1)
+                # deterministic "features": length, mean byte, min, max
+                feats.append(
+                    [
+                        float(len(b)),
+                        float(sum(b)) / n,
+                        float(min(b)) if b else 0.0,
+                        float(max(b)) if b else 0.0,
+                    ][:n_features]
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           'text/fake' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    doc="multimodal metadata extraction over the binary payload column "
+    "(payload itself excluded from the comparable output).",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return attach_binary(d, "doc_id", "text").select(
+        "doc_id", "media_type", "n_bytes", "payload_md5"
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ROUND(octet_length(encode(text))::DOUBLE, 6) AS feat_len
+    FROM documents
+    """,
+    doc="mapInPandas feature-extraction plumbing (deterministic fake "
+    "decoder): first feature = payload length, comparable via SQL.",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    feats = decode_stub(media, fake=True)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("feat_len"),
+    )

@@ -1,0 +1,204 @@
+"""Relational battery: scans, projection, filter, scalar functions (SURVEY §2.1-2.2).
+
+Reference parity notes (cites into /root/reference/incr-hadoop-0.1/):
+- S1-S4 scans  → parquet/text readers (TextInputFormat.java:1-62 etc.); here
+  the canonical scan is parquet with column pruning + predicate pushdown.
+- P1 projection → IdentityMapper.java:1-40 / field reorder app mappers.
+- P2 regex      → lib/RegexMapper.java:1-55, examples/Grep.java:1-94.
+- P3 tokenize   → examples/WordCount.java:35-44.
+- P4/P5 field selection / inverse map → lib/FieldSelectionMapReduce.java:1-337,
+  lib/InverseMapper.java:1-40.
+- P6/P7 scalar math/string → hand-rolled codecs (IterPageRank.java:47 etc.);
+  exposed here as Spark's builtin scalar battery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "scan_pruned_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_quantity, 6) AS qty
+    FROM lineitem WHERE l_quantity > 45.0
+    """,
+    doc="S1/S3: pruned+filtered parquet scan; filter must push to the scan.",
+)
+def scan_pruned_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_quantity") > 45.0)
+        .select("l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty"))
+    )
+
+
+@register(
+    "projection_inverse_map",
+    oracle="""
+    SELECT c_nationkey AS k, c_custkey AS v FROM customer
+    """,
+    doc="P1/P5: projection + (K,V)→(V,K) inverse map (lib/InverseMapper.java:1-40).",
+)
+def projection_inverse_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(F.col("c_nationkey").alias("k"), F.col("c_custkey").alias("v"))
+
+
+@register(
+    "field_selection",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(c_custkey AS VARCHAR) || ':' || c_name AS packed,
+           ROUND(c_acctbal, 6) AS bal
+    FROM customer WHERE c_acctbal > 0
+    """,
+    doc="P4: cut-style field selection/packing (lib/FieldSelectionMapReduce.java:1-337).",
+)
+def field_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.where(F.col("c_acctbal") > 0).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.concat_ws(":", F.col("c_custkey").cast("string"), F.col("c_name")).alias(
+            "packed"
+        ),
+        F.round("c_acctbal", 6).alias("bal"),
+    )
+
+
+@register(
+    "grep_regex",
+    oracle="""
+    SELECT regexp_extract(p_name, '^(\\w+)', 1) AS word,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM part WHERE regexp_matches(p_name, '(red|blue|hot)')
+    GROUP BY 1
+    """,
+    doc="P2: regex filter + group extract + count (examples/Grep.java:1-94, "
+    "lib/RegexMapper.java:1-55).",
+)
+def grep_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.where(F.col("p_name").rlike("(red|blue|hot)"))
+        .select(F.regexp_extract("p_name", r"^(\w+)", 1).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "wordcount",
+    oracle="""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents
+    ) WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="P3/A4: tokenize + count (examples/WordCount.java:1-67). Map-side "
+    "partial aggregation replaces the reference's combiner.",
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "scalar_battery",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 3)) AS pri3,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR
+             AS due_date,
+           ROUND(abs(o_totalprice - 1000.0), 6) AS absdiff,
+           ROUND(sqrt(o_totalprice), 6) AS sq,
+           ROUND(pow(o_totalprice / 100000.0, 2), 6) AS sqd
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+    doc="P6/P7 + declared builtin battery: string/date/math scalars stay "
+    "inside whole-stage codegen (no Python in the row path).",
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_add(d, 30).cast("string").alias("due_date"),
+        F.round(F.abs(F.col("o_totalprice") - 1000.0), 6).alias("absdiff"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sq"),
+        F.round(F.pow(F.col("o_totalprice") / 100000.0, 2), 6).alias("sqd"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="Declared JSON builtin (get_json_object) over the events props column.",
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_sum")
+    )
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 6) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+             AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Flagship relational query (TPC-H Q1 shape): scan → filter → "
+    "hash-agg with map-side partials; the whole plan is one codegen stage.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

@@ -1,0 +1,149 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting (BASELINE.json north star; LLM-pipeline surface).
+
+All deterministic column expressions so the DuckDB oracle can mirror them
+bit-for-bit; regexp/string builtins only — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import EN_STOPWORDS
+from ..registry import register
+
+_STOPS_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+
+def _toks(text):
+    return F.filter(F.split(F.trim(text), " "), lambda t: t != "")
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           ROUND(AVG(tok), 6) AS avg_tokens,
+           CAST(MAX(tok) AS BIGINT) AS max_tokens
+    FROM t GROUP BY source
+    """,
+    doc="token counting per corpus source (whitespace tokenizer).",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(_toks(F.col("text")))
+    return (
+        d.select("source", tok.alias("tok"))
+        .groupBy("source")
+        .agg(
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("tok"), 6).alias("avg_tokens"),
+            F.max("tok").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w,
+             length(text) AS n_chars_raw
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS tok_cnt,
+             len(list_filter(w, x -> lower(x) IN {_STOPS_SQL}))::DOUBLE
+               / len(w) AS stop_ratio_raw,
+             (SELECT COALESCE(SUM(length(x)), 0) FROM unnest(w) AS u(x))::DOUBLE
+               / len(w) AS mean_tok_raw
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(tok_cnt AS BIGINT) AS tok_cnt,
+           ROUND(stop_ratio_raw, 6) AS stop_ratio,
+           ROUND(mean_tok_raw, 6) AS mean_tok_len,
+           ROUND(LEAST(1.0, tok_cnt / 100.0) * 0.5 + stop_ratio_raw * 0.5, 6)
+             AS quality
+    FROM m
+    """,
+    doc="document quality scoring: token count, stopword ratio, mean token "
+    "length, composite score.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _toks(F.col("text"))
+    tok_cnt = F.size(w)
+    stops = F.size(F.filter(w, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    stop_ratio = stops.cast("double") / tok_cnt
+    total_len = F.aggregate(w, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_tok = total_len.cast("double") / tok_cnt
+    quality = F.least(F.lit(1.0), tok_cnt / 100.0) * 0.5 + stop_ratio * 0.5
+    return (
+        d.select(
+            "doc_id",
+            tok_cnt.cast("bigint").alias("tok_cnt"),
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            F.round(mean_tok, 6).alias("mean_tok_len"),
+            F.round(quality, 6).alias("quality"),
+        )
+        .where(F.col("tok_cnt") > 0)
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    )
+    SELECT CASE WHEN len(list_filter(w, x -> lower(x) IN {_STOPS_SQL}))::DOUBLE
+                     / len(w) >= 0.08
+                THEN 'en' ELSE 'other' END AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE len(w) > 0 GROUP BY 1
+    """,
+    doc="language-ID heuristic (stopword-density n-gram proxy); counts per "
+    "predicted language.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = _toks(F.col("text"))
+    stops = F.size(F.filter(w, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    ratio = stops.cast("double") / F.size(w)
+    return (
+        d.select(F.when(ratio >= 0.08, "en").otherwise("other").alias("lang_pred"))
+        .where(F.size(w) > 0)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of casefolded whitespace-normalized text "
+    "(deterministic rolling-hash analogue).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
+    )

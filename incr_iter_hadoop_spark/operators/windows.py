@@ -1,0 +1,247 @@
+"""Window / ranking / sort / top-k operators (SURVEY §2.5-2.6) + event-time
+windows on the batch path (§2.9 declared surface).
+
+Reference parity:
+- W1 secondary sort → examples/SecondarySort.java:1-230 (FirstPartitioner
+  :60-75, grouping comparator :77-100): partition by first key, values sorted
+  by second → ``Window.partitionBy(first).orderBy(second)``.
+- O1 total-order sort → examples/Sort.java + lib/TotalOrderPartitioner.java:
+  1-260 (sampled range partitioning) — Spark ``orderBy`` range-partitions by
+  sampling internally, the exact same design.
+- O4 top-k → examples/Grep.java:47-88 second job (sort desc + head).
+- Event-time tumbling/sliding/session windows are absent in the reference
+  (no stream processing); declared Spark surface over the events table.
+  The same functions run in Structured Streaming (see streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import register
+
+
+@register(
+    "secondary_sort_top3",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_shipdate AS DATE)::VARCHAR AS ship,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber) AS BIGINT) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+    doc="W1 secondary sort (SecondarySort.java:1-230): partition by first key,"
+    " order by second; top-3 per group keeps output bounded.",
+)
+def secondary_sort_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").cast("string").alias("ship"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC)
+                AS BIGINT) AS price_rank,
+           ROUND(LAG(o_totalprice) OVER w, 6) AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 6) AS next_price,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS run_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="declared window battery: row_number/rank/lag/lead/running sum "
+    "(absent in reference, §2.5).",
+)
+def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(wrank).cast("bigint").alias("price_rank"),
+        F.round(F.lag("o_totalprice").over(w), 6).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 6).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(wsum), 6).alias("run_sum"),
+    )
+
+
+@register(
+    "total_sort_top100",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey, ROUND(o_totalprice, 6) AS price,
+             CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS BIGINT) AS pos
+      FROM orders
+    ) WHERE pos <= 100
+    """,
+    doc="O1/O2 total-order sort + O4 top-k: orderBy triggers Spark's sampled "
+    "range partitioner (TotalOrderPartitioner.java:1-260 equivalent); "
+    "row_number materializes the order for the order-insensitive checker.",
+)
+def total_sort_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= 100)
+    )
+
+
+@register(
+    "topk_customers",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS spend,
+             CAST(ROW_NUMBER() OVER (ORDER BY SUM(o_totalprice) DESC, o_custkey)
+                  AS BIGINT) AS pos
+      FROM orders GROUP BY o_custkey
+    ) WHERE pos <= 10
+    """,
+    doc="O4 top-k after aggregation (Grep.java:47-88 second-job shape).",
+)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("raw_spend"))
+    w = Window.orderBy(F.desc("raw_spend"), F.asc("o_custkey"))
+    return (
+        agg.select(
+            "o_custkey",
+            F.round("raw_spend", 6).alias("spend"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= 10)
+    )
+
+
+@register(
+    "events_tumbling",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="tumbling event-time window: F.window 1h — identical code runs under "
+    "Structured Streaming with a watermark (streaming/).",
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    oracle="""
+    WITH slotted AS (
+      SELECT ts, value,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) AS slot
+      FROM events
+    ), expanded AS (
+      SELECT to_timestamp((slot - s.off) * 1800) AS window_start, value
+      FROM slotted CROSS JOIN (SELECT unnest([0, 1]) AS off) s
+      WHERE epoch(ts) >= (slot - s.off) * 1800
+        AND epoch(ts) <  (slot - s.off) * 1800 + 3600
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 6) AS total
+    FROM expanded GROUP BY 1
+    """,
+    doc="sliding window 1h/30min: each event lands in 2 overlapping windows.",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "events_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) > 600
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, sess_id
+    """,
+    doc="session window, 10-minute gap: F.session_window in Spark vs "
+    "gaps-and-islands SQL in the oracle. Also the streaming session demo.",
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )

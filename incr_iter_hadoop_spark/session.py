@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the engine.
+
+Defaults target correctness tests on ``local[*]`` while keeping every knob
+scale-ready: AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for the Python<->JVM boundary, and a shuffle-partition
+count that callers override per deployment (32 locally; thousands on a real
+cluster).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "incr-iter-hadoop-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Env overrides: ``SPARK_GRAFT_CPUS`` (local parallelism),
+    ``SPARK_GRAFT_DRIVER_MEM`` (driver heap).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.driver.memory", mem)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join mitigation, plan re-opt
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow batches for any pandas UDF / mapInPandas path
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # ANSI off: engine keeps permissive casts like the reference's text codecs
+        .config("spark.sql.ansi.enabled", "false")
+        # the driver's events table stores timestamp[ns]; Spark's reader
+        # rejects TIMESTAMP(NANOS) unless read as raw long (converted to a
+        # proper timestamp in catalog.load_table)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # quieter local runs
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

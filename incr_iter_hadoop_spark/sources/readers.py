@@ -1,0 +1,88 @@
+"""Sources & sinks (SURVEY §2.1 S1-S11), Spark-first.
+
+The reference's input stack is sorted key-value files:
+- S1 TextInputFormat (offset, line)        → ``spark.read.text``
+- S2 KeyValueTextInputFormat tab-split     → csv with sep='\\t'
+- S3 SequenceFileInputFormat binary KV     → parquet (the canonical
+  columnar replacement for sorted-KV; S8 sink likewise)
+- S4 typed KV line readers Int/Float/Double/Text
+  (lib/IntFloatKVInputFormat.java:18-40 and siblings) → csv + schema
+- S7 DBInputFormat/DBOutputFormat JDBC     → ``spark.read.jdbc``
+- S9 per-iteration dirs iteration-<i>/part-N (ReduceTask.java:3063-3067)
+  → partitioned parquet ``.../iteration=<i>``
+- S10 delta triple files (K, V, '+'|'-') (IFile.java:255-330 TrippleWriter)
+  → DataFrame with an ``op`` column (CDC change feed)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """S1: one row per line, column ``value`` (offset is an implementation
+    detail of the reference's splits; Spark tracks it internally)."""
+    return spark.read.text(path)
+
+
+def read_kv_text(
+    spark: SparkSession, path: str, sep: str = "\t", key: str = "k", value: str = "v"
+) -> DataFrame:
+    """S2: KeyValueTextInputFormat — first sep splits key from value."""
+    lines = spark.read.text(path)
+    return lines.select(
+        F.substring_index("value", sep, 1).alias(key),
+        F.expr(
+            f"substring(value, length(substring_index(value, '{sep}', 1)) + 2)"
+        ).alias(value),
+    )
+
+
+def read_typed_kv(
+    spark: SparkSession,
+    path: str,
+    key_type: str = "bigint",
+    value_type: str = "double",
+    sep: str = "\t",
+) -> DataFrame:
+    """S4: typed KV line scan (IntFloatKVInputFormat family) — csv + cast."""
+    return (
+        spark.read.option("sep", sep)
+        .schema(f"k {key_type}, v {value_type}")
+        .csv(path)
+    )
+
+
+def read_delta_triples(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """S10: (K, V, op∈'+','-') change feed. Parquet-first; any source works
+    as long as the op column is present."""
+    df = (
+        spark.read.parquet(path)
+        if path.endswith(".parquet") or schema is None
+        else spark.read.schema(schema).csv(path, sep="\t")
+    )
+    if "op" not in df.columns:
+        raise ValueError("delta feed requires an 'op' column with '+'/'-'")
+    return df
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, table: str, **options: str
+) -> DataFrame:
+    """S7: JDBC scan (DBInputFormat analogue). Partition options
+    (partitionColumn/lowerBound/upperBound/numPartitions) are passed through
+    so the read parallelizes instead of single-streaming the driver."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def write_iteration_snapshot(df: DataFrame, base_path: str, iteration: int) -> None:
+    """S9: per-iteration snapshot dir — partitioned parquet, immutable
+    (replaces the reference's iteration-<i>/part-N layout)."""
+    df.write.mode("overwrite").parquet(f"{base_path}/iteration={iteration}")

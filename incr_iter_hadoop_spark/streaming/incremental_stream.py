@@ -1,0 +1,91 @@
+"""Structured Streaming expression of the incremental mode (SURVEY §2.9).
+
+The reference's incremental refresh is *batch* view maintenance; Spark lets
+the same refresh logic run continuously: delta micro-batches drive
+``operators.incremental.refresh`` via ``foreachBatch``, and the declared
+watermark/window battery covers event-time semantics the reference never had
+(contrib/streaming is stdin piping, not stream processing —
+StreamJob.java:1-1000).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.incremental import PreservedState, refresh
+
+
+def streaming_refresh(
+    delta_stream: DataFrame,
+    initial_state: PreservedState,
+    sink: Callable[[PreservedState, int], None],
+    checkpoint_dir: str,
+    op_col: str = "op",
+) -> StreamingQuery:
+    """Drive incremental view maintenance from a stream of (+/-) delta rows.
+
+    Each micro-batch is one I7-I9 refresh: retract '-' sources, insert '+',
+    re-aggregate only affected groups, hand the new state to ``sink`` (which
+    typically writes versioned parquet). State lives in the sink's tables,
+    not executor memory, so recovery = re-read last version (same design as
+    the reference's HDFS-copied preserve files, ReduceTask.java:3359-3372)."""
+    holder = {"state": initial_state}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        new_state = refresh(holder["state"], batch_df, op_col=op_col)
+        # materialize: the next batch's state must not re-read this stream
+        new_state.contribs.persist().count()
+        new_state.results.persist().count()
+        old = holder["state"]
+        holder["state"] = new_state
+        sink(new_state, batch_id)
+        old.contribs.unpersist()
+        old.results.unpersist()
+
+    return (
+        delta_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window aggregate with late-data watermark — identical logic
+    to the batch ``events_tumbling`` query; pass a readStream DataFrame."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .select(F.col("w.start").alias("window_start"), *keys, "n", "total")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows over a stream (batch twin: ``events_session``)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            user_col, F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
