@@ -131,7 +131,12 @@ def minhash_lsh_pairs(
     (the 100 TB-safe join key)."""
     rows = num_hashes // bands
     sets = shingle_sets(df, id_col, text_col).persist()
-    sigs = minhash_signatures(sets, num_hashes)
+    # persist the signatures: the banded self-join references them on BOTH
+    # sides, and without a materialization barrier Catalyst inlines the
+    # 128-expression agg subtree into every branch of the downstream joins —
+    # the optimizer then spends minutes on the exploded plan (measured 464s →
+    # ~12s at sf0.1 with the persists)
+    sigs = minhash_signatures(sets, num_hashes).persist()
     band_structs = F.array(
         *[
             F.struct(
@@ -145,16 +150,16 @@ def minhash_lsh_pairs(
     )
     banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", "bb.band", "bb.bucket"
-    )
+    ).persist()
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .distinct()
+        .persist()
     )
-    out = _verify_pairs(cands, sets, threshold)
-    return out
+    return _verify_pairs(cands, sets, threshold)
 
 
 def simhash_pairs(
@@ -172,7 +177,8 @@ def simhash_pairs(
     exploded = sets.select("id", F.explode("shingles").alias("sh")).select(
         "id", F.xxhash64("sh").alias("h")
     )
-    # per-bit signed vote: +1 if bit set else -1; sign of the sum is the bit
+    # per-bit signed vote: +1 if bit set else -1; sign of the sum is the bit.
+    # Persisted below for the same plan-explosion reason as the MinHash sigs.
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
@@ -190,7 +196,7 @@ def simhash_pairs(
             bit = F.when(F.col(f"v{j}") >= 0, 1).otherwise(0)
             expr = expr + (bit * F.lit(2**k))
         block_cols.append(expr.alias(f"blk{b}"))
-    blocks = votes.select("id", *block_cols)
+    blocks = votes.select("id", *block_cols).persist()
     stacked = blocks.select(
         "id",
         F.explode(
@@ -208,6 +214,7 @@ def simhash_pairs(
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .distinct()
+        .persist()
     )
     return _verify_pairs(cands, sets, threshold)
 

@@ -85,8 +85,9 @@ def refresh(state: PreservedState, delta: DataFrame, op_col: str = "op") -> Pres
     plus = delta.where(F.col(op_col) == "+").drop(op_col)
     minus = delta.where(F.col(op_col) == "-").drop(op_col)
 
+    # retract by (group, source) — a bare source key may recur across groups
     new_contribs = (
-        state.contribs.join(minus.select(*sk).distinct(), sk, "left_anti")
+        state.contribs.join(minus.select(*gk, *sk).distinct(), gk + sk, "left_anti")
         .unionByName(plus)
     )
     affected = delta.select(*gk).distinct()
@@ -169,3 +170,123 @@ def incr_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     new_state = refresh(state, additions.unionByName(removals))
     return new_state.results
+
+
+# ---------------------------------------------------------------------------
+# incremental PageRank — the reference's flagship incremental app
+# (IncrPageRank.java:176-267: delta graph file → one-pass refresh →
+# incremental iterative re-convergence). Spark-first: the delta is applied
+# to the edge relation by anti-join/union (I7, no removeLable() sentinel),
+# then the loop re-runs — cold for the oracle-checked bounded variant,
+# warm-started from the converged base ranks for the re-convergence variant.
+
+_EDGE_CUTOFF = "1997-01-01"
+
+
+def _pagerank_delta_edges(spark: SparkSession, sf_dir: str):
+    """(base_edges, delta) from lineitem: base = pre-cutoff part→supplier
+    edges; '+' rows = edges seen only post-cutoff; '-' rows = every 13th base
+    edge (UpdatePageRankGraph.java:83-118 change-percent + deletions shape)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_EDGE_CUTOFF).cast("date")
+    ship = F.col("l_shipdate").cast("date")
+    base = (
+        li.where(ship < cutoff)
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    post = (
+        li.where(ship >= cutoff)
+        .select(F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    additions = post.join(base, ["src", "dst"], "left_anti").withColumn(
+        "op", F.lit("+")
+    )
+    removals = base.where((F.col("src") + F.col("dst")) % 13 == 0).withColumn(
+        "op", F.lit("-")
+    )
+    return base, additions.unionByName(removals)
+
+
+def apply_edge_delta(base: DataFrame, delta: DataFrame, op_col: str = "op") -> DataFrame:
+    """I7 delta ingestion on a relation without aggregates: '-' rows retract
+    matching edges (anti-join), '+' rows insert."""
+    plus = delta.where(F.col(op_col) == "+").drop(op_col)
+    minus = delta.where(F.col(op_col) == "-").drop(op_col)
+    return base.join(minus, base.columns, "left_anti").unionByName(plus)
+
+
+_UPDATED_EDGES_SQL = f"""
+  WITH base AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) < DATE '{_EDGE_CUTOFF}'
+  ), post AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '{_EDGE_CUTOFF}'
+  ), adds AS (
+    SELECT src, dst FROM post EXCEPT SELECT src, dst FROM base
+  )
+  SELECT src, dst FROM base WHERE (src + dst) % 13 <> 0
+  UNION SELECT src, dst FROM adds
+"""
+
+
+def _incr_pagerank_oracle(n_iter: int) -> str:
+    from .iterative import _pagerank_sql
+
+    return _pagerank_sql(n_iter, edges_sql=_UPDATED_EDGES_SQL)
+
+
+@register(
+    "incr_pagerank_delta5",
+    oracle=None,  # oracle injected below (circular-import-free)
+    doc="IncrPageRank one-pass shape (IncrPageRank.java:176-212): apply a "
+    "(+/-) edge delta via anti-join/union, then 5 bounded iterations on the "
+    "updated graph; oracle = unrolled CTE chain over the delta-applied edges.",
+)
+def incr_pagerank_delta5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import pagerank
+
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    updated = apply_edge_delta(base, delta)
+    res = pagerank(updated, max_iterations=5)
+    return res.state.select("node", F.round("rank", 6).alias("rank"))
+
+
+# inject the oracle after definition: _pagerank_sql lives in iterative.py
+# which imports nothing from here, so this stays cycle-free at import time
+def _patch_incr_pagerank_oracle() -> None:
+    from ..registry import _REGISTRY, QuerySpec
+
+    spec = _REGISTRY["incr_pagerank_delta5"]
+    _REGISTRY["incr_pagerank_delta5"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_incr_pagerank_oracle(5),
+        doc=spec.doc,
+    )
+
+
+_patch_incr_pagerank_oracle()
+
+
+@register(
+    "incr_pagerank_reconverge",
+    oracle=None,  # convergence-driven (SURVEY §3.3); naive-twin in tests
+    doc="incremental iterative re-convergence (IncrPageRank.java:227-267): "
+    "warm-start from the converged base ranks after the delta; reaches the "
+    "updated fixpoint in far fewer iterations than a cold run.",
+)
+def incr_pagerank_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import pagerank
+
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    converged = pagerank(base, max_iterations=60, threshold=1.0)
+    updated = apply_edge_delta(base, delta)
+    res = pagerank(
+        updated, max_iterations=60, threshold=1.0, init_state=converged.state
+    )
+    return res.state.select("node", F.round("rank", 6).alias("rank"))

@@ -48,10 +48,15 @@ def pagerank(
     threshold: float | None = None,
     checkpoint_interval: int = 5,
     num_partitions: int | None = None,
+    init_state: DataFrame | None = None,
 ) -> IterationResult:
     """Reference-semantics PageRank: rank₀=1.0; rankᵢ₊₁(v) = retain +
     damping·Σ_{(u,v)∈E} rankᵢ(u)/deg(u). Constants 0.2/0.8 are the
-    reference defaults (IterPageRank.java:37-38)."""
+    reference defaults (IterPageRank.java:37-38).
+
+    ``init_state`` (node, rank) warm-starts the loop — the incremental
+    iterative mode (SURVEY §3.3): after a graph delta, re-converging from
+    the previous fixpoint takes far fewer iterations than from scratch."""
     spark = edges.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -68,7 +73,13 @@ def pagerank(
         .repartition(n, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    state0 = nodes.select("node", F.lit(1.0).alias("rank"))
+    if init_state is not None:
+        # warm start: keep prior ranks for surviving nodes, 1.0 for new ones
+        state0 = nodes.join(init_state, "node", "left").select(
+            "node", F.coalesce("rank", F.lit(1.0)).alias("rank")
+        )
+    else:
+        state0 = nodes.select("node", F.lit(1.0).alias("rank"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
         contribs = (
@@ -112,9 +123,9 @@ def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_EDGES_SQL = "SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem"
 
 
-def _pagerank_sql(n_iter: int) -> str:
+def _pagerank_sql(n_iter: int, edges_sql: str = _PR_EDGES_SQL) -> str:
     parts = [
-        f"WITH edges AS ({_PR_EDGES_SQL}),",
+        f"WITH edges AS ({edges_sql}),",
         "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
         "deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
         "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
@@ -148,12 +159,12 @@ def pagerank_bounded5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pagerank_converged",
     oracle=None,  # convergence-driven: not SQL-expressible; naive twin in tests
-    doc="I4 distance-threshold termination (θ=1e-3 L1, JobTracker.java:"
-    "5586-5595 semantics).",
+    doc="I4 distance-threshold termination (θ=1.0 L1 — the reference default, "
+    "IterPageRank.java:367 + JobTracker.java:5586-5595 semantics).",
 )
 def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(
-        _lineitem_edges(spark, sf_dir), max_iterations=60, threshold=1e-3
+        _lineitem_edges(spark, sf_dir), max_iterations=60, threshold=1.0
     )
     return res.state.select("node", F.round("rank", 6).alias("rank"))
 

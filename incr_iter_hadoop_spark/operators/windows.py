@@ -144,6 +144,41 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sort_validate",
+    oracle="""
+    WITH seq AS (
+      SELECT o_totalprice,
+             LAG(o_totalprice) OVER (ORDER BY o_orderkey) AS prev_price
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN prev_price IS NOT NULL AND prev_price > o_totalprice
+                         THEN 1 ELSE 0 END) AS BIGINT) AS inversions
+    FROM seq
+    """,
+    doc="O2 TeraValidate analogue: lag-based order check over the key-ordered "
+    "stream (TeraValidate.java verifies sortedness the same way); counts "
+    "price inversions in orderkey order.",
+)
+def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_orderkey")
+    seq = o.select(
+        "o_totalprice", F.lag("o_totalprice").over(w).alias("prev_price")
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("prev_price").isNotNull()
+                & (F.col("prev_price") > F.col("o_totalprice")),
+                1,
+            ).otherwise(0)
+        ).alias("inversions"),
+    )
+
+
+@register(
     "events_tumbling",
     oracle="""
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')

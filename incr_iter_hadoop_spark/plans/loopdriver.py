@@ -94,8 +94,10 @@ def iterate(
             # truncate lineage: plan size otherwise grows per iteration
             new_state = new_state.localCheckpoint(eager=False)
         new_state = new_state.persist(storage_level)
-        new_state.count()
         if distance is not None:
+            # the distance aggregation is the materializing action — the
+            # persisted new_state is computed (and cached) by this one job,
+            # so each iteration runs a single Spark job, not two
             d = distance(state, new_state)
             distances.append(d)
             state.unpersist()
@@ -104,6 +106,10 @@ def iterate(
                 converged = True
                 break
         else:
+            # fixed-iteration mode: materialize eagerly — a step may reference
+            # state multiple times, and an unmaterialized plan would double
+            # per iteration
+            new_state.count()
             state.unpersist()
             state = new_state
     return IterationResult(

@@ -46,6 +46,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         dedup,
+        generators,
         incremental,
         iterative,
         joins,
@@ -54,6 +55,7 @@ def _load_all() -> None:
         setops,
         similarity,
         textops,
+        udfs,
         windows,
     )
 

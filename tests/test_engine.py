@@ -1,0 +1,216 @@
+"""Engine-level tests beyond SQL-oracle parity: the reference's own
+dual-execution strategy (SURVEY §5.2 — incremental/iterative results must
+equal their naive recomputation twins), plus source readers, approximate
+-algorithm invariants, and a Structured Streaming smoke test."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incr_iter_hadoop_spark.operators.incremental import (
+    _pagerank_delta_edges,
+    apply_edge_delta,
+    preserve,
+    refresh,
+)
+from incr_iter_hadoop_spark.operators.iterative import pagerank, sssp, _sssp_edges
+from incr_iter_hadoop_spark.sources import readers
+
+
+# ---------------------------------------------------------------------------
+# dual-execution twins (ComPageRank / CompSeqFile analogues)
+
+
+def test_incremental_pagerank_matches_cold_recompute(spark, sf_dir):
+    """Warm-started re-convergence after a delta must land on the same
+    fixpoint as a cold run on the updated graph (the reference's ComPageRank
+    check, incremental/ComPageRank.java:1-373). θ=0.01 so both runs are well
+    inside the fixpoint basin; tolerance covers the stopping gap."""
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    updated = apply_edge_delta(base, delta)
+    cold = pagerank(updated, max_iterations=80, threshold=0.01)
+    warm = pagerank(
+        updated,
+        max_iterations=80,
+        threshold=0.01,
+        init_state=pagerank(base, max_iterations=80, threshold=0.01).state,
+    )
+    diff = (
+        cold.state.alias("c")
+        .join(warm.state.alias("w"), "node", "full_outer")
+        .select(
+            F.abs(
+                F.coalesce(F.col("c.rank"), F.lit(0.0))
+                - F.coalesce(F.col("w.rank"), F.lit(0.0))
+            ).alias("d")
+        )
+        .agg(F.sum("d"))
+        .collect()[0][0]
+    )
+    assert cold.converged and warm.converged
+    # stopping criterion allows each run to sit within θ/(1−damping) of the
+    # fixpoint; 2×0.01/0.2 = 0.1 is the worst-case L1 gap between them
+    assert diff <= 0.1, f"warm/cold L1 divergence {diff}"
+    # warm start must not be slower than cold (it's the whole point)
+    assert warm.iterations <= cold.iterations
+
+
+def test_sssp_fixpoint_is_stable(spark, sf_dir):
+    """Once the frontier empties, one more relaxation must change nothing
+    (the reference's θ=0 filter-loop invariant, ReduceTask.java:3399-3428)."""
+    edges = _sssp_edges(spark, sf_dir)
+    res = sssp(edges, source=0, max_iterations=30)
+    assert res.converged
+    again = sssp(edges, source=0, max_iterations=res.iterations + 2)
+    diff = (
+        res.state.alias("a")
+        .join(again.state.alias("b"), "node", "full_outer")
+        .where(
+            F.col("a.dist").isNull()
+            | F.col("b.dist").isNull()
+            | (F.col("a.dist") != F.col("b.dist"))
+        )
+        .count()
+    )
+    assert diff == 0
+
+
+def test_refresh_equals_full_recompute(spark):
+    """I6-I8 refresh on synthetic contribs == full groupBy recompute,
+    including a non-invertible MAX under retraction (SURVEY §7 hard-part 5)."""
+    contribs = spark.createDataFrame(
+        [(g, s, float(g * 10 + s)) for g in range(5) for s in range(10)],
+        "gk int, sk int, v double",
+    )
+    state = preserve(
+        contribs,
+        group_keys=["gk"],
+        source_keys=["sk"],
+        agg_exprs={"s": F.sum("v"), "mx": F.max("v"), "n": F.count(F.lit(1))},
+    )
+    delta = spark.createDataFrame(
+        # retract the max contribution of group 1; add a new row to group 3
+        [(1, 9, 0.0, "-"), (3, 99, 1000.0, "+")],
+        "gk int, sk int, v double, op string",
+    )
+    new_state = refresh(state, delta)
+    expect = (
+        contribs.where(~((F.col("gk") == 1) & (F.col("sk") == 9)))
+        .unionByName(
+            spark.createDataFrame([(3, 99, 1000.0)], "gk int, sk int, v double")
+        )
+        .groupBy("gk")
+        .agg(F.sum("v").alias("s"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n"))
+    )
+    mismatches = (
+        new_state.results.alias("a")
+        .join(expect.alias("b"), "gk", "full_outer")
+        .where(
+            (F.col("a.s") != F.col("b.s"))
+            | (F.col("a.mx") != F.col("b.mx"))
+            | (F.col("a.n") != F.col("b.n"))
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+# ---------------------------------------------------------------------------
+# approximate-scheme invariants
+
+
+def test_lsh_sims_bounded_by_bruteforce(spark, sf_dir):
+    """Per query: the LSH top-1 similarity can never exceed the exact top-1
+    (LSH scores a subset of candidates with the same exact metric)."""
+    from incr_iter_hadoop_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_lsh_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 10)
+    bf = (
+        ann_bruteforce_topk(emb, q).where(F.col("pos") == 1)
+        .select("qid", F.col("sim").alias("bf_sim"))
+    )
+    lsh = (
+        ann_lsh_topk(emb, q).where(F.col("pos") == 1)
+        .select("qid", F.col("sim").alias("lsh_sim"))
+    )
+    bad = (
+        lsh.join(bf, "qid")
+        .where(F.col("lsh_sim") > F.col("bf_sim") + 1e-9)
+        .count()
+    )
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# sources
+
+
+def test_kv_text_and_typed_readers(spark, tmp_path):
+    p = tmp_path / "kv.tsv"
+    p.write_text("a\thello world\nb\tspark\n")
+    kv = readers.read_kv_text(spark, str(p))
+    rows = {r["k"]: r["v"] for r in kv.collect()}
+    assert rows == {"a": "hello world", "b": "spark"}
+
+    t = tmp_path / "typed.tsv"
+    t.write_text("1\t2.5\n2\t3.5\n")
+    typed = readers.read_typed_kv(spark, str(t))
+    assert {(r["k"], r["v"]) for r in typed.collect()} == {(1, 2.5), (2, 3.5)}
+
+
+def test_delta_triples_reader(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 10.0, "+"), (2, 20.0, "-")], "k int, v double, op string"
+    )
+    path = str(tmp_path / "delta.parquet")
+    df.write.parquet(path)
+    back = readers.read_delta_triples(spark, path)
+    assert back.count() == 2
+    with pytest.raises(ValueError):
+        no_op = spark.createDataFrame([(1, 1.0)], "k int, v double")
+        p2 = str(tmp_path / "noop.parquet")
+        no_op.write.parquet(p2)
+        readers.read_delta_triples(spark, p2)
+
+
+# ---------------------------------------------------------------------------
+# streaming
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """The batch window logic runs unchanged as a Structured Streaming query
+    (file source → memory sink, one micro-batch)."""
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        windowed_counts_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [("2024-01-01 00:05:00", "click", 1.0), ("2024-01-01 00:40:00", "view", 2.0)],
+        "ts_s string, event_type string, value double",
+    ).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    out = windowed_counts_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(got) == 2
+    assert {r["n"] for r in got} == {1}
