@@ -36,9 +36,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # precision). Set at runtime too so driver-owned sessions work.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # integer DIV: ts/1000 via double would lose precision above 2^53 ns
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

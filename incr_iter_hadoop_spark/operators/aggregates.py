@@ -17,15 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
 
 @register(
     "agg_value_battery",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
-           ROUND(SUM(l_extendedprice), 6) AS price_sum,
+           {dsum_sql('l_extendedprice')} AS price_sum,
            ROUND(MAX(l_extendedprice), 6) AS price_max,
            ROUND(MIN(l_extendedprice), 6) AS price_min,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS uniq_parts,
@@ -39,7 +40,7 @@ def agg_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
-        F.round(F.sum("l_extendedprice"), 6).alias("price_sum"),
+        dsum("l_extendedprice").alias("price_sum"),
         F.round(F.max("l_extendedprice"), 6).alias("price_max"),
         F.round(F.min("l_extendedprice"), 6).alias("price_min"),
         F.countDistinct("l_partkey").alias("uniq_parts"),
@@ -88,9 +89,9 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_global",
-    oracle="""
-    SELECT ROUND(SUM(l_quantity), 6) AS total_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+    oracle=f"""
+    SELECT {dsum_sql('l_quantity')} AS total_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM lineitem
     """,
@@ -100,19 +101,19 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        F.round(F.sum("l_quantity"), 6).alias("total_qty"),
-        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        dsum("l_quantity").alias("total_qty"),
+        davg("l_extendedprice").alias("avg_price"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
 @register(
     "agg_rollup",
-    oracle="""
+    oracle=f"""
     SELECT COALESCE(l_returnflag, 'ALL') AS rf,
            COALESCE(l_linestatus, 'ALL') AS ls,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           ROUND(SUM(l_quantity), 6) AS qty
+           {dsum_sql('l_quantity')} AS qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     doc="declared rollup (absent in reference).",
@@ -123,7 +124,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("l_quantity"), 6).alias("qty"),
+            dsum("l_quantity").alias("qty"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),

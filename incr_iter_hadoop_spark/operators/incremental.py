@@ -130,7 +130,8 @@ _CUTOFF = "1999-01-01"
     "incr_refresh_orders",
     oracle=f"""
     SELECT o_custkey,
-           ROUND(SUM(o_totalprice), 6) AS spend,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS spend,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
            ROUND(MAX(o_totalprice), 6) AS max_price
     FROM orders
@@ -153,7 +154,11 @@ def incr_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_keys=["o_custkey"],
         source_keys=["o_orderkey"],
         agg_exprs={
-            "spend": F.round(F.sum("o_totalprice"), 6),
+            # decimal-accumulated sum: order-independent (functions/stable.py)
+            "spend": F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double"),
+                6,
+            ),
             "n_orders": F.count(F.lit(1)),
             "max_price": F.round(F.max("o_totalprice"), 6),
         },

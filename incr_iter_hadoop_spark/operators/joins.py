@@ -21,15 +21,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
 
 @register(
     "join_inner",
-    oracle="""
+    oracle=f"""
     SELECT c.c_mktsegment AS seg,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o.o_totalprice), 6) AS revenue
+           {dsum_sql('o.o_totalprice')} AS revenue
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY 1
     """,
@@ -44,7 +45,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("seg"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            dsum("o_totalprice").alias("revenue"),
         )
     )
 
@@ -99,9 +100,9 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_broadcast_chain",
-    oracle="""
+    oracle=f"""
     SELECT r.r_name AS region, n.n_name AS nation,
-           ROUND(SUM(s.s_acctbal), 6) AS bal
+           {dsum_sql('s.s_acctbal')} AS bal
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -117,7 +118,7 @@ def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.round(F.sum("s_acctbal"), 6).alias("bal"))
+        .agg(dsum("s_acctbal").alias("bal"))
     )
 
 
@@ -148,13 +149,13 @@ def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_override",
-    oracle="""
+    oracle=f"""
     WITH observed AS (
-      SELECT l_partkey, ROUND(AVG(l_extendedprice), 6) AS obs_price
+      SELECT l_partkey, {davg_sql('l_extendedprice')} AS obs_price
       FROM lineitem GROUP BY 1
     )
     SELECT p.p_partkey,
-           ROUND(COALESCE(o.obs_price, p.p_retailprice), 6) AS eff_price
+           COALESCE(o.obs_price, p.p_retailprice) AS eff_price
     FROM part p FULL OUTER JOIN observed o ON p.p_partkey = o.l_partkey
     """,
     doc="J5 override join (OverrideRecordReader.java:1-90): right source "
@@ -164,11 +165,11 @@ def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     li = load_table(spark, sf_dir, "lineitem")
     observed = li.groupBy("l_partkey").agg(
-        F.round(F.avg("l_extendedprice"), 6).alias("obs_price")
+        davg("l_extendedprice").alias("obs_price")
     )
     return p.join(observed, p.p_partkey == observed.l_partkey, "full_outer").select(
         F.col("p_partkey"),
-        F.round(F.coalesce(F.col("obs_price"), F.col("p_retailprice")), 6).alias(
+        F.coalesce(F.col("obs_price"), F.col("p_retailprice")).alias(
             "eff_price"
         ),
     )
@@ -176,9 +177,9 @@ def join_override(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_multiway_join",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
     JOIN customer c  ON o.o_custkey  = c.c_custkey
@@ -210,8 +211,8 @@ def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
     )

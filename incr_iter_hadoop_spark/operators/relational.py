@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.stable import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
 
@@ -167,9 +168,9 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q3_shipping_priority",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS revenue,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
            CAST(o.o_orderdate AS DATE)::VARCHAR AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -198,9 +199,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
-            ).alias("revenue")
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select(
             "l_orderkey",
@@ -213,13 +214,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_orders",
-    oracle="""
+    oracle=f"""
     WITH big AS (
-      SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 250
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 250
     )
     SELECT c.c_custkey, o.o_orderkey,
            ROUND(o.o_totalprice, 6) AS price,
-           ROUND(SUM(l.l_quantity), 6) AS total_qty
+           {dsum_sql('l.l_quantity')} AS total_qty
     FROM orders o
     JOIN big     ON o.o_orderkey = big.l_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -235,7 +237,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("tq"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("tq"))
         .where(F.col("tq") > 250)
         .select("l_orderkey")
     )
@@ -244,7 +246,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_custkey", "o_orderkey", "o_totalprice")
-        .agg(F.round(F.sum("l_quantity"), 6).alias("total_qty"))
+        .agg(dsum("l_quantity").alias("total_qty"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -256,23 +258,25 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 6) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
              AS sum_charge,
-           ROUND(AVG(l_quantity), 6) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6) AS avg_price,
-           ROUND(AVG(l_discount), 6) AS avg_disc,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="Flagship relational query (TPC-H Q1 shape): scan → filter → "
-    "hash-agg with map-side partials; the whole plan is one codegen stage.",
+    "hash-agg with map-side partials; the whole plan is one codegen stage. "
+    "Money aggregates accumulate in decimal (functions/stable.py) so the "
+    "result hash is partition-order-independent.",
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -281,13 +285,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 6).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

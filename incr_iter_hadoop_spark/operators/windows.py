@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.stable import dsum, dsum_sql
 from ..registry import register
 
 
@@ -119,10 +120,11 @@ def total_sort_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "topk_customers",
-    oracle="""
+    oracle=f"""
     SELECT * FROM (
-      SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS spend,
-             CAST(ROW_NUMBER() OVER (ORDER BY SUM(o_totalprice) DESC, o_custkey)
+      SELECT o_custkey, {dsum_sql('o_totalprice')} AS spend,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(27,6))) DESC, o_custkey)
                   AS BIGINT) AS pos
       FROM orders GROUP BY o_custkey
     ) WHERE pos <= 10
@@ -131,12 +133,14 @@ def total_sort_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    agg = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("raw_spend"))
+    agg = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("raw_spend")
+    )
     w = Window.orderBy(F.desc("raw_spend"), F.asc("o_custkey"))
     return (
         agg.select(
             "o_custkey",
-            F.round("raw_spend", 6).alias("spend"),
+            F.round(F.col("raw_spend").cast("double"), 6).alias("spend"),
             F.row_number().over(w).cast("bigint").alias("pos"),
         )
         .where(F.col("pos") <= 10)
@@ -180,12 +184,12 @@ def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_tumbling",
-    oracle="""
+    oracle=f"""
     SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
              AS window_start,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 6) AS total
+           {dsum_sql('value')} AS total
     FROM events GROUP BY 1, 2
     """,
     doc="tumbling event-time window: F.window 1h — identical code runs under "
@@ -197,7 +201,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total"),
+            dsum("value").alias("total"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -210,7 +214,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sliding",
-    oracle="""
+    oracle=f"""
     WITH slotted AS (
       SELECT ts, value,
              CAST(floor(epoch(ts) / 1800) AS BIGINT) AS slot
@@ -223,7 +227,7 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(value), 6) AS total
+           {dsum_sql('value')} AS total
     FROM expanded GROUP BY 1
     """,
     doc="sliding window 1h/30min: each event lands in 2 overlapping windows.",
@@ -234,7 +238,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 6).alias("total"),
+            dsum("value").alias("total"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
