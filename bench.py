@@ -56,17 +56,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+    # BASELINE.md protocol: record runs for regression tracking
+    try:
+        import datetime
+
+        os.makedirs("bench/results", exist_ok=True)
+        stamp = datetime.date.today().isoformat()
+        with open(f"bench/results/{stamp}.json", "a") as f:
+            f.write(json.dumps(result) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is the contract
 
 
 if __name__ == "__main__":

@@ -257,6 +257,71 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-07-01'
+      AND CAST(o.o_orderdate AS DATE) <  DATE '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)
+      )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated on a non-equi condition → "
+    "left-semi join, then aggregate.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-07-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-10-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate.cast("date") < o.o_orderdate.cast("date")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                    / COUNT(l_quantity)) AS half_avg
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {dsum_sql('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average) "
+    "decorrelated into an aggregate + re-join; below-half-average lines.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (davg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("total_price"),
+        )
+    )
+
+
+@register(
     "q1_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,

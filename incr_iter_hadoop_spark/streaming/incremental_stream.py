@@ -73,6 +73,41 @@ def windowed_counts_stream(
     )
 
 
+def stateful_running_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState`` —
+    the Spark-native replacement for the reference's task-resident
+    per-iteration state (substate files, ReduceTask.java:3009-3013): per-key
+    running (count, sum) carried in executor-managed state across
+    micro-batches, fault-tolerant through the checkpoint log.
+
+    Pass a streaming DataFrame; each micro-batch emits one row per updated
+    key with the cumulative totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"key": [key[0]], "n_events": [n], "total": [s]}
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key long, n_events long, total double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionized_stream(
     events: DataFrame,
     ts_col: str = "ts",

@@ -184,6 +184,32 @@ def test_delta_triples_reader(spark, tmp_path):
 # streaming
 
 
+def test_streaming_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches."""
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        stateful_running_totals,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 7.0)], "user_id long, value double"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, value double").parquet(src)
+    out = stateful_running_totals(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["key"]: (r["n_events"], r["total"])
+           for r in spark.sql("SELECT * FROM running_totals").collect()}
+    assert got == {1: (2, 15.0), 2: (1, 7.0)}
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """The batch window logic runs unchanged as a Structured Streaming query
     (file source → memory sink, one micro-batch)."""
