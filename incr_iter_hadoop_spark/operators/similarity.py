@@ -195,13 +195,13 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("i") < F.col("j"))
         .select("i", "j", cosine(F.col("va"), F.col("vb")).alias("raw_sim"))
     )
+    # distributed TakeOrdered over the O(n^2) pair stream, then a 20-row
+    # window — a global row_number window would single-partition every pair
+    top = sims.orderBy(F.desc("raw_sim"), F.asc("i"), F.asc("j")).limit(20)
     w = Window.orderBy(F.desc("raw_sim"), F.asc("i"), F.asc("j"))
-    return (
-        sims.select(
-            "i",
-            "j",
-            F.round("raw_sim", 6).alias("sim"),
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .where(F.col("pos") <= 20)
+    return top.select(
+        "i",
+        "j",
+        F.round("raw_sim", 6).alias("sim"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

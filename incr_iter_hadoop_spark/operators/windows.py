@@ -107,14 +107,15 @@ def window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def total_sort_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
+    # distributed TakeOrdered first — a global row_number window would drag
+    # the whole table through one partition at scale; after limit(100) the
+    # window ranks 100 rows
+    top = o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100)
     w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select(
-            "o_orderkey",
-            F.round("o_totalprice", 6).alias("price"),
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .where(F.col("pos") <= 100)
+    return top.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).alias("price"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )
 
 
@@ -136,14 +137,13 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("raw_spend")
     )
+    # TakeOrdered before the window — see total_sort_top100
+    top = agg.orderBy(F.desc("raw_spend"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("raw_spend"), F.asc("o_custkey"))
-    return (
-        agg.select(
-            "o_custkey",
-            F.round(F.col("raw_spend").cast("double"), 6).alias("spend"),
-            F.row_number().over(w).cast("bigint").alias("pos"),
-        )
-        .where(F.col("pos") <= 10)
+    return top.select(
+        "o_custkey",
+        F.round(F.col("raw_spend").cast("double"), 6).alias("spend"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )
 
 

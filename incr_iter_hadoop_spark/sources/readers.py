@@ -82,6 +82,52 @@ def read_jdbc(
     return reader.load()
 
 
+def pipe_transform(
+    df: DataFrame,
+    command: list[str],
+    output_schema: str,
+    sep: str = "\t",
+    batch_size: int = 10_000,
+) -> DataFrame:
+    """U4 external-program transport: the Spark-native replacement for Hadoop
+    streaming's stdin/stdout piping (contrib/streaming/.../PipeMapper.java:
+    1-180, src/c++/pipes). Rows stream to ``command`` as ``sep``-joined lines
+    per Arrow batch; each stdout line is split back into ``output_schema``
+    columns and cast. Runs on executors via ``mapInPandas`` — parallel per
+    partition, no driver involvement, same contract as the reference's
+    external mapper."""
+    import subprocess
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(output_schema)
+    names = [f.name for f in schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lines = "\n".join(
+                sep.join(str(v) for v in row) for row in pdf.itertuples(index=False)
+            )
+            proc = subprocess.run(
+                command, input=lines, capture_output=True, text=True, check=True
+            )
+            out_rows = [
+                line.split(sep) for line in proc.stdout.splitlines() if line
+            ]
+            yield pd.DataFrame(out_rows, columns=names)
+
+    out = df.mapInPandas(run, ", ".join(f"{n} string" for n in names))
+    # cast the string columns to the requested schema JVM-side
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return out.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def write_iteration_snapshot(df: DataFrame, base_path: str, iteration: int) -> None:
     """S9: per-iteration snapshot dir — partitioned parquet, immutable
     (replaces the reference's iteration-<i>/part-N layout)."""

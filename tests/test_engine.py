@@ -58,6 +58,28 @@ def test_incremental_pagerank_matches_cold_recompute(spark, sf_dir):
     assert warm.iterations <= cold.iterations
 
 
+def test_long_loop_stability(spark, sf_dir):
+    """SURVEY §7 hard-part 1: 50+ iterations must not blow up the plan —
+    localCheckpoint every checkpoint_interval truncates lineage. A linear
+    plan-growth bug shows up here as super-linear wall-clock or a stack
+    overflow in Catalyst."""
+    from incr_iter_hadoop_spark.operators.iterative import (
+        _lineitem_edges,
+        pagerank,
+    )
+
+    res = pagerank(
+        _lineitem_edges(spark, sf_dir),
+        max_iterations=55,
+        checkpoint_interval=5,
+    )
+    assert res.iterations == 55
+    assert res.state.count() > 0
+    # plan of the final state must stay bounded (truncated by checkpoints)
+    plan_lines = res.state._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_lines.splitlines()) < 200, "lineage not truncated"
+
+
 def test_sssp_fixpoint_is_stable(spark, sf_dir):
     """Once the frontier empties, one more relaxation must change nothing
     (the reference's θ=0 filter-loop invariant, ReduceTask.java:3399-3428)."""
@@ -178,6 +200,28 @@ def test_delta_triples_reader(spark, tmp_path):
         p2 = str(tmp_path / "noop.parquet")
         no_op.write.parquet(p2)
         readers.read_delta_triples(spark, p2)
+
+
+def test_pipe_transform(spark):
+    """U4 external-program piping (Hadoop streaming analogue) through awk."""
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k int, v double"
+    )
+    out = readers.pipe_transform(
+        df,
+        ["awk", "-F", "\t", "{print $1 \"\t\" $2 * 2}"],
+        "k int, doubled double",
+    )
+    got = {(r["k"], r["doubled"]) for r in out.collect()}
+    assert got == {(1, 20.0), (2, 40.0), (3, 60.0)}
+
+
+def test_multifile_combine_scan(spark, tmp_path):
+    """S6 MultiFileWordCount analogue: one scan over many small files."""
+    for i in range(3):
+        (tmp_path / f"f{i}.txt").write_text(f"line{i}\n")
+    df = readers.read_text_lines(spark, str(tmp_path))
+    assert df.count() == 3
 
 
 # ---------------------------------------------------------------------------
