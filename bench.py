@@ -29,6 +29,7 @@ HEADLINE = [
     "kmeans_assign",           # ONE2ALL broadcast assignment step
     "spmv_bounded2",           # ONE2MUL blocked SpMV
     "incr_refresh_orders",     # incremental view maintenance (preserve+refresh)
+    "incr_pagerank_delta5",    # delta-applied PageRank (flagship incremental)
     "dedup_minhash_pairs",     # MinHash LSH dedup (100 TB path)
     "ann_bruteforce_topk",     # brute-force ANN baseline
 ]
@@ -54,6 +55,73 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # BASELINE.md protocol item 4: incremental refresh vs full recompute —
+    # the reference's raison d'être; the ratio is the regression metric.
+    # NOTE at sf0.1 both sides are sub-second and the ratio reflects Spark's
+    # fixed per-job overhead (refresh = several small jobs, recompute = one);
+    # the asymptotic win — O(affected groups) vs O(state) — appears as state
+    # grows past the overhead floor. Track the ratio trend, not its absolute.
+    # The incremental scenario starts from ALREADY-MATERIALIZED preserved
+    # state (it survives from the prior run), so materialize it first and
+    # time only the delta application.
+    from pyspark.sql import functions as F
+
+    from incr_iter_hadoop_spark.catalog import load_table
+    from incr_iter_hadoop_spark.operators.incremental import preserve, refresh
+
+    # ~1% delta — the reference's UpdatePageRankGraph "change percent" shape:
+    # '+' = the held-out 1% of orders, '-' = ~1% of the preserved base
+    o_all = load_table(spark, SF_DIR, "orders")
+    base = o_all.where(F.col("o_orderkey") % 100 != 0)
+    contribs = base.select("o_custkey", "o_orderkey", "o_totalprice").persist()
+    state = preserve(
+        contribs,
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_exprs={
+            "spend": F.sum(F.col("o_totalprice").cast("decimal(27,6)")),
+            "n_orders": F.count(F.lit(1)),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    state.results.persist().count()
+    contribs.count()
+    delta = (
+        o_all.where(F.col("o_orderkey") % 100 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("+"))
+        .unionByName(
+            base.where(F.col("o_orderkey") % 97 == 0)
+            .select("o_custkey", "o_orderkey", "o_totalprice")
+            .withColumn("op", F.lit("-"))
+        )
+        .persist()
+    )
+    delta.count()
+    t0 = time.perf_counter()
+    refresh(state, delta).results.write.format("noop").mode("overwrite").save()
+    refresh_only_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    full = (
+        o_all.where(
+            (F.col("o_orderkey") % 100 == 0) | (F.col("o_orderkey") % 97 != 0)
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    full.write.format("noop").mode("overwrite").save()
+    full_recompute_sec = round(time.perf_counter() - t0, 3)
+    incr_ratio = (
+        round(refresh_only_sec / full_recompute_sec, 3)
+        if full_recompute_sec
+        else None
+    )
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -62,6 +130,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "incr_refresh_vs_full_recompute": incr_ratio,
     }
     print(json.dumps(result))
     # BASELINE.md protocol: record runs for regression tracking

@@ -91,9 +91,18 @@ def refresh(state: PreservedState, delta: DataFrame, op_col: str = "op") -> Pres
         .unionByName(plus)
     )
     affected = delta.select(*gk).distinct()
-    # recompute ONLY affected groups from the (already pruned) contributions
+    # results path: prune to affected groups FIRST, then retract/insert on
+    # the pruned set — every delta row's group is in `affected` by
+    # construction, so this equals recomputing from new_contribs while
+    # keeping the per-refresh work O(affected groups' contribs), not an
+    # anti-join over the whole state (with the state tables bucketed by
+    # group key the semi-join is also shuffle-free)
+    affected_contribs = state.contribs.join(affected, gk, "left_semi")
     recomputed = (
-        new_contribs.join(affected, gk, "left_semi")
+        affected_contribs.join(
+            minus.select(*gk, *sk).distinct(), gk + sk, "left_anti"
+        )
+        .unionByName(plus)
         .groupBy(*gk)
         .agg(*[expr.alias(name) for name, expr in state.agg_exprs.items()])
     )

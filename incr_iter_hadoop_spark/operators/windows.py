@@ -165,20 +165,62 @@ def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price inversions in orderkey order.",
 )
 def sort_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_orderkey")
-    seq = o.select(
-        "o_totalprice", F.lag("o_totalprice").over(w).alias("prev_price")
+    """Distributed validation, TeraValidate's actual design: range-partition
+    by the sort key, count inversions within each sorted partition in one
+    pass (mapInPandas), and fix up the partition boundaries from the tiny
+    per-partition (first, last) summary — no single-partition global window.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    n_parts = max(2, int(spark.conf.get("spark.sql.shuffle.partitions")) // 4)
+    ranged = o.repartitionByRange(n_parts, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
     )
-    return seq.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(
-            F.when(
-                F.col("prev_price").isNotNull()
-                & (F.col("prev_price") > F.col("o_totalprice")),
-                1,
-            ).otherwise(0)
-        ).alias("inversions"),
+
+    def per_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows, inv = 0, 0
+        first_key = first_price = last_key = last_price = None
+        prev_price = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows += len(pdf)
+            prices = pdf["o_totalprice"].to_numpy()
+            if prev_price is not None and prev_price > prices[0]:
+                inv += 1
+            inv += int((prices[:-1] > prices[1:]).sum())
+            if first_key is None:
+                first_key = int(pdf["o_orderkey"].iloc[0])
+                first_price = float(prices[0])
+            last_key = int(pdf["o_orderkey"].iloc[-1])
+            prev_price = last_price = float(prices[-1])
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "rows": [rows],
+                    "inv": [inv],
+                    "first_key": [first_key],
+                    "first_price": [first_price],
+                    "last_key": [last_key],
+                    "last_price": [last_price],
+                }
+            )
+
+    parts = ranged.mapInPandas(
+        per_partition,
+        "rows long, inv long, first_key long, first_price double, "
+        "last_key long, last_price double",
+    ).collect()
+    parts.sort(key=lambda r: r["first_key"])
+    total_rows = sum(r["rows"] for r in parts)
+    inversions = sum(r["inv"] for r in parts)
+    for a, b in zip(parts, parts[1:]):
+        if a["last_price"] > b["first_price"]:
+            inversions += 1
+    return spark.createDataFrame(
+        [(total_rows, inversions)], "n_rows bigint, inversions bigint"
     )
 
 
