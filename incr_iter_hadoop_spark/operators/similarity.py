@@ -117,6 +117,72 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: a coarse quantizer assigns every vector to
+    its nearest of ``n_cells`` centroids (one k-means-style assignment pass);
+    a query scores only vectors in its ``n_probe`` nearest cells. The 100 TB
+    path: the index is a cell-keyed table, probing is an equi-join on cell id
+    — candidate count scales with cell occupancy, not corpus size.
+
+    Centroids are the first ``n_cells`` vectors by id (deterministic, same
+    convention as the k-means init — IterKmeans.java:492-538)."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("cvec")
+        )
+    )
+    v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
+    # assignment pass: nearest centroid per vector (broadcast dim table)
+    v_cells = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "nid", "nvec", "cell", cosine(F.col("nvec"), F.col("cvec")).alias("s")
+        )
+        .groupBy("nid", "nvec")
+        .agg(F.max(F.struct(F.col("s"), (-F.col("cell")).alias("nc"))).alias("b"))
+        .select("nid", "nvec", (-F.col("b.nc")).cast("int").alias("cell"))
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+    # probe list: n_probe nearest cells per query
+    q_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .select("qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("s"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("rk") <= n_probe)
+        .select("qid", "qvec", "cell")
+    )
+    sims = (
+        v_cells.join(q_cells, "cell")
+        .where(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("raw_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("raw_sim"), F.asc("nid"))
+    return (
+        sims.select(
+            "qid",
+            "nid",
+            F.round("raw_sim", 6).alias("sim"),
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+        .where(F.col("pos") <= k)
+    )
+
+
 _COSINE_PAIRS_SQL = """
     WITH pairs AS (
       SELECT q.vec_id AS qid, n.vec_id AS nid,
@@ -160,6 +226,17 @@ def ann_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by design; recall asserted in tests
+    doc="IVF ANN: 16-cell coarse quantizer, 4-probe — candidate count scales "
+    "with cell occupancy, not corpus size (the 100 TB index path).",
+)
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
 @register(

@@ -132,6 +132,34 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_regex_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe
+      FROM documents
+    )
+    SELECT CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+           CAST(MAX(n_bpe) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM t
+    """,
+    doc="BPE-ish token counting: pre-tokenizer regex (letter runs / digit "
+    "runs / single punctuation — the GPT-2-style split shape) counted "
+    "JVM-side via regexp_extract_all.",
+)
+def text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+    return d.select(n.alias("n_bpe")).agg(
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+        F.max("n_bpe").cast("bigint").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -144,6 +144,29 @@ def test_refresh_equals_full_recompute(spark):
 # approximate-scheme invariants
 
 
+def test_ivf_recall_against_bruteforce(spark, sf_dir):
+    """IVF with 4/16 probes must recover a reasonable fraction of the exact
+    top-5 (recall floor is loose — random embeddings have no cluster
+    structure, the worst case for IVF) and may never exceed exact sims."""
+    from incr_iter_hadoop_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {
+        (r["qid"], r["nid"])
+        for r in ann_bruteforce_topk(emb, q).collect()
+    }
+    ivf = {
+        (r["qid"], r["nid"])
+        for r in ann_ivf_topk(emb, q).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.2, f"IVF recall {recall} collapsed"
+
+
 def test_lsh_sims_bounded_by_bruteforce(spark, sf_dir):
     """Per query: the LSH top-1 similarity can never exceed the exact top-1
     (LSH scores a subset of candidates with the same exact metric)."""
