@@ -23,6 +23,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q1_pricing_summary",      # scan + hash agg (relational battery anchor)
     "q5_multiway_join",        # multiway broadcast join
+    "q10_returned_items",      # join → agg → global top-k (TakeOrdered)
     "window_battery",          # window functions
     "agg_value_battery",       # A5 aggregation framework
     "pagerank_converged",      # iterative loop to convergence

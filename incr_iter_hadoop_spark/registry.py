@@ -55,6 +55,7 @@ def _load_all() -> None:
         setops,
         similarity,
         textops,
+        tpch_extra,
         udfs,
         windows,
     )
