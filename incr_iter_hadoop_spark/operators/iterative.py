@@ -540,3 +540,281 @@ def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _iters = kmeans(pts, k=10, max_iterations=15, tol=1e-4,
                               id_col="id", vec_col="vec")
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Power iteration (generator type ``power``, utils/genGraphReduce.java:52-64)
+
+
+def power_iteration(
+    matrix: DataFrame, x0: DataFrame, iterations: int
+) -> tuple[DataFrame, list[float]]:
+    """Dominant-eigenvector power method: x ← A·x / ‖A·x‖∞. The reference's
+    graph generator emits a ``power`` workload type (genGraphReduce.java:52-64)
+    consumed by the same blocked-SpMV machinery (MatrixVector.java:152-313);
+    normalization is the ONE2ALL global scalar (one tiny collect per
+    iteration, like GlobalUniqValueWritable at JobTracker.java:5604-5655).
+
+    ``matrix``: coordinate form (r, c, v). ``x0``: (i, x). Returns the
+    normalized state and the per-iteration ∞-norms (eigenvalue estimates)."""
+    spark = matrix.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    x = x0.persist(StorageLevel.MEMORY_AND_DISK)
+    x.count()
+    norms: list[float] = []
+    for _ in range(iterations):
+        y = (
+            static.join(x, static.c == x.i)
+            .select("r", (F.col("v") * F.col("x")).alias("px"))
+            .groupBy("r")
+            .agg(F.sum("px").alias("x"))
+            .select(F.col("r").alias("i"), "x")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # global ∞-norm: the only driver round-trip, a single scalar
+        m = float(y.agg(F.max(F.abs(F.col("x")))).collect()[0][0])
+        norms.append(m)
+        # eager localCheckpoint both materializes and truncates lineage —
+        # the plan would otherwise grow one join+agg layer per iteration
+        new_x = y.select("i", (F.col("x") / F.lit(m)).alias("x")).localCheckpoint(
+            eager=True
+        )
+        y.unpersist()
+        x.unpersist()
+        x = new_x
+    static.unpersist()
+    return x, norms
+
+
+def _power_sql(n_iter: int) -> str:
+    parts = [
+        f"WITH m AS ({_SPMV_MATRIX_SQL}),",
+        "x0 AS (SELECT DISTINCT c AS i, CAST(1.0 AS DOUBLE) AS x FROM m)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", y{i} AS (
+  SELECT m.r AS i, SUM(m.v * s.x) AS x
+  FROM m JOIN x{i-1} s ON m.c = s.i GROUP BY m.r
+), n{i} AS (SELECT MAX(ABS(x)) AS mx FROM y{i}),
+x{i} AS (SELECT i, x / mx AS x FROM y{i}, n{i})"""
+        )
+    parts.append(f"SELECT i, ROUND(x, 6) AS x FROM x{n_iter}")
+    return "\n".join(parts)
+
+
+@register(
+    "power_bounded3",
+    oracle=_power_sql(3),
+    doc="three ∞-normalized power-method steps on the coordinate matrix "
+    "(generator type `power`, genGraphReduce.java:52-64; SpMV join+agg per "
+    "step, global max collected as the ONE2ALL scalar).",
+)
+def power_bounded3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _spmv_matrix(spark, sf_dir)
+    x0 = m.select(F.col("c").alias("i")).distinct().select(
+        "i", F.lit(1.0).alias("x")
+    )
+    x, _norms = power_iteration(m, x0, iterations=3)
+    return x.select("i", F.round("x", 6).alias("x"))
+
+
+# ---------------------------------------------------------------------------
+# NMF (generator type ``nmf``, utils/genGraphReduce.java:52-64)
+
+
+def _nmf_init_w(v: DataFrame, rank: int) -> DataFrame:
+    fs = F.explode(F.sequence(F.lit(0), F.lit(rank - 1))).alias("f")
+    return (
+        v.select("r")
+        .distinct()
+        .select("r", fs)
+        .select(
+            "r", "f",
+            (1.0 + ((F.col("r") * 7 + F.col("f") * 3) % 5) * 0.1).alias("w"),
+        )
+    )
+
+
+def _nmf_init_h(v: DataFrame, rank: int) -> DataFrame:
+    fs = F.explode(F.sequence(F.lit(0), F.lit(rank - 1))).alias("f")
+    return (
+        v.select("c")
+        .distinct()
+        .select("c", fs)
+        .select(
+            "f", "c",
+            (1.0 + ((F.col("c") * 11 + F.col("f") * 5) % 7) * 0.1).alias("h"),
+        )
+    )
+
+
+def nmf(
+    ratings: DataFrame,
+    rank: int = 2,
+    *,
+    iterations: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """Non-negative matrix factorization V ≈ W·H by Lee-Seung multiplicative
+    updates — the reference's ``nmf`` generator workload
+    (genGraphReduce.java:52-64) run on its iterative contract. Spark-first
+    shape: the V⋈W / V⋈H products are the two big shuffles per iteration;
+    the Gram matrices WᵀW and HHᵀ are rank² rows (rank ≤ a few dozen), kept
+    as broadcast-joined DataFrames — never a driver round-trip.
+
+    ``ratings``: coordinate (r, c, v), v ≥ 0. Deterministic positive init so
+    a fixed-iteration run is reproducible cross-engine. Returns (W, H).
+
+    Each update references the previous factors five times, so the logical
+    plan would grow ~5× per iteration; factors are therefore
+    ``localCheckpoint(eager=True)`` every iteration (SURVEY §7 hard-part 1 —
+    persist alone caches data but not the analyzed plan)."""
+    spark = ratings.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    v = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    w = _nmf_init_w(v, rank).localCheckpoint(eager=True)
+    h = _nmf_init_h(v, rank).localCheckpoint(eager=True)
+    for _it in range(1, iterations + 1):
+        # H ← H ∘ (WᵀV) / (WᵀW·H)
+        wtv = (
+            v.join(w, "r")
+            .groupBy("f", "c")
+            .agg(F.sum(F.col("w") * F.col("v")).alias("num"))
+        )
+        wtw = (
+            w.alias("a")
+            .join(w.alias("b"), F.col("a.r") == F.col("b.r"))
+            .groupBy(F.col("a.f").alias("f1"), F.col("b.f").alias("f2"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("g"))
+        )
+        wtwh = (
+            h.join(F.broadcast(wtw), h.f == wtw.f2)
+            .groupBy(F.col("f1").alias("f"), "c")
+            .agg(F.sum(F.col("g") * F.col("h")).alias("den"))
+        )
+        h_new = (
+            h.join(wtv, ["f", "c"])
+            .join(wtwh, ["f", "c"])
+            .select(
+                "f", "c",
+                (F.col("h") * F.col("num") / F.col("den")).alias("h"),
+            )
+        ).localCheckpoint(eager=True)
+        h.unpersist()
+        h = h_new
+        # W ← W ∘ (V·Hᵀ) / (W·H·Hᵀ)
+        vht = (
+            v.join(h, "c")
+            .groupBy("r", "f")
+            .agg(F.sum(F.col("v") * F.col("h")).alias("num"))
+        )
+        hht = (
+            h.alias("a")
+            .join(h.alias("b"), F.col("a.c") == F.col("b.c"))
+            .groupBy(F.col("a.f").alias("f1"), F.col("b.f").alias("f2"))
+            .agg(F.sum(F.col("a.h") * F.col("b.h")).alias("g"))
+        )
+        whht = (
+            w.join(F.broadcast(hht), w.f == hht.f1)
+            .groupBy("r", F.col("f2").alias("f"))
+            .agg(F.sum(F.col("w") * F.col("g")).alias("den"))
+        )
+        w_new = (
+            w.join(vht, ["r", "f"])
+            .join(whht, ["r", "f"])
+            .select(
+                "r", "f",
+                (F.col("w") * F.col("num") / F.col("den")).alias("w"),
+            )
+        ).localCheckpoint(eager=True)
+        w.unpersist()
+        w = w_new
+    v.unpersist()
+    return w, h
+
+
+def nmf_loss(ratings: DataFrame, w: DataFrame, h: DataFrame) -> float:
+    """Frobenius loss Σ (v − Σ_f w·h)² over observed cells — the naive-twin
+    convergence check (loss must decrease across iterations)."""
+    wh = (
+        w.join(h, "f")
+        .groupBy("r", "c")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("pred"))
+    )
+    row = (
+        ratings.join(wh, ["r", "c"], "left")
+        .select(
+            F.pow(
+                F.col("v") - F.coalesce(F.col("pred"), F.lit(0.0)), F.lit(2.0)
+            ).alias("e")
+        )
+        .agg(F.sum("e").alias("s"))
+        .collect()[0]
+    )
+    return float(row["s"] or 0.0)
+
+
+def _nmf_sql(n_iter: int, rank: int = 2) -> str:
+    """DuckDB CTE chain reproducing nmf() exactly at a fixed iteration count."""
+    parts = [
+        f"WITH v AS ({_SPMV_MATRIX_SQL}),",
+        f"fs AS (SELECT unnest(range({rank})) AS f),",
+        """w0 AS (
+  SELECT r, f, 1.0 + ((r * 7 + f * 3) % 5) * 0.1 AS w
+  FROM (SELECT DISTINCT r FROM v) CROSS JOIN fs
+),
+h0 AS (
+  SELECT f, c, 1.0 + ((c * 11 + f * 5) % 7) * 0.1 AS h
+  FROM (SELECT DISTINCT c FROM v) CROSS JOIN fs
+)""",
+    ]
+    for i in range(1, n_iter + 1):
+        p, q = i - 1, i
+        parts.append(
+            f""", wtv{q} AS (
+  SELECT w.f, v.c, SUM(w.w * v.v) AS num
+  FROM v JOIN w{p} w ON v.r = w.r GROUP BY w.f, v.c
+), wtw{q} AS (
+  SELECT a.f AS f1, b.f AS f2, SUM(a.w * b.w) AS g
+  FROM w{p} a JOIN w{p} b ON a.r = b.r GROUP BY a.f, b.f
+), wtwh{q} AS (
+  SELECT g.f1 AS f, h.c, SUM(g.g * h.h) AS den
+  FROM h{p} h JOIN wtw{q} g ON h.f = g.f2 GROUP BY g.f1, h.c
+), h{q} AS (
+  SELECT h.f, h.c, h.h * n.num / d.den AS h
+  FROM h{p} h JOIN wtv{q} n ON h.f = n.f AND h.c = n.c
+  JOIN wtwh{q} d ON h.f = d.f AND h.c = d.c
+), vht{q} AS (
+  SELECT v.r, h.f, SUM(v.v * h.h) AS num
+  FROM v JOIN h{q} h ON v.c = h.c GROUP BY v.r, h.f
+), hht{q} AS (
+  SELECT a.f AS f1, b.f AS f2, SUM(a.h * b.h) AS g
+  FROM h{q} a JOIN h{q} b ON a.c = b.c GROUP BY a.f, b.f
+), whht{q} AS (
+  SELECT w.r, g.f2 AS f, SUM(w.w * g.g) AS den
+  FROM w{p} w JOIN hht{q} g ON w.f = g.f1 GROUP BY w.r, g.f2
+), w{q} AS (
+  SELECT w.r, w.f, w.w * n.num / d.den AS w
+  FROM w{p} w JOIN vht{q} n ON w.r = n.r AND w.f = n.f
+  JOIN whht{q} d ON w.r = d.r AND w.f = d.f
+)"""
+        )
+    parts.append(
+        f"SELECT r, CAST(f AS INT) AS f, ROUND(w, 6) AS w FROM w{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "nmf_bounded2",
+    oracle=_nmf_sql(2),
+    doc="rank-2 NMF, two Lee-Seung multiplicative update rounds on the "
+    "coordinate matrix (generator type `nmf`, genGraphReduce.java:52-64); "
+    "Gram matrices broadcast, V⋈W / V⋈H are the per-iteration shuffles.",
+)
+def nmf_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, _h = nmf(_spmv_matrix(spark, sf_dir), rank=2, iterations=2)
+    return w.select("r", F.col("f").cast("int").alias("f"),
+                    F.round("w", 6).alias("w"))

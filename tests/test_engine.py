@@ -100,6 +100,55 @@ def test_sssp_fixpoint_is_stable(spark, sf_dir):
     assert diff == 0
 
 
+def test_nmf_loss_decreases(spark, sf_dir):
+    """Lee-Seung multiplicative updates are non-increasing in Frobenius loss
+    — the dual-execution invariant for NMF (generator type `nmf`,
+    utils/genGraphReduce.java:52-64): each extra iteration round must not
+    worsen the reconstruction."""
+    from incr_iter_hadoop_spark.operators.iterative import (
+        _spmv_matrix,
+        nmf,
+        nmf_loss,
+    )
+
+    v = _spmv_matrix(spark, sf_dir)
+    losses = []
+    for iters in (1, 2, 4):
+        w, h = nmf(v, rank=2, iterations=iters)
+        losses.append(nmf_loss(v, w, h))
+    assert losses[0] >= losses[1] >= losses[2], f"loss not decreasing: {losses}"
+
+
+def test_power_iteration_direction_stabilizes(spark, sf_dir):
+    """Power method invariant: successive ∞-normalized iterates converge in
+    direction (cosine → 1) and the norm sequence approaches the dominant
+    eigenvalue (ratio of consecutive norms → 1)."""
+    from incr_iter_hadoop_spark.operators.iterative import (
+        _spmv_matrix,
+        power_iteration,
+    )
+
+    m = _spmv_matrix(spark, sf_dir)
+    x0 = m.select(F.col("c").alias("i")).distinct().select(
+        "i", F.lit(1.0).alias("x")
+    )
+    x_a, norms = power_iteration(m, x0, iterations=8)
+    x_b, _ = power_iteration(m, x_a, iterations=1)
+    dot, na, nb = (
+        x_a.alias("a")
+        .join(x_b.alias("b"), "i")
+        .agg(
+            F.sum(F.col("a.x") * F.col("b.x")),
+            F.sum(F.col("a.x") * F.col("a.x")),
+            F.sum(F.col("b.x") * F.col("b.x")),
+        )
+        .collect()[0]
+    )
+    cos = dot / ((na**0.5) * (nb**0.5))
+    assert cos > 0.999, f"direction not stabilized: cos={cos}"
+    assert abs(norms[-1] / norms[-2] - 1.0) < 0.05, f"norms not settling: {norms[-2:]}"
+
+
 def test_refresh_equals_full_recompute(spark):
     """I6-I8 refresh on synthetic contribs == full groupBy recompute,
     including a non-invertible MAX under retraction (SURVEY §7 hard-part 5)."""
