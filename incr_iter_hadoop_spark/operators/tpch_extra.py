@@ -363,3 +363,42 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(27,6)")).cast("double"), 6
         ).alias("totacctbal"),
     )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM CAST(l.l_shipdate AS DATE)) AS INT)
+             AS o_year,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)'
+                     ' - 0.6 * p.p_retailprice * l.l_quantity')} AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey  = p.p_partkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (product-type profit by supplier nation and year). "
+    "No partsupp table in the reduced schema, so ps_supplycost is replaced "
+    "by the 0.6·p_retailprice·l_quantity cost proxy — same plan shape: "
+    "LIKE-filtered part broadcast prunes the fact scan, supplier/nation "
+    "broadcast, one aggregate over the surviving rows.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("l_shipdate").cast("date")).alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+    )
