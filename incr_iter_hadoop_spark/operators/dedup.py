@@ -291,3 +291,40 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, "doc_id", "text")
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j AS src, i AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+    """,
+    doc="near-dup cluster assignment: 3-gram-Jaccard pairs as undirected "
+    "edges, connected components by min-label propagation to fixpoint "
+    "(cluster id = min doc_id of the component — the keeper a dedup "
+    "pipeline retains); singleton docs are their own cluster. Oracle: "
+    "recursive-CTE transitive closure, exact match despite the "
+    "convergence-driven loop.",
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text")
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    res = connected_components(
+        edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return res.state.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )

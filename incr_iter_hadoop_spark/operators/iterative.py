@@ -59,6 +59,11 @@ def pagerank(
     the previous fixpoint takes far fewer iterations than from scratch."""
     spark = edges.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # materialize the edge relation once: deg, static and nodes each derive
+    # from it, and callers often pass an expensive pipeline (e.g. the
+    # delta-applied graph — anti-join over two distincts) that would
+    # otherwise be recomputed per derivation
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # static side: adjacency + out-degree, partitioned by the join key once
     static = (
@@ -109,6 +114,7 @@ def pagerank(
         checkpoint_interval=checkpoint_interval,
     )
     static.unpersist()
+    edges.unpersist()
     return result
 
 
@@ -540,6 +546,71 @@ def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _iters = kmeans(pts, k=10, max_iterations=15, tol=1e-4,
                               id_col="id", vec_col="vec")
     return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Connected components (min-label propagation on the loop driver)
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 30,
+) -> IterationResult:
+    """Undirected connected components by min-label propagation on the
+    iterate() driver: comp(v) ← min(comp(v), min over neighbors comp(u))
+    until no label changes (the reference's θ=0 change-propagation loop,
+    ReduceTask.java:3399-3428). At the fixpoint every node carries the
+    minimum node id of its component — deterministic, so even the
+    convergence-driven run is exactly SQL-oracle-checkable.
+
+    ``edges``: (src, dst), treated as undirected. ``nodes``: optional (node)
+    relation to include isolated vertices. Converges in O(component
+    diameter) rounds; dedup-pair graphs are near-cliques so 2-4 rounds
+    typical. Scale: same join+agg shuffle shape as PageRank; the symmetrized
+    edge list is partitioned by src once and reused every round."""
+    spark = edges.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition(n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    endpoint_nodes = sym.select(F.col("src").alias("node"))
+    all_nodes = (
+        endpoint_nodes.union(nodes.select("node")) if nodes is not None
+        else endpoint_nodes
+    ).distinct()
+    state0 = all_nodes.select("node", F.col("node").alias("comp"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        prop = sym.join(state, sym.src == state.node).select(
+            F.col("dst").alias("node"), "comp"
+        )
+        return (
+            state.select("node", "comp")
+            .union(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        )
+
+    def changed(prev: DataFrame, curr: DataFrame) -> float:
+        return float(
+            prev.alias("p")
+            .join(curr.alias("c"), "node")
+            .where(F.col("p.comp") != F.col("c.comp"))
+            .count()
+        )
+
+    result = iterate(
+        state0, step, max_iterations=max_iterations, distance=changed,
+        threshold=0.0,
+    )
+    sym.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------
