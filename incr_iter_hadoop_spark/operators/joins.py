@@ -216,3 +216,74 @@ def q5_multiway_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    buckets: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the fact side gets a deterministic salt
+    (hash of ``salt_src`` mod ``buckets``), the dim side is replicated
+    ``buckets``× with every salt value, and the join key becomes
+    (key, salt) — a hot key's rows spread across ``buckets`` shuffle
+    partitions instead of one straggler task. Use when a key's row count
+    exceeds what one executor can hold; AQE skew-join splits post-shuffle,
+    salting prevents the skewed shuffle write itself. Cost: dim is
+    replicated ``buckets``× (keep it broadcast-sized or keep buckets low).
+    """
+    salt_col = F.pmod(
+        F.hash(F.col(salt_src) if salt_src else F.monotonically_increasing_id()),
+        F.lit(buckets),
+    )
+    fact_s = fact.withColumn("_salt", salt_col)
+    dim_s = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))),
+    )
+    return fact_s.join(dim_s, [key, "_salt"]).drop("_salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle=f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('l.l_extendedprice')} AS total
+    FROM (SELECT CASE WHEN l_orderkey % 3 <> 0 THEN 1
+                      ELSE l_partkey END AS hot_key,
+                 l_linenumber, l_extendedprice
+          FROM lineitem) l
+    JOIN (SELECT p_partkey AS hot_key, p_brand FROM part) p
+      ON l.hot_key = p.hot_key
+    GROUP BY p.p_brand
+    """,
+    doc="skew-salted equi-join: ~2/3 of fact rows share one synthetic hot "
+    "key; the salt (hash(l_linenumber) mod 16) spreads them across 16 "
+    "shuffle partitions while the dim side is replicated 16x. Result is "
+    "salt-invariant, so the plain-join oracle checks correctness.",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_orderkey") % 3 != 0, F.lit(1))
+        .otherwise(F.col("l_partkey"))
+        .alias("hot_key"),
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("hot_key"), "p_brand")
+        # force the shuffle path the salt exists for: at bench scale part is
+        # broadcast-sized and Catalyst would (rightly) skip the shuffle —
+        # the salted contract targets dims too big to broadcast
+        .hint("shuffle_hash")
+    )
+    joined = salted_join(li, p, "hot_key", buckets=16, salt_src="l_linenumber")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("l_extendedprice")).alias("total"),
+    )

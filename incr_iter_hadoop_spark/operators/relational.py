@@ -457,3 +457,60 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+@register(
+    "events_pivot",
+    oracle=f"""
+    SELECT user_id % 10 AS decile,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)
+                AS BIGINT) AS click_n,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)
+                AS BIGINT) AS error_n,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS purchase_n,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)
+                AS BIGINT) AS signup_n,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)
+                AS BIGINT) AS view_n,
+           {dsum_sql("CASE WHEN event_type = 'purchase' THEN value"
+                     " ELSE 0 END")} AS purchase_value
+    FROM events GROUP BY 1
+    """,
+    doc="pivot (long→wide): per user decile, one column per event_type "
+    "count plus purchase value. Explicit value list keeps it one pass "
+    "(no distinct-values pre-scan); compiles to a single hash aggregate "
+    "of conditional sums — no extra shuffle vs a plain groupBy.",
+)
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.select(
+            (F.col("user_id") % 10).alias("decile"), "event_type", "value"
+        )
+        .groupBy("decile")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0.0)
+                .cast("decimal(27,6)")
+            ).alias("pv"),
+        )
+    )
+    return wide.select(
+        "decile",
+        *[
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"{t}_n")
+            for t in types
+        ],
+        F.round(
+            sum(
+                F.coalesce(F.col(f"{t}_pv"), F.lit(0).cast("decimal(27,6)"))
+                for t in types
+            ).cast("double"),
+            6,
+        ).alias("purchase_value"),
+    )

@@ -53,3 +53,12 @@ def test_q6_filters_pushed_to_scan(spark, sf_dir):
 def test_q22_anti_join_present(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "q22_sales_opportunity")
     assert "LeftAnti" in plan
+
+
+def test_salted_join_spreads_hot_key(spark, sf_dir):
+    # the salted join must be a shuffle join keyed on (hot_key, _salt) —
+    # no broadcast (the salt would be pointless) and the salt column must
+    # reach the join keys so a hot key spans `buckets` partitions.
+    plan = _executed_plan(spark, sf_dir, "join_skew_salted")
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "_salt" in plan
