@@ -132,3 +132,30 @@ def write_iteration_snapshot(df: DataFrame, base_path: str, iteration: int) -> N
     """S9: per-iteration snapshot dir — partitioned parquet, immutable
     (replaces the reference's iteration-<i>/part-N layout)."""
     df.write.mode("overwrite").parquet(f"{base_path}/iteration={iteration}")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    *,
+    num_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Bucketed parquet table: rows hash-partitioned by ``key`` into
+    ``num_buckets`` files per write-partition, optionally sorted within
+    buckets. This is the reference's co-partitioning invariant
+    (StaticDataPartitioner.java:30-53, partition-count negotiation
+    JobClient.java:913-957) persisted AT REST: two tables bucketed on the
+    same key with the same bucket count join with NO exchange — the shuffle
+    is paid once at write time and amortized across every later join,
+    exactly what a loop-invariant static relation wants at 100 TB."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, *keys)
+    )
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)

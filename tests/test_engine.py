@@ -356,3 +356,29 @@ def test_streaming_windowed_counts(spark, tmp_path):
     got = spark.sql("SELECT * FROM win_counts").collect()
     assert len(got) == 2
     assert {r["n"] for r in got} == {1}
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the same key/count must sort-merge join with
+    no Exchange in the plan — the write-once-shuffle-never contract of
+    readers.write_bucketed (co-partitioning at rest, J1)."""
+    from incr_iter_hadoop_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    readers.write_bucketed(o, "t_orders_b", "o_custkey", num_buckets=4)
+    readers.write_bucketed(c, "t_customer_b", "c_custkey", num_buckets=4)
+    try:
+        ob, cb = spark.table("t_orders_b"), spark.table("t_customer_b")
+        joined = ob.hint("merge").join(
+            cb, ob.o_custkey == cb.c_custkey
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # correctness: equals the plain join
+        expected = o.join(c, o.o_custkey == c.c_custkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
