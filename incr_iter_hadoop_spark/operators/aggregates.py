@@ -195,3 +195,20 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls"))
         .distinct()
     )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL estimates differ per implementation; error-bound test
+    doc="approx_count_distinct (HyperLogLog++, rsd=0.01) of users per "
+    "event_type — the scale path for the reference's UniqValueCount "
+    "(lib/aggregate/UniqValueCount.java:1-90, which CAPS the distinct set "
+    "at maxNumItems rather than sketching); constant memory per group vs "
+    "countDistinct's shuffle of every distinct value. Error bound vs exact "
+    "asserted in tests/test_engine.py.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )

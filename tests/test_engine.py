@@ -382,3 +382,26 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL++ at rsd=0.01 must land within 5% of exact countDistinct per
+    group (loose bound: guards against a broken sketch, not sketch noise)."""
+    from incr_iter_hadoop_spark.registry import all_queries
+    from incr_iter_hadoop_spark.catalog import load_table
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in all_queries()["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
+        assert rel <= 0.05, f"{k}: approx {approx[k]} vs exact {exact[k]}"
