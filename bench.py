@@ -31,7 +31,9 @@ HEADLINE = [
     "spmv_bounded2",           # ONE2MUL blocked SpMV
     "incr_refresh_orders",     # incremental view maintenance (preserve+refresh)
     "incr_pagerank_delta5",    # delta-applied PageRank (flagship incremental)
+    "nmf_bounded2",            # NMF multiplicative updates (generator `nmf`)
     "dedup_minhash_pairs",     # MinHash LSH dedup (100 TB path)
+    "dedup_cc_clusters",       # near-dup clustering (connected components)
     "ann_bruteforce_topk",     # brute-force ANN baseline
 ]
 

@@ -514,3 +514,40 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("purchase_value"),
     )
+
+
+@register(
+    "events_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id % 10 AS decile,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS click_n,
+             CAST(SUM(CASE WHEN event_type = 'view'  THEN 1 ELSE 0 END)
+                  AS BIGINT) AS view_n
+      FROM events GROUP BY 1
+    )
+    SELECT decile, 'click_n' AS metric, click_n AS n FROM wide
+    UNION ALL
+    SELECT decile, 'view_n' AS metric, view_n AS n FROM wide
+    """,
+    doc="unpivot (wide→long): melt per-decile click/view counts back to "
+    "(decile, metric, n) rows via the native UNPIVOT — a narrow-only "
+    "projection per metric, no shuffle beyond the source aggregate.",
+)
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.select((F.col("user_id") % 10).alias("decile"), "event_type")
+        .groupBy("decile")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("click_n"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("view_n"),
+        )
+    )
+    return wide.unpivot(
+        ids=["decile"],
+        values=["click_n", "view_n"],
+        variableColumnName="metric",
+        valueColumnName="n",
+    )

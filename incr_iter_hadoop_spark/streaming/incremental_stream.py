@@ -124,3 +124,16 @@ def sessionized_stream(
             user_col, F.col("w.start").alias("session_start"), "n_events"
         )
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, key: str
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a broadcast batch
+    dimension — the streaming twin of the J2/ONE2ALL broadcast join
+    (MapTask.java:794-800). The static side is re-read per micro-batch by
+    Structured Streaming's contract (slowly-changing dims pick up updates);
+    broadcast keeps the stream side shuffle-free at any rate."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), key)

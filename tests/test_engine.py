@@ -405,3 +405,32 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for k in exact:
         rel = abs(approx[k] - exact[k]) / max(exact[k], 1)
         assert rel <= 0.05, f"{k}: approx {approx[k]} vs exact {exact[k]}"
+
+
+def test_streaming_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: streamed events pick up dim attributes
+    without shuffling the stream side (J2's streaming twin)."""
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        stream_static_enrich,
+    )
+
+    src = str(tmp_path / "enrich_src")
+    spark.createDataFrame(
+        [(1, "click"), (2, "view"), (1, "view")], "user_id long, event_type string"
+    ).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema("user_id long, event_type string").parquet(src)
+    out = stream_static_enrich(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = spark.sql("SELECT * FROM enriched").collect()
+    assert len(got) == 3
+    assert {(r["user_id"], r["tier"]) for r in got} == {(1, "gold"), (2, "basic")}
