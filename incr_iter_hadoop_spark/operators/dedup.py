@@ -309,18 +309,19 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
     """,
-    doc="near-dup cluster assignment: 3-gram-Jaccard pairs as undirected "
-    "edges, connected components by min-label propagation to fixpoint "
-    "(cluster id = min doc_id of the component — the keeper a dedup "
-    "pipeline retains); singleton docs are their own cluster. Oracle: "
-    "recursive-CTE transitive closure, exact match despite the "
+    doc="near-dup cluster assignment: MinHash+LSH verified pairs (the "
+    "100 TB candidate path, exact after verification) as undirected edges, "
+    "connected components by min-label propagation to fixpoint (cluster id "
+    "= min doc_id of the component — the keeper a dedup pipeline retains); "
+    "singleton docs are their own cluster. Oracle: recursive-CTE "
+    "transitive closure over exact-Jaccard pairs, exact match despite the "
     "convergence-driven loop.",
 )
 def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .iterative import connected_components
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(d, "doc_id", "text")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
     edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
     res = connected_components(
         edges, nodes=d.select(F.col("doc_id").alias("node"))

@@ -572,6 +572,9 @@ def connected_components(
     edge list is partitioned by src once and reused every round."""
     spark = edges.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # the symmetrize-union references edges twice; persist first so an
+    # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -610,6 +613,7 @@ def connected_components(
         threshold=0.0,
     )
     sym.unpersist()
+    edges.unpersist()
     return result
 
 
