@@ -41,6 +41,9 @@ class IterationResult:
     iterations: int
     converged: bool
     distances: list[float] = field(default_factory=list)
+    # per-iteration observed metrics (A9/I11 counters analogue): row count
+    # of each iteration's state, captured via df.observe at zero extra jobs
+    record_counts: list[int] = field(default_factory=list)
 
 
 def l1_state_distance(
@@ -72,6 +75,7 @@ def iterate(
     threshold: float = 0.0,
     checkpoint_interval: int = 5,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    observe_counts: bool = False,
 ) -> IterationResult:
     """Run ``state ← step(state, i)`` until convergence or max_iterations.
 
@@ -80,12 +84,21 @@ def iterate(
     JobClient.runIterativeJob, JobClient.java:1366-1381). When None, runs
     exactly ``max_iterations`` steps (the fixed-iteration mode,
     JobConf.java:494-500).
+
+    ``observe_counts``: attach a per-iteration ``df.observe`` counter — the
+    analogue of the reference's per-iteration record stats reported to the
+    master (IterationInfo, JobTracker.java:5516-5583; Counters.java) —
+    piggybacked on the iteration's existing action, zero extra jobs.
     """
+    from pyspark.sql import Observation
+
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
     state = state.persist(storage_level)
     state.count()  # materialize so each iteration starts from computed state
     distances: list[float] = []
+    record_counts: list[int] = []
+    observations: list[Observation] = []
     converged = False
     i = 0
     for i in range(1, max_iterations + 1):
@@ -93,6 +106,12 @@ def iterate(
         if i % checkpoint_interval == 0:
             # truncate lineage: plan size otherwise grows per iteration
             new_state = new_state.localCheckpoint(eager=False)
+        if observe_counts:
+            # observe AFTER any checkpoint: localCheckpoint replaces the
+            # logical plan, which would drop the CollectMetrics node
+            obs = Observation(f"iteration_{i}")
+            new_state = new_state.observe(obs, F.count(F.lit(1)).alias("records"))
+            observations.append(obs)
         new_state = new_state.persist(storage_level)
         if distance is not None:
             # the distance aggregation is the materializing action — the
@@ -112,6 +131,12 @@ def iterate(
             new_state.count()
             state.unpersist()
             state = new_state
+    for obs in observations:
+        record_counts.append(int(obs.get["records"]))
     return IterationResult(
-        state=state, iterations=i, converged=converged, distances=distances
+        state=state,
+        iterations=i,
+        converged=converged,
+        distances=distances,
+        record_counts=record_counts,
     )

@@ -434,3 +434,29 @@ def test_streaming_static_enrich(spark, tmp_path):
     got = spark.sql("SELECT * FROM enriched").collect()
     assert len(got) == 3
     assert {(r["user_id"], r["tier"]) for r in got} == {(1, "gold"), (2, "basic")}
+
+
+def test_iterate_observe_counts(spark):
+    """observe_counts piggybacks per-iteration record counts on the existing
+    materializing action (I11/IterationInfo analogue, zero extra jobs)."""
+    from incr_iter_hadoop_spark.plans.loopdriver import iterate
+
+    state0 = spark.range(100).select(F.col("id").alias("k"), F.lit(1.0).alias("v"))
+
+    def step(s, i):
+        return s.select("k", (F.col("v") * 2).alias("v"))
+
+    res = iterate(state0, step, max_iterations=3, observe_counts=True)
+    assert res.record_counts == [100, 100, 100]
+
+    # and with a distance-terminated loop — the distance callable is the
+    # materializing action per the iterate() contract, so it must touch curr
+    res2 = iterate(
+        state0,
+        step,
+        max_iterations=5,
+        distance=lambda p, c: float(c.count()),
+        threshold=-1.0,
+        observe_counts=True,
+    )
+    assert res2.record_counts == [100] * res2.iterations
