@@ -146,3 +146,111 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.element_at("features", 1), 6).alias("feat_len"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes_in", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+    ]
+)
+
+
+def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """Arrow-batched resize stage: with real decoders this is the
+    image-resize / audio-resample step; the deterministic stand-in truncates
+    the payload to ``target_bytes``. Bytes stay executor-side in columnar
+    batches; output carries in/out sizes for auditing."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [bytes(p)[:target_bytes] for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": pdf["n_bytes"],
+                    "n_bytes_out": [len(b) for b in out],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+def frame_sample(
+    media: DataFrame, frame_bytes: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Frame-sampling stage (video analogue): treat the payload as a
+    sequence of ``frame_bytes``-sized frames and emit every ``every_n``-th —
+    a per-row fan-out (UDTF shape) done inside mapInPandas so one input
+    batch yields one output batch, no driver involvement."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(min(frame_bytes, len(b) - fi * frame_bytes))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens}
+            )
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+           CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT)
+             AS n_bytes_out
+    FROM documents
+    """,
+    doc="mapInPandas resize plumbing (truncation stand-in for image "
+    "resize): in/out byte sizes, payload excluded from comparison.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return resize_stub(media, target_bytes=256).select(
+        "doc_id", "n_bytes_in", "n_bytes_out"
+    )
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(unnest(range(0, CAST(CEIL(n / 16.0) AS BIGINT), 4))
+                AS BIGINT) AS frame_idx,
+           CAST(LEAST(16, n - unnest(range(0, CAST(CEIL(n / 16.0) AS BIGINT),
+                                           4)) * 16) AS BIGINT) AS frame_len
+    FROM d WHERE n > 0
+    """,
+    doc="mapInPandas frame-sampling plumbing (every 4th 16-byte frame — "
+    "the video frame-sample shape): per-row fan-out executor-side.",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_binary(d, "doc_id", "text")
+    return frame_sample(media, frame_bytes=16, every_n=4)
