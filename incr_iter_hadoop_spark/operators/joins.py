@@ -287,3 +287,29 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum(F.col("l_extendedprice")).alias("total"),
     )
+
+
+def one2one_join(
+    left: DataFrame, right: DataFrame, key: str, *, strict: bool = True
+) -> DataFrame:
+    """J1's strict ONE2ONE contract: every left key must match exactly one
+    right key. The reference's merge join ERRORS on mismatch
+    ("one2one key doesn't match!!", MapTask.java:788-791); the engine's
+    default joins relax this to outer-join semantics (SURVEY §1.3), so this
+    operator restores the validating behavior where data contracts demand
+    it: one validation pass (count of unmatched/duplicated keys), then the
+    plain co-partitioned join. ``strict=False`` skips the validation job."""
+    if strict:
+        lk = left.select(F.col(key))
+        rk = right.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+        bad = (
+            lk.join(rk, key, "full_outer")
+            .where(F.col("_n").isNull() | (F.col("_n") > 1) | F.col(key).isNull())
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                f"one2one key doesn't match: {bad} key(s) unmatched or "
+                f"duplicated on '{key}'"
+            )
+    return left.join(right, key)

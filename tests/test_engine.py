@@ -460,3 +460,23 @@ def test_iterate_observe_counts(spark):
         observe_counts=True,
     )
     assert res2.record_counts == [100] * res2.iterations
+
+
+def test_one2one_join_strict_validation(spark):
+    """The reference's ONE2ONE merge join errors on key mismatch
+    (MapTask.java:788-791); one2one_join restores that contract."""
+    from incr_iter_hadoop_spark.operators.joins import one2one_join
+
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    ok = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, s double")
+    assert one2one_join(a, ok, "k").count() == 2
+
+    missing = spark.createDataFrame([(1, 10.0)], "k int, s double")
+    with pytest.raises(ValueError, match="one2one"):
+        one2one_join(a, missing, "k")
+
+    dup = spark.createDataFrame(
+        [(1, 10.0), (1, 11.0), (2, 20.0)], "k int, s double"
+    )
+    with pytest.raises(ValueError, match="one2one"):
+        one2one_join(a, dup, "k")
