@@ -44,8 +44,10 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     specs = all_queries()
-    # warm the JVM + parquet footers once so q1 doesn't pay session startup
-    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+    # warm the JVM + parquet footers of every table the headline touches, so
+    # per-query numbers measure the queries rather than first-read costs
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
