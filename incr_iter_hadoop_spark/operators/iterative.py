@@ -32,7 +32,12 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions.vector import cosine
-from ..plans.loopdriver import IterationResult, iterate, l1_state_distance
+from ..plans.loopdriver import (
+    IterationResult,
+    iterate,
+    l1_state_distance,
+    negotiate_partitions,
+)
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -57,13 +62,12 @@ def pagerank(
     ``init_state`` (node, rank) warm-starts the loop — the incremental
     iterative mode (SURVEY §3.3): after a graph delta, re-converging from
     the previous fixpoint takes far fewer iterations than from scratch."""
-    spark = edges.sparkSession
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # materialize the edge relation once: deg, static and nodes each derive
     # from it, and callers often pass an expensive pipeline (e.g. the
     # delta-applied graph — anti-join over two distincts) that would
     # otherwise be recomputed per derivation
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n = num_partitions or negotiate_partitions(edges)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # static side: adjacency + out-degree, partitioned by the join key once
     static = (
@@ -192,7 +196,8 @@ def sssp(
     Convergence = no distance changed (the reference's filter-threshold loop
     with θ=0, ReduceTask.java:3399-3428)."""
     spark = edges.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(edges)
     static = edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
     state0 = spark.createDataFrame([(source, 0.0)], "node long, dist double")
 
@@ -233,6 +238,7 @@ def sssp(
         checkpoint_interval=checkpoint_interval,
     )
     static.unpersist()
+    edges.unpersist()
     return result
 
 
@@ -311,8 +317,8 @@ def spmv(matrix: DataFrame, vector: DataFrame, iterations: int) -> IterationResu
     reference blocks the matrix (ONE2MUL, MatrixVector.java:93-147); in Spark
     coordinate form + hash shuffle on the join key is the same data movement
     without bespoke block codecs."""
-    spark = matrix.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(matrix)
     static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
 
     def step(state: DataFrame, i: int) -> DataFrame:
@@ -326,6 +332,7 @@ def spmv(matrix: DataFrame, vector: DataFrame, iterations: int) -> IterationResu
 
     result = iterate(vector, step, max_iterations=iterations)
     static.unpersist()
+    matrix.unpersist()
     return result
 
 
@@ -570,11 +577,10 @@ def connected_components(
     diameter) rounds; dedup-pair graphs are near-cliques so 2-4 rounds
     typical. Scale: same join+agg shuffle shape as PageRank; the symmetrized
     edge list is partitioned by src once and reused every round."""
-    spark = edges.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # the symmetrize-union references edges twice; persist first so an
     # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(edges)
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -632,8 +638,8 @@ def power_iteration(
 
     ``matrix``: coordinate form (r, c, v). ``x0``: (i, x). Returns the
     normalized state and the per-iteration ∞-norms (eigenvalue estimates)."""
-    spark = matrix.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(matrix)
     static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
     x = x0.persist(StorageLevel.MEMORY_AND_DISK)
     x.count()
@@ -659,6 +665,7 @@ def power_iteration(
         x.unpersist()
         x = new_x
     static.unpersist()
+    matrix.unpersist()
     return x, norms
 
 
@@ -745,10 +752,11 @@ def nmf(
     plan would grow ~5× per iteration; factors are therefore
     ``localCheckpoint(eager=True)`` every iteration (SURVEY §7 hard-part 1 —
     persist alone caches data but not the analyzed plan)."""
-    spark = ratings.sparkSession
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(ratings)
     v = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
     v.count()
+    ratings.unpersist()
     w = _nmf_init_w(v, rank).localCheckpoint(eager=True)
     h = _nmf_init_h(v, rank).localCheckpoint(eager=True)
     for _it in range(1, iterations + 1):

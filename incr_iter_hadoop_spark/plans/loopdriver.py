@@ -46,6 +46,20 @@ class IterationResult:
     record_counts: list[int] = field(default_factory=list)
 
 
+def negotiate_partitions(
+    df: DataFrame, *, rows_per_partition: int = 100_000, floor: int = 8
+) -> int:
+    """Partition-count negotiation for loop relations — the reference does
+    this at submit time (JobClient.java:913-957: block-size-driven counts,
+    ONE2ONE forcing #maps==#reduces). Sizing the static/state partitioning
+    to the data keeps small loops from paying per-task overhead every
+    iteration while preserving the session default as the ceiling for
+    cluster-scale inputs. ``df`` should already be persisted — the count
+    doubles as its materialization."""
+    default_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return max(floor, min(default_n, df.count() // rows_per_partition + 1))
+
+
 def l1_state_distance(
     prev: DataFrame, curr: DataFrame, key: str | list[str], value: str
 ) -> float:
