@@ -326,3 +326,62 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_STREAM_SEQ = [0]
+
+
+@register(
+    "events_tumbling_streamed",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="the SAME tumbling-window aggregation executed as a Structured "
+    "Streaming query: file source over the events parquet, availableNow "
+    "trigger (drain-and-stop), complete-mode memory sink — proving the "
+    "batch and streaming paths produce hash-identical results (the "
+    "incremental mode's micro-batch expression, SURVEY §2.9).",
+)
+def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    # batch read first: sets the nanosAsLong conf and yields the raw schema
+    load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # the file stream source requires a directory; glob-filter to the table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    sink = f"events_tumbling_streamed_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(sink)
