@@ -31,13 +31,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # ts is parquet timestamp[ns], which Spark's reader rejects; read it
-        # as raw long nanos and truncate to micros (Spark timestamp
-        # precision). Set at runtime too so driver-owned sessions work.
+        # ts encoding varies by generator version: timestamp[ns] (which
+        # Spark's reader rejects — read as raw long nanos via the legacy
+        # conf and truncate to micros) or timestamp[us] (read natively).
+        # Set the conf at runtime too so driver-owned sessions work.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        # integer DIV: ts/1000 via double would lose precision above 2^53 ns
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            # integer DIV: ts/1000 via double loses precision above 2^53 ns
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -120,11 +120,19 @@ def changed_groups(
     old: PreservedState, new: PreservedState, distance: Column, threshold: float
 ) -> DataFrame:
     """I9 change-propagation filter: groups whose result moved ≥ threshold.
-    ``distance`` is an expression over ``old.<col>``/``new.<col>`` aliases."""
-    o = old.results.alias("old")
-    n = new.results.alias("new")
+    ``distance`` is an expression over ``old.<col>``/``new.<col>`` aliases.
+
+    Groups present on only one side (appeared/disappeared — the most-changed
+    groups of all) are always reported: their ``distance`` would evaluate to
+    NULL and silently fail the ``>= threshold`` predicate otherwise."""
+    o = old.results.withColumn("_present_old", F.lit(True)).alias("old")
+    n = new.results.withColumn("_present_new", F.lit(True)).alias("new")
     joined = o.join(n, on=old.group_keys, how="full_outer")
-    return joined.where(distance >= threshold).select(*old.group_keys)
+    return joined.where(
+        (distance >= threshold)
+        | F.col("old._present_old").isNull()
+        | F.col("new._present_new").isNull()
+    ).select(*old.group_keys)
 
 
 # ---------------------------------------------------------------------------

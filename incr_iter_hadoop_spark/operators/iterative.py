@@ -119,6 +119,7 @@ def pagerank(
     )
     static.unpersist()
     edges.unpersist()
+    nodes.unpersist()  # final state is already materialized by iterate()
     return result
 
 

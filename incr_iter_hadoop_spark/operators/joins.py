@@ -300,11 +300,20 @@ def one2one_join(
     it: one validation pass (count of unmatched/duplicated keys), then the
     plain co-partitioned join. ``strict=False`` skips the validation job."""
     if strict:
-        lk = left.select(F.col(key))
-        rk = right.groupBy(key).agg(F.count(F.lit(1)).alias("_n"))
+        # fully ALIGNED key streams, as in the reference's merge join: a key
+        # missing or duplicated on EITHER side is an error — aggregate both
+        # sides and flag any (count != 1) in one validation pass
+        lk = left.groupBy(key).agg(F.count(F.lit(1)).alias("_nl"))
+        rk = right.groupBy(key).agg(F.count(F.lit(1)).alias("_nr"))
         bad = (
             lk.join(rk, key, "full_outer")
-            .where(F.col("_n").isNull() | (F.col("_n") > 1) | F.col(key).isNull())
+            .where(
+                F.col("_nl").isNull()
+                | F.col("_nr").isNull()
+                | (F.col("_nl") != 1)
+                | (F.col("_nr") != 1)
+                | F.col(key).isNull()
+            )
             .count()
         )
         if bad:

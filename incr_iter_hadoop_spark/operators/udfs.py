@@ -105,10 +105,13 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     mu = pdf["o_totalprice"].mean()
     sd = pdf["o_totalprice"].std(ddof=1)
     out = pdf[["o_orderkey", "o_orderpriority"]].copy()
-    if sd and sd > 0:
+    if pd.notna(sd) and sd > 0:
         out["z"] = ((pdf["o_totalprice"] - mu) / sd).round(6)
     else:
-        out["z"] = 0.0
+        # single-row group: std(ddof=1) is NaN (truthy!); sd == 0 divides by
+        # zero. SQL stddev_samp/division yields NULL in both cases — emit
+        # None, not 0.0, to match the oracle.
+        out["z"] = None
     return out
 
 

@@ -352,13 +352,17 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # batch read first: sets the nanosAsLong conf and yields the raw schema
     load_table(spark, sf_dir, "events")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
     # the file stream source requires a directory; glob-filter to the table
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    stream = spark.readStream.schema(raw.schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts DIV 1000"))
+        if ts_is_nanos
+        else F.col("ts").cast("timestamp_ntz"),
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -380,8 +384,14 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        drained = q.awaitTermination(300)
     finally:
         if q.isActive:
             q.stop()
+    if not drained:
+        # a force-stopped complete-mode sink would silently return a
+        # partially-filled table and fail the value-hash gate confusingly
+        raise TimeoutError(
+            "events_tumbling_streamed: stream did not drain within 300s"
+        )
     return spark.table(sink)

@@ -1,0 +1,323 @@
+"""On-disk, versioned preserve store (SURVEY §2.8 I6, §4).
+
+The reference's MRBG-store keeps every reduce group's inputs and output in an
+indexed local file so an incremental run can point-look-up just the affected
+groups (IFile.PreserveFile, incr-hadoop-0.1/src/mapred/org/apache/hadoop/
+mapred/IFile.java:478-1100; in-place result update updateResKV at
+IFile.java:805-930; re-reduce read path ReduceTask.java:3324-3500).
+
+Spark-first redesign — no point-lookup server, no in-place mutation:
+
+- **Base state** = two bucketed, key-sorted external Parquet tables
+  (``contribs``, ``results``), hash-bucketed by group key. Bucketing gives
+  exchange-free joins against co-bucketed relations; the within-bucket sort
+  gives tight page-level min/max stats.
+- **A refresh is a layer, not a rewrite**: each ``refresh(delta)`` writes
+  ``layers/v<N>/`` holding only the *affected* group keys, those groups'
+  complete post-refresh contributions, and their recomputed results —
+  O(|delta| + |affected groups' contribs|) I/O, never O(|state|). This is
+  the immutable analogue of the reference's in-place updateResKV.
+- **Point lookup ≈ predicate pushdown**: reading the affected groups back
+  out applies an ``isin`` filter on the bucketed/sorted key, so Spark prunes
+  whole buckets (hash) and then Parquet column indexes prune pages (sort) —
+  the two-level index the reference built by hand.
+- **Reconstruction is last-layer-wins at group granularity**: a group's
+  current contribs/result live entirely in the highest layer that touched it
+  (or the base). ``compact()`` folds all layers back into a new base.
+
+Scale: at 100 TB the base tables are written once (the shuffle is paid at
+write time and amortized); every later refresh touches only the affected
+groups' buckets/pages. ``spark.sql.parquet.pushdown.inFilterThreshold`` must
+exceed the inline-key threshold for the page pruning to engage (set by
+``session.get_spark``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META = "meta.json"
+# max #affected group keys collected to the driver for isin() pushdown; above
+# this the store falls back to a co-bucketed semi-join (still exchange-free
+# on the store side). The reference does one point lookup per delta key, so a
+# driver-side key list of the same cardinality is the honest analogue.
+DEFAULT_INLINE_KEYS = 5000
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    return ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+
+class PreserveStore:
+    """A named, versioned preserve store rooted at ``path``.
+
+    ``agg_sql`` maps output column name -> SQL aggregate expression over the
+    contribution columns (stored in the metadata so a fresh session can
+    re-derive results without Python state).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta: dict | None = None
+
+    # -- metadata ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.path, _META))
+
+    @property
+    def meta(self) -> dict:
+        if self._meta is None:
+            with open(os.path.join(self.path, _META)) as f:
+                self._meta = json.load(f)
+        return self._meta
+
+    def _write_meta(self, meta: dict) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, _META + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(tmp, self.path + "/" + _META)
+        self._meta = meta
+
+    @property
+    def group_keys(self) -> list[str]:
+        return list(self.meta["group_keys"])
+
+    @property
+    def source_keys(self) -> list[str]:
+        return list(self.meta["source_keys"])
+
+    @property
+    def version(self) -> int:
+        return int(self.meta["version"])
+
+    def _agg_cols(self) -> list:
+        return [
+            F.expr(sql).alias(name) for name, sql in self.meta["agg_sql"].items()
+        ]
+
+    # -- base tables (bucketed external parquet) ---------------------------
+
+    def _table_name(self, which: str) -> str:
+        # catalog-safe, stable per store path so re-registration is idempotent
+        slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.path).strip("_").lower()
+        return f"preserve_{slug}_{which}_v{self.meta['base_version']}"
+
+    def _base_path(self, which: str) -> str:
+        return os.path.join(self.path, f"base_v{self.meta['base_version']}", which)
+
+    def _write_base(self, which: str, df: DataFrame) -> None:
+        m = self.meta
+        keys = m["group_keys"]
+        n = int(m["num_buckets"])
+        (
+            df.repartition(n, *keys)  # one file per bucket, not one per task
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n, *keys)
+            .sortBy(*keys)
+            .option("path", self._base_path(which))
+            .saveAsTable(self._table_name(which))
+        )
+
+    def _base(self, which: str) -> DataFrame:
+        """Base table as a *bucketed* scan, re-registering the external table
+        DDL when this session has never seen it (cross-session reload — the
+        bucketing spec lives in the catalog, not the files)."""
+        name = self._table_name(which)
+        if not self.spark.catalog.tableExists(name):
+            m = self.meta
+            keys = ", ".join(f"`{k}`" for k in m["group_keys"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({m['schema_ddl'][which]}) USING PARQUET"
+                f" CLUSTERED BY ({keys}) SORTED BY ({keys})"
+                f" INTO {m['num_buckets']} BUCKETS"
+                f" LOCATION '{self._base_path(which)}'"
+            )
+        return self.spark.table(name)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def initialize(
+        self,
+        contribs: DataFrame,
+        group_keys: list[str],
+        source_keys: list[str],
+        agg_sql: dict[str, str],
+        *,
+        num_buckets: int = 16,
+    ) -> "PreserveStore":
+        """I6 preserve run: materialize contributions and their aggregated
+        results as the version-0 base. One full shuffle — paid exactly once."""
+        self._meta = None
+        meta = {
+            "group_keys": list(group_keys),
+            "source_keys": list(source_keys),
+            "agg_sql": dict(agg_sql),
+            "num_buckets": num_buckets,
+            "version": 0,
+            "base_version": 0,
+            "schema_ddl": {},
+        }
+        self._write_meta(meta)
+        results = contribs.groupBy(*group_keys).agg(
+            *[F.expr(sql).alias(name) for name, sql in agg_sql.items()]
+        )
+        meta["schema_ddl"] = {
+            "contribs": _schema_ddl(contribs),
+            "results": _schema_ddl(results),
+        }
+        self._write_meta(meta)
+        self._write_base("contribs", contribs)
+        self._write_base("results", results)
+        return self
+
+    # -- layered reads -----------------------------------------------------
+
+    def _layer_path(self, v: int, which: str) -> str:
+        return os.path.join(self.path, f"layers/v{v}", which)
+
+    def _layer(self, v: int, which: str) -> DataFrame:
+        return self.spark.read.parquet(self._layer_path(v, which))
+
+    def _pruned(self, df: DataFrame, keys_filter) -> DataFrame:
+        if keys_filter is None:
+            return df
+        return df.where(keys_filter)
+
+    def _current(self, which: str, keys_filter=None, affected: DataFrame | None = None):
+        """Last-layer-wins reconstruction of ``contribs`` or ``results``,
+        optionally restricted to the groups matching ``keys_filter`` (an
+        in-list Column — bucket + page pruned) or ``affected`` (a group-key
+        DataFrame — co-bucketed semi-join fallback)."""
+        gk = self.group_keys
+        base = self._pruned(self._base(which), keys_filter)
+        if affected is not None:
+            base = base.join(affected, gk, "left_semi")
+        tagged = base.withColumn("_v", F.lit(0))
+        for v in range(1, self.version + 1):
+            lay = self._pruned(self._layer(v, which), keys_filter)
+            if affected is not None:
+                lay = lay.join(affected, gk, "left_semi")
+            tagged = tagged.unionByName(lay.withColumn("_v", F.lit(v)))
+        # the layer that last touched a group holds ALL of that group's rows;
+        # affected-key files record touches even when the group vanished
+        touched = self._touched_versions(keys_filter, affected)
+        last = tagged.join(touched, gk, "left").where(
+            F.col("_v") == F.coalesce(F.col("_last_v"), F.lit(0))
+        )
+        return last.drop("_v", "_last_v")
+
+    def _touched_versions(self, keys_filter=None, affected: DataFrame | None = None):
+        """(group_keys, _last_v): highest layer that touched each group."""
+        gk = self.group_keys
+        parts = []
+        for v in range(1, self.version + 1):
+            aff = self._pruned(self._layer(v, "affected"), keys_filter)
+            if affected is not None:
+                aff = aff.join(affected, gk, "left_semi")
+            parts.append(aff.select(*gk, F.lit(v).alias("_last_v")))
+        if not parts:
+            # no layers yet: empty frame with the right shape
+            return (
+                self._base("results")
+                .select(*gk, F.lit(0).alias("_last_v"))
+                .limit(0)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.groupBy(*gk).agg(F.max("_last_v").alias("_last_v"))
+
+    def current_results(self) -> DataFrame:
+        return self._current("results")
+
+    def current_contribs(self) -> DataFrame:
+        return self._current("contribs")
+
+    # -- incremental refresh (I7 + I8) -------------------------------------
+
+    def refresh(
+        self,
+        delta: DataFrame,
+        op_col: str = "op",
+        *,
+        inline_keys: int = DEFAULT_INLINE_KEYS,
+    ) -> int:
+        """Apply a (+/-) delta as a new layer; returns the new version.
+
+        '-' rows retract the contribution with the same (group, source) key;
+        '+' rows insert. Only the affected groups are read (bucket- and
+        page-pruned point reads when the key list is small; co-bucketed
+        semi-join otherwise) and only they are written back —
+        O(|delta| + |affected contribs|), the reference's re-reduce contract
+        (ReduceTask.java:3324-3500)."""
+        gk, sk = self.group_keys, self.source_keys
+        delta = delta.persist()
+        affected = delta.select(*gk).distinct().persist()
+        n_affected = affected.count()
+
+        keys_filter = None
+        affected_df = None
+        if len(gk) == 1 and n_affected <= inline_keys:
+            keys = [r[0] for r in affected.collect()]
+            keys_filter = F.col(gk[0]).isin(keys)
+        else:
+            affected_df = affected
+
+        prior = self._current("contribs", keys_filter, affected_df)
+        plus = delta.where(F.col(op_col) == "+").drop(op_col)
+        minus = delta.where(F.col(op_col) == "-").drop(op_col)
+        new_contribs = prior.join(
+            minus.select(*gk, *sk).distinct(), gk + sk, "left_anti"
+        ).unionByName(plus)
+        new_contribs = new_contribs.persist()
+        recomputed = new_contribs.groupBy(*gk).agg(*self._agg_cols())
+
+        v = self.version + 1
+        affected.write.mode("overwrite").parquet(self._layer_path(v, "affected"))
+        new_contribs.write.mode("overwrite").parquet(
+            self._layer_path(v, "contribs")
+        )
+        recomputed.write.mode("overwrite").parquet(self._layer_path(v, "results"))
+        new_contribs.unpersist()
+        affected.unpersist()
+        delta.unpersist()
+        meta = dict(self.meta)
+        meta["version"] = v
+        self._write_meta(meta)
+        return v
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self) -> None:
+        """Fold every layer into a fresh base (the reference's store rewrite,
+        IFile.java:931-1015). O(|state|) — run at a cadence where
+        Σ|layers| justifies it, exactly like LSM compaction."""
+        contribs = self.current_contribs()
+        results = self.current_results()
+        meta = dict(self.meta)
+        meta["base_version"] = int(meta["base_version"]) + 1
+        old_version = meta["version"]
+        meta["version"] = 0
+        # write to the NEW base dirs before flipping meta so a crash leaves
+        # the old base intact (meta flip is the atomic commit point)
+        self._meta = meta  # _write_base/_table_name read the new base_version
+        self._write_base("contribs", contribs)
+        self._write_base("results", results)
+        self._write_meta(meta)
+        import shutil
+
+        for v in range(1, old_version + 1):
+            shutil.rmtree(
+                os.path.join(self.path, f"layers/v{v}"), ignore_errors=True
+            )
