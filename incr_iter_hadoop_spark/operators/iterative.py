@@ -541,6 +541,123 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_lloyd_bounded(
+    points: DataFrame, centers: DataFrame, rounds: int
+) -> DataFrame:
+    """Exactly ``rounds`` Lloyd iterations with the centers kept as a
+    DataFrame end-to-end (no driver round-trip at all — the bounded twin of
+    ``kmeans()``, whose convergence check is the only reason it collects the
+    O(k·dims) centers). Assignment is the ONE2ALL broadcast cosine step
+    (IterKmeans.java:295-310); recompute is the distributed per-dimension
+    mean (IterKmeans.java:413-458). Empty clusters drop out, exactly like a
+    SQL mean over an empty group.
+
+    ``points``: (id, vec array<double>); ``centers``: (cid, cvec)."""
+    for _ in range(rounds):
+        assigned = _assign(points, centers)
+        centers = (
+            assigned.select("cluster", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("cvec")
+            )
+            .select(F.col("cluster").alias("cid"), "cvec")
+        )
+    return centers
+
+
+_KMEANS2_SQL = """
+    WITH p_exp AS (
+      SELECT vec_id AS id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    pnorm AS (SELECT id, sqrt(SUM(val*val)) AS pn FROM p_exp GROUP BY id),
+    c0 AS (SELECT id AS cid, pos, val AS m FROM p_exp WHERE id < 10),
+    c0n AS (SELECT cid, sqrt(SUM(m*m)) AS cn FROM c0 GROUP BY cid),
+    dp1 AS (
+      SELECT e.id, c.cid, SUM(e.val * c.m) AS dp
+      FROM p_exp e JOIN c0 c ON e.pos = c.pos GROUP BY e.id, c.cid
+    ),
+    s1 AS (
+      SELECT d.id, d.cid,
+             CASE WHEN p.pn * c.cn > 0 THEN d.dp / (p.pn * c.cn)
+                  ELSE 0.0 END AS sim
+      FROM dp1 d JOIN pnorm p ON d.id = p.id JOIN c0n c ON d.cid = c.cid
+    ),
+    a1 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY sim DESC, cid) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a.cid AS cluster, e.pos, AVG(e.val) AS m
+      FROM a1 a JOIN p_exp e ON a.id = e.id GROUP BY a.cid, e.pos
+    ),
+    c1n AS (SELECT cluster, sqrt(SUM(m*m)) AS cn FROM m1 GROUP BY cluster),
+    dp2 AS (
+      SELECT e.id, m.cluster, SUM(e.val * m.m) AS dp
+      FROM p_exp e JOIN m1 m ON e.pos = m.pos GROUP BY e.id, m.cluster
+    ),
+    s2 AS (
+      SELECT d.id, d.cluster,
+             CASE WHEN p.pn * c.cn > 0 THEN d.dp / (p.pn * c.cn)
+                  ELSE 0.0 END AS sim
+      FROM dp2 d JOIN pnorm p ON d.id = p.id
+      JOIN c1n c ON d.cluster = c.cluster
+    ),
+    a2 AS (
+      SELECT id, cluster FROM (
+        SELECT id, cluster, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT a.cluster, e.pos, AVG(e.val) AS m
+      FROM a2 a JOIN p_exp e ON a.id = e.id GROUP BY a.cluster, e.pos
+    )
+    SELECT CAST(cluster AS INT) AS cluster, CAST(pos AS INT) AS pos,
+           ROUND(m, 6) AS c
+    FROM m2
+"""
+
+
+@register(
+    "kmeans_bounded2",
+    oracle=_KMEANS2_SQL,
+    doc="A2+I4 driver-checkable k-means: deterministic init (centers = "
+    "embeddings vec_id<10), exactly 2 Lloyd rounds (cosine assignment "
+    "IterKmeans.java:295-310, per-dimension mean recompute :413-458), "
+    "output = final centers exploded to (cluster, pos, c).",
+)
+def kmeans_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    centers0 = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("cvec"),
+    )
+    final = kmeans_lloyd_bounded(pts, centers0, rounds=2)
+    return final.select(
+        F.col("cid").cast("int").alias("cluster"),
+        F.posexplode("cvec").alias("pos", "c"),
+    ).select(
+        "cluster", F.col("pos").cast("int").alias("pos"), F.round("c", 6).alias("c")
+    )
+
+
 @register(
     "kmeans_converged",
     oracle=None,

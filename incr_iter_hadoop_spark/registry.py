@@ -100,6 +100,7 @@ FIRST_WINDOW: list[str] = [
     "sssp_bounded4",
     "spmv_bounded2",
     "kmeans_assign",
+    "kmeans_bounded2",
     # incremental view maintenance (S10, I6-I9, J6, J7)
     "incr_refresh_orders",
     "incr_pagerank_delta5",
@@ -133,12 +134,11 @@ FIRST_WINDOW: list[str] = [
     # streaming (§2.9)
     "events_tumbling_streamed",
     # remaining slots — swapped for this round's new oracle queries as they
-    # land (kmeans_bounded2, incr_refresh_orders_disk, incr_pagerank_pruned3,
+    # land (incr_refresh_orders_disk, incr_pagerank_pruned3,
     # embedding_top_pairs_lsh, streaming_refresh_orders)
     "q5_multiway_join",
     "events_tumbling",
     "multimodal_features",
-    "setop_intersect",
 ]
 
 
