@@ -27,9 +27,12 @@ Spark-first redesign — no point-lookup server, no in-place mutation:
 
 Scale: at 100 TB the base tables are written once (the shuffle is paid at
 write time and amortized); every later refresh touches only the affected
-groups' buckets/pages. ``spark.sql.parquet.pushdown.inFilterThreshold`` must
-exceed the inline-key threshold for the page pruning to engage (set by
-``session.get_spark``).
+groups' buckets/pages. ``refresh()`` sets
+``spark.sql.parquet.pushdown.inFilterThreshold`` on the session before the
+isin fast path so exact in-filters reach the parquet reader for modest key
+lists (capped at ``_PUSHDOWN_IN_MAX`` — parquet-mr's or() chain is evaluated
+recursively and stack-overflows for huge lists); beyond the cap the scan
+still benefits from planner-side bucket pruning and min/max range stats.
 """
 
 from __future__ import annotations
@@ -47,6 +50,10 @@ _META = "meta.json"
 # on the store side). The reference does one point lookup per delta key, so a
 # driver-side key list of the same cardinality is the honest analogue.
 DEFAULT_INLINE_KEYS = 5000
+# max in-list size pushed to parquet as an EXACT filter; larger lists get
+# min/max range pushdown only (parquet-mr evaluates the or() chain
+# recursively — ~1500 values overflows the executor stack)
+_PUSHDOWN_IN_MAX = 200
 
 
 def _schema_ddl(df: DataFrame) -> str:
@@ -67,6 +74,15 @@ class PreserveStore:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta: dict | None = None
+        # Spark's planner silently falls back to a plain file scan when it
+        # judges bucketing "not useful" — which also drops BUCKET PRUNING,
+        # the store's whole point-read mechanism (hash(key) selects the
+        # bucket files to open, everything else is never touched). Pin
+        # bucketed scans on so an isin() read of k groups opens ≤k of the
+        # num_buckets files and the group-key aggregation needs no exchange.
+        self.spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
 
     # -- metadata ----------------------------------------------------------
 
@@ -203,6 +219,11 @@ class PreserveStore:
         base = self._pruned(self._base(which), keys_filter)
         if affected is not None:
             base = base.join(affected, gk, "left_semi")
+        if self.version == 0:
+            # no layers yet: the base IS the current state — skip the
+            # last-layer-wins join entirely (it would join against an empty
+            # touched-set and still cost a stage per read)
+            return base
         tagged = base.withColumn("_v", F.lit(0))
         for v in range(1, self.version + 1):
             lay = self._pruned(self._layer(v, which), keys_filter)
@@ -264,14 +285,52 @@ class PreserveStore:
         gk, sk = self.group_keys, self.source_keys
         delta = delta.persist()
         affected = delta.select(*gk).distinct().persist()
-        n_affected = affected.count()
+        v = self.version + 1
+        # write the affected-key layer FIRST: the write materializes the
+        # persisted `affected`, so the strategy probe below is a cache hit
+        # instead of a second shuffle job. Crash-safe: layer dirs are
+        # invisible until the meta version bump at the end.
+        affected.write.mode("overwrite").parquet(self._layer_path(v, "affected"))
 
+        # the probe decides the pruning strategy AND yields the key list
+        # (limit(n+1) instead of count()+collect(): one job, not two —
+        # per-refresh overhead matters when the delta is tiny, which is the
+        # whole point of a refresh)
         keys_filter = None
         affected_df = None
-        if len(gk) == 1 and n_affected <= inline_keys:
-            keys = [r[0] for r in affected.collect()]
+        probe = (
+            affected.limit(inline_keys + 1).collect() if len(gk) == 1 else None
+        )
+        if probe is not None and len(probe) <= inline_keys:
+            keys = [r[0] for r in probe]
+            # NULL group keys can neither isin()-match nor equi-join
+            # `touched` in _current — either path would silently drop the
+            # delta row while the affected file still records it. Reject
+            # them loudly (the reference's reduce keys are never null).
+            if any(k is None for k in keys):
+                raise ValueError(
+                    "PreserveStore.refresh: delta contains NULL group keys; "
+                    "NULL groups cannot be tracked by the layered store"
+                )
+            # keep the EXACT in-filter eligible for parquet pushdown for
+            # modest key lists (above the threshold Spark demotes it to a
+            # min/max range filter). Capped: the exact pushdown compiles to
+            # a values-deep or() chain in parquet-mr whose recursive
+            # evaluation stack-overflows around a thousand keys — beyond the
+            # cap the range filter + planner-side bucket pruning still apply.
+            self.spark.conf.set(
+                "spark.sql.parquet.pushdown.inFilterThreshold",
+                str(min(max(len(keys), 10), _PUSHDOWN_IN_MAX)),
+            )
             keys_filter = F.col(gk[0]).isin(keys)
         else:
+            if affected.where(
+                " OR ".join(f"`{k}` IS NULL" for k in gk)
+            ).limit(1).count():
+                raise ValueError(
+                    "PreserveStore.refresh: delta contains NULL group keys; "
+                    "NULL groups cannot be tracked by the layered store"
+                )
             affected_df = affected
 
         prior = self._current("contribs", keys_filter, affected_df)
@@ -283,8 +342,6 @@ class PreserveStore:
         new_contribs = new_contribs.persist()
         recomputed = new_contribs.groupBy(*gk).agg(*self._agg_cols())
 
-        v = self.version + 1
-        affected.write.mode("overwrite").parquet(self._layer_path(v, "affected"))
         new_contribs.write.mode("overwrite").parquet(
             self._layer_path(v, "contribs")
         )
@@ -306,7 +363,9 @@ class PreserveStore:
         contribs = self.current_contribs()
         results = self.current_results()
         meta = dict(self.meta)
-        meta["base_version"] = int(meta["base_version"]) + 1
+        old_base_version = int(meta["base_version"])
+        old_tables = [self._table_name("contribs"), self._table_name("results")]
+        meta["base_version"] = old_base_version + 1
         old_version = meta["version"]
         meta["version"] = 0
         # write to the NEW base dirs before flipping meta so a crash leaves
@@ -315,9 +374,19 @@ class PreserveStore:
         self._write_base("contribs", contribs)
         self._write_base("results", results)
         self._write_meta(meta)
+        # post-commit cleanup: the folded layers, the superseded base copy
+        # AND its catalog registrations — leaving them would leak a full
+        # snapshot of the state (plus two dangling external tables) per
+        # compaction
         import shutil
 
         for v in range(1, old_version + 1):
             shutil.rmtree(
                 os.path.join(self.path, f"layers/v{v}"), ignore_errors=True
             )
+        for t in old_tables:
+            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(
+            os.path.join(self.path, f"base_v{old_base_version}"),
+            ignore_errors=True,
+        )

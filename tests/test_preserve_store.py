@@ -1,0 +1,213 @@
+"""Unit coverage for the on-disk versioned PreserveStore (SURVEY §2.8 I6;
+reference: IFile.java:478-1100 PreserveFile, ReduceTask.java:3324-3500
+re-reduce read path). Exercises the behaviors most likely to be wrong on the
+first try: last-layer-wins reconstruction (group appeared / vanished /
+multi-layer), the isin vs semi-join pruning paths, compact(), NULL-key
+rejection, and cross-session catalog reload."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+
+AGG_SQL = {
+    "total": "CAST(SUM(v) AS DOUBLE)",
+    "n": "CAST(COUNT(1) AS BIGINT)",
+    "mx": "CAST(MAX(v) AS DOUBLE)",  # non-invertible: forces group recompute
+}
+
+
+def _contribs(spark, rows):
+    return spark.createDataFrame(rows, "g bigint, s bigint, v double")
+
+
+def _delta(spark, rows):
+    return spark.createDataFrame(rows, "g bigint, s bigint, v double, op string")
+
+
+def _results_dict(store):
+    return {
+        r["g"]: (r["total"], r["n"], r["mx"])
+        for r in store.current_results().collect()
+    }
+
+
+def _fresh_store(spark, tmp_path, rows, num_buckets=4):
+    store = PreserveStore(spark, str(tmp_path / "store"))
+    store.initialize(
+        _contribs(spark, rows),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql=AGG_SQL,
+        num_buckets=num_buckets,
+    )
+    return store
+
+
+BASE_ROWS = [
+    (1, 10, 1.0),
+    (1, 11, 2.0),
+    (2, 20, 5.0),
+    (2, 21, 7.0),
+    (3, 30, 9.0),
+]
+
+
+def test_initialize_and_read_back(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    assert _results_dict(store) == {
+        1: (3.0, 2, 2.0),
+        2: (12.0, 2, 7.0),
+        3: (9.0, 1, 9.0),
+    }
+    assert store.current_contribs().count() == 5
+    assert store.version == 0
+
+
+@pytest.mark.parametrize("inline_keys", [5000, 0], ids=["isin", "semi_join"])
+def test_refresh_insert_retract_both_pruning_paths(spark, tmp_path, inline_keys):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    # '+' a new contribution to group 1, '-' retract (2, 20); group 3 untouched
+    v = store.refresh(
+        _delta(spark, [(1, 12, 10.0, "+"), (2, 20, 0.0, "-")]),
+        inline_keys=inline_keys,
+    )
+    assert v == 1
+    assert _results_dict(store) == {
+        1: (13.0, 3, 10.0),
+        2: (7.0, 1, 7.0),  # MAX correctly recomputed after losing the 5.0 row
+        3: (9.0, 1, 9.0),
+    }
+    assert store.current_contribs().count() == 5
+
+
+def test_group_appeared_and_vanished_across_layers(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    # layer 1: brand-new group 9 appears; group 3 vanishes entirely
+    store.refresh(_delta(spark, [(9, 90, 4.0, "+"), (3, 30, 0.0, "-")]))
+    res = _results_dict(store)
+    assert res[9] == (4.0, 1, 4.0)
+    assert 3 not in res  # vanished group yields no row (affected file wins)
+    # layer 2: group 9 touched again — last layer must win over layer 1
+    store.refresh(_delta(spark, [(9, 91, 6.0, "+")]))
+    res = _results_dict(store)
+    assert res[9] == (10.0, 2, 6.0)
+    assert store.version == 2
+    # a group retracted in an old layer stays gone through newer layers
+    assert 3 not in res
+    # untouched base groups read through every layer unchanged
+    assert res[1] == (3.0, 2, 2.0)
+
+
+def test_reappearing_group_after_vanish(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    store.refresh(_delta(spark, [(3, 30, 0.0, "-")]))
+    assert 3 not in _results_dict(store)
+    store.refresh(_delta(spark, [(3, 31, 2.5, "+")]))
+    assert _results_dict(store)[3] == (2.5, 1, 2.5)
+
+
+def test_null_group_key_rejected(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    bad = _delta(spark, [(None, 50, 1.0, "+")])
+    with pytest.raises(ValueError, match="NULL group keys"):
+        store.refresh(bad)
+    with pytest.raises(ValueError, match="NULL group keys"):
+        store.refresh(bad, inline_keys=0)  # semi-join path rejects too
+
+
+def test_compact_folds_layers_and_reclaims_space(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    store.refresh(_delta(spark, [(9, 90, 4.0, "+"), (3, 30, 0.0, "-")]))
+    store.refresh(_delta(spark, [(9, 91, 6.0, "+")]))
+    before = _results_dict(store)
+    old_base = os.path.join(store.path, "base_v0")
+    assert os.path.isdir(old_base)
+    store.compact()
+    assert store.version == 0
+    assert _results_dict(store) == before
+    # folded layers and the superseded base (+ its catalog tables) are gone
+    assert not os.path.isdir(os.path.join(store.path, "layers/v1"))
+    assert not os.path.isdir(os.path.join(store.path, "layers/v2"))
+    assert not os.path.isdir(old_base)
+    import re
+
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", store.path).strip("_").lower()
+    for which in ("contribs", "results"):
+        assert not spark.catalog.tableExists(f"preserve_{slug}_{which}_v0")
+    # the compacted store keeps refreshing correctly
+    store.refresh(_delta(spark, [(1, 13, 1.0, "+")]))
+    assert _results_dict(store)[1] == (4.0, 3, 2.0)
+
+
+def test_cross_session_reload_reregisters_catalog(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    store.refresh(_delta(spark, [(9, 90, 4.0, "+")]))
+    expect = _results_dict(store)
+    # simulate a fresh session: drop the catalog registrations, then open the
+    # store from scratch off its on-disk meta (bucketing DDL must re-register)
+    for which in ("contribs", "results"):
+        spark.sql(f"DROP TABLE IF EXISTS {store._table_name(which)}")
+    reopened = PreserveStore(spark, store.path)
+    assert reopened.exists()
+    assert _results_dict(reopened) == expect
+    assert reopened.version == 1
+
+
+def test_refresh_matches_full_recompute_on_driver_tables(spark, sf_dir, tmp_path):
+    """Dual-execution oracle (SURVEY §5.2): store refresh over orders ==
+    one-shot groupBy over the effective row set."""
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cutoff = F.lit("1999-01-01").cast("date")
+    base = orders.where(F.col("o_orderdate").cast("date") < cutoff)
+    store = PreserveStore(spark, str(tmp_path / "orders_store"))
+    store.initialize(
+        base.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_sql={
+            "spend": "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) "
+            "AS DOUBLE), 6)",
+            "n_orders": "CAST(COUNT(1) AS BIGINT)",
+        },
+        num_buckets=8,
+    )
+    additions = (
+        orders.where(F.col("o_orderdate").cast("date") >= cutoff)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("+"))
+    )
+    removals = (
+        base.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("-"))
+    )
+    store.refresh(additions.unionByName(removals))
+    got = {
+        r["o_custkey"]: (r["spend"], r["n_orders"])
+        for r in store.current_results().collect()
+    }
+    expect_df = (
+        orders.where(
+            ~(
+                (F.col("o_orderdate").cast("date") < cutoff)
+                & (F.col("o_orderkey") % 97 == 0)
+            )
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double"),
+                6,
+            ).alias("spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    expect = {
+        r["o_custkey"]: (r["spend"], r["n_orders"]) for r in expect_df.collect()
+    }
+    assert got == expect
