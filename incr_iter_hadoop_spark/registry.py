@@ -105,6 +105,7 @@ FIRST_WINDOW: list[str] = [
     "incr_refresh_orders",
     "incr_refresh_orders_disk",
     "incr_pagerank_delta5",
+    "incr_pagerank_pruned4",
     # sort / window / top-k (W1, O1, O2, O4)
     "secondary_sort_top3",
     "window_battery",
@@ -135,10 +136,8 @@ FIRST_WINDOW: list[str] = [
     # streaming (§2.9)
     "events_tumbling_streamed",
     # remaining slots — swapped for this round's new oracle queries as they
-    # land (incr_pagerank_pruned3, embedding_top_pairs_lsh,
-    # streaming_refresh_orders)
+    # land (embedding_top_pairs_lsh, streaming_refresh_orders)
     "q5_multiway_join",
-    "events_tumbling",
 ]
 
 
