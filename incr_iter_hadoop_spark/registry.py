@@ -77,7 +77,6 @@ FIRST_WINDOW: list[str] = [
     "grep_regex",
     "wordcount",
     "scalar_battery",
-    "json_extract",
     # generators (P8, P9)
     "gen_random_kv",
     "gen_graph_degrees",
@@ -127,6 +126,7 @@ FIRST_WINDOW: list[str] = [
     "doc_fingerprint",
     # similarity search (LLM pipeline)
     "ann_bruteforce_topk",
+    "embedding_top_pairs_lsh",
     # dedup (LLM pipeline)
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -135,8 +135,7 @@ FIRST_WINDOW: list[str] = [
     "multimodal_frames",
     # streaming (§2.9)
     "events_tumbling_streamed",
-    # remaining slots — swapped for this round's new oracle queries as they
-    # land (embedding_top_pairs_lsh, streaming_refresh_orders)
+    # remaining slot — swapped for streaming_refresh_orders when it lands
     "q5_multiway_join",
 ]
 
