@@ -39,8 +39,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
-            # integer DIV: ts/1000 via double loses precision above 2^53 ns
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # integer DIV: ts/1000 via double loses precision above 2^53 ns.
+            # timestamp_micros yields TIMESTAMP (LTZ) — cast to NTZ so BOTH
+            # generator encodings expose one type (schema-sensitive
+            # consumers: unions, writes, the driver's schema hash; values
+            # agree because the session timezone is pinned to UTC).
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts DIV 1000")).cast(
+                    "timestamp_ntz"
+                ),
+            )
         return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

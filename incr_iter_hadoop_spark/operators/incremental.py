@@ -360,6 +360,102 @@ def _patch_incr_pagerank_oracle() -> None:
 _patch_incr_pagerank_oracle()
 
 
+@register(
+    "streaming_refresh_orders",
+    oracle=f"""
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MAX(o_totalprice), 6) AS max_price
+    FROM orders
+    WHERE NOT (CAST(o_orderdate AS DATE) < DATE '{_CUTOFF}'
+               AND o_orderkey % 97 = 0)
+    GROUP BY o_custkey
+    """,
+    doc="§2.9 streaming expression of incremental view maintenance, "
+    "end-to-end: the SAME (+/-) delta as incr_refresh_orders lands as two "
+    "parquet files in a watched directory; a Structured Streaming file "
+    "source (maxFilesPerTrigger=1, availableNow) drives one foreachBatch "
+    "refresh() per file, composing two successive I7-I8 refreshes; the "
+    "drained final state hash-matches the batch full-recompute oracle.",
+)
+def streaming_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_refresh
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("date")
+    base = o.where(F.col("o_orderdate").cast("date") < cutoff)
+    contribs = base.select("o_custkey", "o_orderkey", "o_totalprice").persist()
+    state0 = preserve(
+        contribs,
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_exprs={
+            "spend": F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast(
+                    "double"
+                ),
+                6,
+            ),
+            "n_orders": F.count(F.lit(1)),
+            "max_price": F.round(F.max("o_totalprice"), 6),
+        },
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_refresh_orders_")
+    delta_dir = os.path.join(tmp, "delta")
+    # two delta files -> two micro-batches (one refresh each); the '+' and
+    # '-' sets touch disjoint source keys, so batch order doesn't matter
+    (
+        o.where(F.col("o_orderdate").cast("date") >= cutoff)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("+"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(delta_dir)
+    )
+    (
+        base.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("-"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(delta_dir)
+    )
+    schema = spark.read.parquet(delta_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta_dir)
+    )
+    holder: dict[str, PreservedState] = {}
+
+    def sink(new_state: PreservedState, _batch_id: int) -> None:
+        holder["state"] = new_state
+
+    q = streaming_refresh(
+        stream,
+        state0,
+        sink,
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+        available_now=True,
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    contribs.unpersist()
+    if not drained or "state" not in holder:
+        raise TimeoutError(
+            "streaming_refresh_orders: stream did not drain within 300s"
+        )
+    return holder["state"].results
+
+
 # ---------------------------------------------------------------------------
 # I9 change-propagation-pruned incremental iteration. The reference's filter
 # threshold (mapred.iterative.filter.threshold) makes each incremental

@@ -360,7 +360,8 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).parquet(sf_dir)
     stream = stream.withColumn(
         "ts",
-        F.timestamp_micros(F.expr("ts DIV 1000"))
+        # both branches normalized to NTZ — same contract as catalog.load_table
+        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
         if ts_is_nanos
         else F.col("ts").cast("timestamp_ntz"),
     )

@@ -135,8 +135,7 @@ FIRST_WINDOW: list[str] = [
     "multimodal_frames",
     # streaming (§2.9)
     "events_tumbling_streamed",
-    # remaining slot — swapped for streaming_refresh_orders when it lands
-    "q5_multiway_join",
+    "streaming_refresh_orders",
 ]
 
 

@@ -25,6 +25,7 @@ def streaming_refresh(
     sink: Callable[[PreservedState, int], None],
     checkpoint_dir: str,
     op_col: str = "op",
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Drive incremental view maintenance from a stream of (+/-) delta rows.
 
@@ -48,12 +49,17 @@ def streaming_refresh(
         old.contribs.unpersist()
         old.results.unpersist()
 
-    return (
+    writer = (
         delta_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        # drain-and-stop: process every available delta file, then
+        # terminate — the registered oracle-checked query uses this to run
+        # the stream to completion deterministically
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_counts_stream(
