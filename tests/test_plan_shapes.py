@@ -62,3 +62,60 @@ def test_salted_join_spreads_hot_key(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "join_skew_salted")
     assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
     assert "_salt" in plan
+
+
+def test_preserve_store_refresh_reads_are_bucket_pruned(spark, tmp_path):
+    # the store's whole point-read mechanism: an isin() read of k groups
+    # must select only the buckets those keys hash into, and the group-key
+    # re-aggregation must need no exchange (bucketed scan reports the
+    # partitioning). A regression here turns every refresh into a full scan.
+    from pyspark.sql import functions as F
+
+    from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+
+    rows = [(g, s, float(g * 10 + s)) for g in range(64) for s in range(4)]
+    store = PreserveStore(spark, str(tmp_path / "plan_store"))
+    store.initialize(
+        spark.createDataFrame(rows, "g bigint, s bigint, v double"),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=16,
+    )
+    pruned = store._base("contribs").where(F.col("g").isin([3, 7]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "Bucketed: true" in scan
+    assert "SelectedBucketsCount" in scan
+    # 2 keys -> at most 2 of 16 buckets selected
+    import re
+
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", scan)
+    assert m and int(m.group(1)) <= 2 and int(m.group(2)) == 16
+    # in-filter reaches the parquet reader
+    assert "PushedFilters: [In(g" in scan
+    # group-key agg over the bucketed scan: no exchange between scan and agg
+    agg_plan = (
+        store._base("contribs")
+        .groupBy("g")
+        .agg(F.sum("v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in agg_plan
+
+
+def test_embedding_lsh_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
+    # the scale-path near-dup scan must candidate-join on the LSH bucket —
+    # an equi-join — never a cartesian/broadcast-nested-loop over all pairs.
+    plan = _executed_plan(spark, sf_dir, "embedding_top_pairs_lsh")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_ngram_candidates_df_capped(spark, sf_dir):
+    # the inverted-index join must be fed by the df-capped shingle relation:
+    # the plan joins against the docfreq aggregate with the <= filter.
+    plan = _executed_plan(spark, sf_dir, "dedup_ngram_pairs")
+    assert "df#" in plan or "(df <= 50" in plan or "(df#" in plan
