@@ -82,6 +82,35 @@ def read_jdbc(
     return reader.load()
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    **options: str,
+) -> None:
+    """S7 sink half: JDBC write (DBOutputFormat analogue,
+    incr-hadoop-0.1/src/mapred/.../lib/db/DBOutputFormat.java). Executors
+    write their partitions concurrently with ``batchsize``-row batched
+    inserts — parallelism is the DataFrame's partitioning, so repartition
+    first to match what the target database can absorb (the reference's
+    #reduces knob). No database ships in this environment, so coverage is
+    the sqlite-over-JDBC-free contract test in tests/test_engine.py gated on
+    driver availability; the passthrough itself is Spark's battle-tested
+    JDBC sink."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .mode(mode)
+    )
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
 def pipe_transform(
     df: DataFrame,
     command: list[str],
