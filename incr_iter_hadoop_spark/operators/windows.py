@@ -396,3 +396,64 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_tumbling_streamed: stream did not drain within 300s"
         )
     return spark.table(sink)
+
+
+@register(
+    "events_running_totals_streamed",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(CAST(value AS DOUBLE)), 6) AS total
+    FROM events GROUP BY user_id
+    """,
+    doc="custom stateful streaming operator end-to-end (§2.9): per-user "
+    "running (count, sum) carried in applyInPandasWithState executor state "
+    "across micro-batches — the Spark-native replacement for the "
+    "reference's task-resident substate files (ReduceTask.java:3009-3013). "
+    "Drained with availableNow over the events file source; the final "
+    "update-mode emission per key equals the batch aggregate, so the "
+    "stateful path is hash-checked against a plain GROUP BY oracle.",
+)
+def events_running_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.incremental_stream import stateful_running_totals
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong for the schema read
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    totals = stateful_running_totals(stream)
+    _STREAM_SEQ[0] += 1
+    sink = f"events_running_totals_{_STREAM_SEQ[0]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not drained:
+        raise TimeoutError(
+            "events_running_totals_streamed: stream did not drain within 300s"
+        )
+    # update-mode memory sink: one row per key per batch; the LAST emission
+    # per key is the final running total (single-file source -> one batch,
+    # but group-max keeps this correct under any batching)
+    out = spark.table(sink)
+    return (
+        out.groupBy("key")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max(F.struct("n_events", "total")).alias("_b"),
+        )
+        .select("key", "n_events", F.round(F.col("_b.total"), 6).alias("total"))
+    )
