@@ -476,6 +476,7 @@ def pagerank_pruned(
     iterations: int,
     damping: float = 0.8,
     retain: float = 0.2,
+    run_to_empty: bool = False,
 ) -> tuple[DataFrame, list[int]]:
     """Pruned PageRank iterations from a warm state on the updated graph.
 
@@ -547,6 +548,12 @@ def pagerank_pruned(
             "node", "delta"
         ).persist(StorageLevel.MEMORY_AND_DISK)
         frontier_sizes.append(frontier.count())
+        if run_to_empty and frontier_sizes[-1] == 0:
+            # I4 termination, reference-style: an empty frontier IS the
+            # convergence signal (every remaining delta < theta) — no
+            # separate distance job needed
+            frontier.unpersist()
+            break
         prop = (
             static.join(frontier, static.src == frontier.node)
             .select("dst", (F.col("delta") / F.col("deg")).alias("c"))
@@ -729,18 +736,21 @@ def _converged_base_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # convergence-driven (SURVEY §3.3); naive-twin in tests
     doc="incremental iterative re-convergence (IncrPageRank.java:227-267): "
     "warm-start from the PRESERVED converged base ranks (parquet snapshot, "
-    "computed once per dataset) after the delta; reaches the updated "
-    "fixpoint in far fewer iterations than a cold run — the query times "
-    "delta-apply + re-convergence only, like the reference's incremental "
-    "job.",
+    "computed once per dataset) after the delta, then I9 frontier-pruned "
+    "iterations until the frontier empties (every remaining delta < theta "
+    "— the reference's filter-threshold termination). The query times "
+    "delta-apply + pruned re-convergence only, like the reference's "
+    "incremental job.",
 )
 def incr_pagerank_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .iterative import pagerank
-
     base, delta = _pagerank_delta_edges(spark, sf_dir)
     converged_state = _converged_base_ranks(spark, sf_dir)
     updated = apply_edge_delta(base, delta)
-    res = pagerank(
-        updated, max_iterations=60, threshold=1.0, init_state=converged_state
+    state, _sizes = pagerank_pruned(
+        updated,
+        converged_state,
+        theta=1e-3,
+        iterations=60,
+        run_to_empty=True,
     )
-    return res.state.select("node", F.round("rank", 6).alias("rank"))
+    return state.select("node", F.round("rank", 6).alias("rank"))
