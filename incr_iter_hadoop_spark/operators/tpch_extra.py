@@ -1,4 +1,5 @@
-"""Extended TPC-H-shaped relational battery (Q7/Q8/Q10/Q13/Q15/Q19/Q22).
+"""Extended TPC-H-shaped relational battery
+(Q2/Q7/Q8/Q9/Q10/Q11/Q13/Q15/Q16/Q19/Q20/Q21/Q22).
 
 The reference has no SQL layer; these queries widen the declared relational
 surface (SURVEY §2.2-2.4, §2.6) over the driver's reduced TPC-H schema with
@@ -401,4 +402,298 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year(F.col("l_shipdate").cast("date")).alias("o_year"),
         )
         .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q2_min_acctbal_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ), costs AS (
+      SELECT ps.partkey, s.s_suppkey, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN supplier s ON ps.suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), mins AS (
+      SELECT partkey, MIN(s_acctbal) AS min_bal FROM costs GROUP BY partkey
+    )
+    SELECT c.partkey AS p_partkey, c.s_name, c.n_name,
+           ROUND(c.s_acctbal, 6) AS acctbal
+    FROM costs c
+    JOIN mins m ON c.partkey = m.partkey AND c.s_acctbal = m.min_bal
+    JOIN part p ON p.p_partkey = c.partkey
+    WHERE p.p_size < 20
+    """,
+    doc="TPC-H Q2 shape (correlated scalar-min subquery): per part, the "
+    "EUROPE supplier with minimum account balance among those who shipped "
+    "it (partsupp absent — the distinct lineitem part/supp pairs stand in; "
+    "s_acctbal stands in for ps_supplycost). Plan: dims broadcast, the "
+    "min-per-part agg joined back on equality with the min.",
+)
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    ps = li.select(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).distinct()
+    costs = (
+        ps.join(F.broadcast(s), ps.suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              n.n_regionkey == r.r_regionkey)
+        .select("partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    mins = costs.groupBy("partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        costs.join(mins, "partkey")
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .join(F.broadcast(p.where(F.col("p_size") < 20)),
+              F.col("partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round("s_acctbal", 6).alias("acctbal"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle=f"""
+    WITH asia_lines AS (
+      SELECT l.l_partkey,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))
+               AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ), per_part AS (
+      SELECT l_partkey AS p_partkey, SUM(val) AS value_dec
+      FROM asia_lines GROUP BY l_partkey
+    ), total AS (
+      SELECT SUM(val) AS total_dec FROM asia_lines
+    )
+    SELECT p_partkey, ROUND(CAST(value_dec AS DOUBLE), 6) AS part_value
+    FROM per_part, total
+    WHERE value_dec > total_dec * 0.001
+    """,
+    doc="TPC-H Q11 shape (group agg filtered against a global scalar): "
+    "ASIA-supplied revenue per part, keeping parts above 0.1% of the total "
+    "(availqty*supplycost absent — discounted revenue stands in). Plan: one "
+    "agg reused for both the per-part and global totals, scalar broadcast "
+    "into the HAVING filter; decimal comparison keeps the cut exact.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    lines = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            (_rev()).cast("decimal(27,6)").alias("val"),
+        )
+        .persist()
+    )
+    per_part = lines.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.sum("val").alias("value_dec")
+    )
+    total = lines.agg(F.sum("val").alias("total_dec"))
+    out = (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_dec") > F.col("total_dec") * F.lit(0.001))
+        .select(
+            "p_partkey",
+            F.round(F.col("value_dec").cast("double"), 6).alias("part_value"),
+        )
+    )
+    return out
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    WITH ok_supp AS (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal >= 1000
+    ), pairs AS (
+      SELECT DISTINCT l.l_partkey, l.l_suppkey
+      FROM lineitem l JOIN ok_supp s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT pr.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey
+    WHERE p.p_type <> 'PROMO' AND p.p_size < 15
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape (distinct-count with an excluded-supplier "
+    "anti-set): suppliers per (brand, type, size) over shipped pairs, "
+    "excluding low-balance suppliers (the complaints NOT IN analogue) and "
+    "PROMO parts. Plan: semi-join on the kept suppliers, broadcast part "
+    "dim, COUNT(DISTINCT) hash agg.",
+)
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    ok = s.where(F.col("s_acctbal") >= 1000).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(ok), li.l_suppkey == ok.s_suppkey, "left_semi")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                p.where((F.col("p_type") != "PROMO") & (F.col("p_size") < 15))
+            ),
+            pairs.l_partkey == p.p_partkey,
+        )
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_excess_shippers",
+    oracle="""
+    WITH widget_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+    ), heavy AS (
+      SELECT l.l_suppkey
+      FROM lineitem l JOIN widget_parts w ON l.l_partkey = w.p_partkey
+      WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l.l_shipdate AS DATE) <  DATE '1998-01-01'
+      GROUP BY l.l_partkey, l.l_suppkey
+      HAVING SUM(l.l_quantity) > 50
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'AMERICA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+    doc="TPC-H Q20 shape (nested semi-joins): AMERICA suppliers who shipped "
+    "more than 50 units of some widget part during 1997 (availqty absent — "
+    "the per-(part,supplier) 1997 quantity stands in). Plan: name-filtered "
+    "part dim broadcast into the fact, HAVING on the pair agg, then a "
+    "semi-join into the supplier dim.",
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    widgets = p.where(F.col("p_name").like("%widget%")).select("p_partkey")
+    ship = F.col("l_shipdate").cast("date")
+    heavy = (
+        li.where(
+            (ship >= F.lit("1997-01-01").cast("date"))
+            & (ship < F.lit("1998-01-01").cast("date"))
+        )
+        .join(F.broadcast(widgets), li.l_partkey == widgets.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "AMERICA")),
+              n.n_regionkey == r.r_regionkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH f_lines AS (
+      SELECT l.l_orderkey, l.l_suppkey, CAST(l.l_shipdate AS DATE) AS ship
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), per_order AS (
+      SELECT l_orderkey,
+             MAX(ship) AS mx,
+             COUNT(DISTINCT l_suppkey) AS nsupp
+      FROM f_lines GROUP BY l_orderkey
+    ), latest AS (
+      SELECT DISTINCT f.l_orderkey, f.l_suppkey
+      FROM f_lines f JOIN per_order p
+        ON f.l_orderkey = p.l_orderkey AND f.ship = p.mx
+    ), holders AS (
+      SELECT l.l_orderkey, MIN(l.l_suppkey) AS l_suppkey
+      FROM latest l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+      WHERE p.nsupp >= 2
+      GROUP BY l.l_orderkey HAVING COUNT(*) = 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM holders h JOIN supplier s ON h.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape (exists + not-exists over sibling lines): for "
+    "finished multi-supplier orders, the supplier whose shipment is the "
+    "STRICT latest held the order up (commit/receipt dates absent — the "
+    "per-order max shipdate with a unique argmax stands in); count held "
+    "orders per supplier. Plan: one fact self-aggregation per order "
+    "(max + distinct count), argmax join back, HAVING count(*)=1 as the "
+    "not-exists.",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    f_lines = (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_semi",
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.col("l_shipdate").cast("date").alias("ship"),
+        )
+        .persist()
+    )
+    per_order = f_lines.groupBy("l_orderkey").agg(
+        F.max("ship").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    latest = (
+        f_lines.join(per_order, "l_orderkey")
+        .where(F.col("ship") == F.col("mx"))
+        .select("l_orderkey", "l_suppkey", "nsupp")
+        .distinct()
+    )
+    holders = (
+        latest.where(F.col("nsupp") >= 2)
+        .groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count(F.lit(1)).alias("n_latest"),
+        )
+        .where(F.col("n_latest") == 1)
+    )
+    return (
+        holders.join(F.broadcast(s), holders.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
