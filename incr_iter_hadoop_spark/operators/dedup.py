@@ -117,14 +117,39 @@ def ngram_jaccard_pairs(
     return _verify_pairs(cands, sets, threshold)
 
 
+_MH_M = 1 << 31  # permutation range: products stay < 2^62, no long overflow
+
+
+def _mh_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """md5-derived (a, b) per permutation — a odd so x -> a·x+b is a
+    bijection mod 2^31; deterministic across sessions/engines."""
+    import hashlib
+
+    out = []
+    for k in range(num_hashes):
+        ha = hashlib.md5(f"minhash|a|{k}".encode()).hexdigest()
+        hb = hashlib.md5(f"minhash|b|{k}".encode()).hexdigest()
+        out.append(((int(ha[:8], 16) % _MH_M) | 1, int(hb[:8], 16) % _MH_M))
+    return out
+
+
 def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
-    """(id, sig array<long>): sig[k] = min over shingles of
-    xxhash64('k|' || shingle) — a deterministic permutation family."""
-    exploded = sets.select("id", F.explode("shingles").alias("sh"))
+    """(id, sig array<long>): sig[k] = min over shingles of the k-th linear
+    permutation a_k·h + b_k (mod 2^31) of ONE base hash h = xxhash64(shingle)
+    mod 2^31. One string hash per shingle row + 128 multiply-adds — ~an
+    order of magnitude cheaper than 128 independent string hashes, the
+    standard MinHash permutation-family construction. Arithmetic stays below
+    2^62 so it is exact under ANSI mode (the driver's bare session)."""
+    consts = _mh_consts(num_hashes)
+    exploded = sets.select("id", F.explode("shingles").alias("sh")).select(
+        "id", F.pmod(F.xxhash64("sh"), F.lit(_MH_M)).alias("h")
+    )
     mins = exploded.groupBy("id").agg(
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"{k}|"), F.col("sh")))).alias(f"h{k}")
-            for k in range(num_hashes)
+            F.min(
+                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_M))
+            ).alias(f"h{k}")
+            for k, (a, b) in enumerate(consts)
         ]
     )
     return mins.select(
