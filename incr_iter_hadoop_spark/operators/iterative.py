@@ -658,6 +658,116 @@ def kmeans_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_rounds_sql(pts_cte: str, centers_cte: str, rounds: int, pre: str) -> str:
+    """CTE fragment: ``rounds`` Lloyd iterations over point-set CTE
+    ``pts_cte`` (id, pos, val exploded) starting from centers CTE
+    ``centers_cte`` (cluster, pos, m). Emits CTEs ``{pre}m{rounds}`` as the
+    final centers. Mirrors kmeans_lloyd_bounded exactly (cosine assignment,
+    ties -> smaller cluster id, per-dimension mean recompute)."""
+    parts = []
+    prev = centers_cte
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", {pre}cn{i} AS (
+  SELECT cluster, sqrt(SUM(m*m)) AS cn FROM {prev} GROUP BY cluster
+), {pre}dp{i} AS (
+  SELECT e.id, c.cluster, SUM(e.val * c.m) AS dp
+  FROM {pts_cte} e JOIN {prev} c ON e.pos = c.pos
+  GROUP BY e.id, c.cluster
+), {pre}s{i} AS (
+  SELECT d.id, d.cluster,
+         CASE WHEN p.pn * c.cn > 0 THEN d.dp / (p.pn * c.cn)
+              ELSE 0.0 END AS sim
+  FROM {pre}dp{i} d
+  JOIN {pts_cte}_norm p ON d.id = p.id
+  JOIN {pre}cn{i} c ON d.cluster = c.cluster
+), {pre}a{i} AS (
+  SELECT id, cluster FROM (
+    SELECT id, cluster, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY sim DESC, cluster) AS rn
+    FROM {pre}s{i}
+  ) WHERE rn = 1
+), {pre}m{i} AS (
+  SELECT a.cluster, e.pos, AVG(e.val) AS m
+  FROM {pre}a{i} a JOIN {pts_cte} e ON a.id = e.id
+  GROUP BY a.cluster, e.pos
+)"""
+        )
+        prev = f"{pre}m{i}"
+    return "".join(parts)
+
+
+_INCR_KM_SQL = (
+    """
+    WITH all_exp AS (
+      SELECT vec_id AS id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS val
+      FROM embeddings
+    ),
+    bpts AS (SELECT * FROM all_exp WHERE id % 7 <> 0),
+    bpts_norm AS (SELECT id, sqrt(SUM(val*val)) AS pn FROM bpts GROUP BY id),
+    bc0 AS (
+      SELECT e.id AS cluster, e.pos, e.val AS m
+      FROM bpts e
+      JOIN (SELECT DISTINCT id FROM bpts ORDER BY id LIMIT 10) k
+        ON e.id = k.id
+    )"""
+    + _kmeans_rounds_sql("bpts", "bc0", 2, "b")
+    + """
+    , upts AS (
+      SELECT * FROM all_exp
+      WHERE id % 7 = 0 OR (id % 7 <> 0 AND id % 11 <> 0)
+    ),
+    upts_norm AS (SELECT id, sqrt(SUM(val*val)) AS pn FROM upts GROUP BY id)
+    """
+    + _kmeans_rounds_sql("upts", "bm2", 2, "u")
+    + """
+    SELECT CAST(cluster AS INT) AS cluster, CAST(pos AS INT) AS pos,
+           ROUND(m, 6) AS c
+    FROM um2
+"""
+)
+
+
+@register(
+    "incr_kmeans_delta2",
+    oracle=_INCR_KM_SQL,
+    doc="incremental k-means (UpdateKmeansData.java delta shape applied to "
+    "the iterative k-means contract, IterKmeans.java:295-483): warm centers "
+    "= 2 Lloyd rounds on the base points (vec_id % 7 != 0, centers = 10 "
+    "smallest base ids), then a point delta ('+' the held-out sevenths, "
+    "'-' every 11th base point) and 2 warm-started rounds on the updated "
+    "set — re-convergence from preserved centers instead of a cold init. "
+    "Output = final centers exploded to (cluster, pos, c).",
+)
+def incr_kmeans_delta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts_all = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    base = pts_all.where(F.col("id") % 7 != 0)
+    centers0 = (
+        base.orderBy("id")
+        .limit(10)
+        .select(F.col("id").cast("int").alias("cid"), F.col("vec").alias("cvec"))
+    )
+    warm = kmeans_lloyd_bounded(base, centers0, rounds=2)
+    # I7 point delta: retract every 11th base point, insert the held-out
+    # sevenths (add/remove rows keyed by id — the UpdateKmeansData shape)
+    updated = base.where(F.col("id") % 11 != 0).unionByName(
+        pts_all.where(F.col("id") % 7 == 0)
+    )
+    final = kmeans_lloyd_bounded(updated, warm, rounds=2)
+    return final.select(
+        F.col("cid").cast("int").alias("cluster"),
+        F.posexplode("cvec").alias("pos", "c"),
+    ).select(
+        "cluster", F.col("pos").cast("int").alias("pos"), F.round("c", 6).alias("c")
+    )
+
+
 @register(
     "kmeans_converged",
     oracle=None,
