@@ -211,3 +211,43 @@ def test_refresh_matches_full_recompute_on_driver_tables(spark, sf_dir, tmp_path
         r["o_custkey"]: (r["spend"], r["n_orders"]) for r in expect_df.collect()
     }
     assert got == expect
+
+
+def test_multi_column_group_keys_use_semi_join_path(spark, tmp_path):
+    """Composite group keys can't take the single-key isin fast path — the
+    co-bucketed semi-join fallback must produce identical results,
+    including vanished and newly-appeared composite groups."""
+    rows = [
+        (1, "a", 10, 1.0),
+        (1, "a", 11, 2.0),
+        (1, "b", 12, 3.0),
+        (2, "a", 20, 5.0),
+    ]
+    store = PreserveStore(spark, str(tmp_path / "mk_store"))
+    store.initialize(
+        spark.createDataFrame(rows, "g1 bigint, g2 string, s bigint, v double"),
+        group_keys=["g1", "g2"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)",
+                 "n": "CAST(COUNT(1) AS BIGINT)"},
+        num_buckets=4,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "a", 13, 4.0, "+"),   # touch existing composite group
+            (1, "b", 12, 0.0, "-"),   # vanish (1, b)
+            (3, "c", 30, 7.0, "+"),   # brand-new composite group
+        ],
+        "g1 bigint, g2 string, s bigint, v double, op string",
+    )
+    store.refresh(delta)
+    res = {
+        (r["g1"], r["g2"]): (r["total"], r["n"])
+        for r in store.current_results().collect()
+    }
+    assert res == {
+        (1, "a"): (7.0, 3),
+        (2, "a"): (5.0, 1),
+        (3, "c"): (7.0, 1),
+    }
+    assert (1, "b") not in res
