@@ -457,3 +457,59 @@ def events_running_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("key", "n_events", F.round(F.col("_b.total"), 6).alias("total"))
     )
+
+
+@register(
+    "events_enriched_streamed",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_sql('e.value')} AS total
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="stream-static broadcast join executed as a streaming query (J2's "
+    "streaming twin, MapTask.java:794-800 ONE2ALL): the events file source "
+    "streams into a broadcast customer dim, aggregated by market segment in "
+    "complete mode — hash-checked against the batch join oracle. The "
+    "static side is re-read per micro-batch by Structured Streaming's "
+    "contract, so slowly-changing dims pick up updates at any stream rate.",
+)
+def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..streaming.incremental_stream import stream_static_enrich
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong for the schema read
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dim = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "user_id"
+    )
+    enriched = stream_static_enrich(stream, dim, "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total")
+    )
+    _STREAM_SEQ[0] += 1
+    sink = f"events_enriched_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not drained:
+        raise TimeoutError(
+            "events_enriched_streamed: stream did not drain within 300s"
+        )
+    return spark.table(sink)

@@ -273,6 +273,7 @@ class PreserveStore:
         op_col: str = "op",
         *,
         inline_keys: int = DEFAULT_INLINE_KEYS,
+        max_layers: int | None = None,
     ) -> int:
         """Apply a (+/-) delta as a new layer; returns the new version.
 
@@ -281,7 +282,13 @@ class PreserveStore:
         page-pruned point reads when the key list is small; co-bucketed
         semi-join otherwise) and only they are written back —
         O(|delta| + |affected contribs|), the reference's re-reduce contract
-        (ReduceTask.java:3324-3500)."""
+        (ReduceTask.java:3324-3500).
+
+        ``max_layers``: LSM-style cadence — when the layer count reaches it
+        after this refresh, ``compact()`` folds everything into a fresh base
+        (the reference's periodic store rewrite, IFile.java:931-1015), so
+        read cost stays bounded over an unbounded refresh stream. Returns
+        the store version after any compaction (0 right after one)."""
         gk, sk = self.group_keys, self.source_keys
         delta = delta.persist()
         affected = delta.select(*gk).distinct().persist()
@@ -352,7 +359,9 @@ class PreserveStore:
         meta = dict(self.meta)
         meta["version"] = v
         self._write_meta(meta)
-        return v
+        if max_layers is not None and v >= max_layers:
+            self.compact()
+        return self.version
 
     # -- maintenance -------------------------------------------------------
 

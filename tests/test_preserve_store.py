@@ -251,3 +251,22 @@ def test_multi_column_group_keys_use_semi_join_path(spark, tmp_path):
         (3, "c"): (7.0, 1),
     }
     assert (1, "b") not in res
+
+
+def test_auto_compact_cadence(spark, tmp_path):
+    """max_layers triggers an LSM-style fold: results stay identical across
+    the compaction boundary and the layer count resets."""
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    v = store.refresh(_delta(spark, [(1, 12, 4.0, "+")]), max_layers=2)
+    assert v == 1  # below the cadence: layer kept
+    v = store.refresh(_delta(spark, [(2, 22, 6.0, "+")]), max_layers=2)
+    assert v == 0  # hit the cadence: folded into a fresh base
+    assert int(store.meta["base_version"]) == 1
+    assert _results_dict(store) == {
+        1: (7.0, 3, 4.0),
+        2: (18.0, 3, 7.0),
+        3: (9.0, 1, 9.0),
+    }
+    # refreshes keep working against the new base
+    store.refresh(_delta(spark, [(3, 30, 0.0, "-")]), max_layers=2)
+    assert 3 not in _results_dict(store)
