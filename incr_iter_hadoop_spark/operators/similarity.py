@@ -67,6 +67,16 @@ def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def _planes_sql_literal(planes: list[list[float]]) -> str:
+    """(p, vec) VALUES literal for DuckDB — same md5-derived constants the
+    Spark side inlines, so bucket assignments match bit-for-bit."""
+    rows = ", ".join(
+        f"({p}, [{', '.join(repr(x) for x in vec)}])"
+        for p, vec in enumerate(planes)
+    )
+    return f"(VALUES {rows}) AS planes(p, vec)"
+
+
 def lsh_bucket(vec_col, planes: list[list[float]]):
     """Bucket id = bit pattern of sign(vec · plane_i)."""
     expr = F.lit(0).cast("long")
@@ -218,21 +228,127 @@ def ann_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_bruteforce_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def _lsh_buckets_cte() -> str:
+    """DuckDB CTE assigning every embedding its hyperplane bucket — the
+    exact constants the Spark side inlines (see embedding_top_pairs_lsh)."""
+    from_planes = _planes_sql_literal(_hyperplanes(8, 64))
+    return f"""
+    buckets AS (
+      SELECT e.vec_id,
+             SUM(CASE WHEN list_dot_product(
+                        list_transform(e.embedding, x -> x::DOUBLE),
+                        planes.vec
+                      ) >= 0
+                 THEN CAST(POWER(2, planes.p) AS BIGINT) ELSE 0 END) AS bucket
+      FROM embeddings e CROSS JOIN {from_planes}
+      GROUP BY e.vec_id
+    )"""
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate by design; recall asserted in tests
-    doc="LSH-bucketed approximate top-5 (8 hyperplanes) — the scale path.",
+    oracle=f"""
+    WITH {_lsh_buckets_cte()},
+    cand AS (
+      SELECT q.vec_id AS qid, n.vec_id AS nid
+      FROM buckets q JOIN buckets n
+        ON q.bucket = n.bucket AND q.vec_id <> n.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+      SELECT c.qid, c.nid,
+             unnest(eq.embedding)::DOUBLE AS qv, unnest(en.embedding)::DOUBLE AS nv
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.qid
+      JOIN embeddings en ON en.vec_id = c.nid
+    ),
+    sims AS (
+      SELECT qid, nid,
+             CASE WHEN sqrt(SUM(qv*qv)) * sqrt(SUM(nv*nv)) > 0
+                  THEN SUM(qv*nv) / (sqrt(SUM(qv*qv)) * sqrt(SUM(nv*nv)))
+                  ELSE 0.0 END AS raw_sim
+      FROM pairs GROUP BY qid, nid
+    )
+    SELECT qid, nid, ROUND(raw_sim, 6) AS sim, pos FROM (
+      SELECT qid, nid, raw_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY raw_sim DESC, nid) AS BIGINT) AS pos
+      FROM sims
+    ) WHERE pos <= {TOP_K}
+    """,
+    doc="LSH-bucketed approximate top-5 (8 hyperplanes) — the scale path. "
+    "The md5-derived bucketing is deterministic, so the oracle replicates "
+    "it and the approximate result is still hash-exact (recall vs the "
+    "brute-force baseline is separately asserted in tests).",
 )
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+_IVF_CELLS = 16
+_IVF_PROBE = 4
+
+
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by design; recall asserted in tests
-    doc="IVF ANN: 16-cell coarse quantizer, 4-probe — candidate count scales "
-    "with cell occupancy, not corpus size (the 100 TB index path).",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM embeddings WHERE vec_id < {_IVF_CELLS}
+    ),
+    asgn_sims AS (
+      SELECT e.vec_id AS nid, c.cell,
+             list_cosine_similarity(
+               list_transform(e.embedding, x -> x::DOUBLE), c.cvec) AS s
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    v_cells AS (
+      SELECT nid, cell FROM (
+        SELECT nid, cell, ROW_NUMBER() OVER (
+          PARTITION BY nid ORDER BY s DESC, cell) AS rn
+        FROM asgn_sims
+      ) WHERE rn = 1
+    ),
+    q_cells AS (
+      SELECT nid AS qid, cell FROM (
+        SELECT nid, cell, ROW_NUMBER() OVER (
+          PARTITION BY nid ORDER BY s DESC, cell) AS rk
+        FROM asgn_sims WHERE nid < {N_QUERIES}
+      ) WHERE rk <= {_IVF_PROBE}
+    ),
+    cand AS (
+      SELECT q.qid, v.nid
+      FROM q_cells q JOIN v_cells v ON q.cell = v.cell
+      WHERE v.nid <> q.qid
+    ),
+    pairs AS (
+      SELECT c.qid, c.nid,
+             unnest(eq.embedding)::DOUBLE AS qv, unnest(en.embedding)::DOUBLE AS nv
+      FROM cand c
+      JOIN embeddings eq ON eq.vec_id = c.qid
+      JOIN embeddings en ON en.vec_id = c.nid
+    ),
+    sims AS (
+      SELECT qid, nid,
+             CASE WHEN sqrt(SUM(qv*qv)) * sqrt(SUM(nv*nv)) > 0
+                  THEN SUM(qv*nv) / (sqrt(SUM(qv*qv)) * sqrt(SUM(nv*nv)))
+                  ELSE 0.0 END AS raw_sim
+      FROM pairs GROUP BY qid, nid
+    )
+    SELECT qid, nid, ROUND(raw_sim, 6) AS sim, pos FROM (
+      SELECT qid, nid, raw_sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY raw_sim DESC, nid) AS BIGINT) AS pos
+      FROM sims
+    ) WHERE pos <= {TOP_K}
+    """,
+    doc="IVF ANN: 16-cell coarse quantizer (centroids = first 16 vectors, "
+    "cosine assignment, ties to the smaller cell), 4-probe — candidate "
+    "count scales with cell occupancy, not corpus size (the 100 TB index "
+    "path). Fully deterministic, so the oracle replicates the quantizer "
+    "and the result is hash-exact.",
 )
 def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -242,16 +358,6 @@ def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_PLANES = 8
 _PAIR_DIM = 64
 _PAIR_TOP = 20
-
-
-def _planes_sql_literal(planes: list[list[float]]) -> str:
-    """(p, vec) VALUES literal for DuckDB — same md5-derived constants the
-    Spark side inlines, so bucket assignments match bit-for-bit."""
-    rows = ", ".join(
-        f"({p}, [{', '.join(repr(x) for x in vec)}])"
-        for p, vec in enumerate(planes)
-    )
-    return f"(VALUES {rows}) AS planes(p, vec)"
 
 
 def embedding_top_pairs_lsh(
