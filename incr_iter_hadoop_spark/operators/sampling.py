@@ -1,0 +1,158 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A 100 TB pipeline cannot use nondeterministic `rand()` sampling: re-runs must
+select the SAME rows (resumable jobs, reproducible ablations, audit), and the
+decision must be computable per-row with no coordination. The standard trick
+is hash-gating: a row is kept iff a stable content hash of its key falls
+under the fraction threshold. Everything here is a pure column expression —
+filter-pushdown-friendly, shuffle-free, identical on any executor count.
+
+The hash gate is the md5 hex prefix compared against a hex threshold string,
+which evaluates identically in Spark and DuckDB — so even the sampling
+queries are exact-oracle-checked. Two hex chars give 1/256 granularity;
+four give 1/65536.
+
+The reference has no sampling surface (closest: InputSampler for
+TotalOrderPartitioner, lib/InputSampler.java:1-320, which samples for range
+boundaries, not dataset selection) — this is north-star surface per
+BASELINE.json / SURVEY §7 Phase 5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+
+def _hex_threshold(fraction: float, digits: int = 4) -> str:
+    """Largest ``digits``-char lowercase hex string h such that
+    P(md5_prefix < h) ≈ fraction."""
+    space = 16**digits
+    return format(max(0, min(space, round(fraction * space))), f"0{digits}x")
+
+
+def hash_gate(key: Column, fraction: float, seed: str = "") -> Column:
+    """True for ~``fraction`` of keys, deterministically. ``seed`` shifts
+    the selection without correlation (different seed → independent gate)."""
+    prefix = F.substring(F.md5(F.concat(F.lit(seed + "|"), key.cast("string"))), 1, 4)
+    return prefix < F.lit(_hex_threshold(fraction))
+
+
+def sample_fraction(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "s0"
+) -> DataFrame:
+    """Deterministic Bernoulli sample by key hash — same rows on every run,
+    every cluster size. The gate is a scan-level filter (no shuffle)."""
+    return df.where(hash_gate(F.col(key_col), fraction, seed))
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fraction: float,
+    seed: str = "s0",
+) -> DataFrame:
+    """Per-stratum deterministic sample: the gate hashes (stratum, key), so
+    each stratum is sampled at ``fraction`` independently — no per-stratum
+    counts or second pass needed (contrast sampleBy, which needs fractions
+    per key up front and a driver-side map)."""
+    composite = F.concat(
+        F.col(strata_col).cast("string"), F.lit("|"), F.col(key_col).cast("string")
+    )
+    return df.where(hash_gate(composite, fraction, seed))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float, seed: str = "split"
+) -> DataFrame:
+    """Adds a ``split`` column ('test'/'train') — a disjoint, exhaustive,
+    deterministic partition of rows by key hash. Downstream writers filter
+    by the column; the assignment never changes across runs or rescales."""
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_gate(F.col(key_col), test_fraction, seed), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+_GATE_SQL = "substring(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 4) < '{thr}'"
+
+
+@register(
+    "sample_documents_10pct",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+    WHERE {_GATE_SQL.format(seed='s0', key='doc_id', thr=_hex_threshold(0.1))}
+    """,
+    doc="deterministic 10% document sample by key hash (md5-prefix gate — "
+    "identical row selection on every run and executor count; the gate is "
+    "a pushdown-able scan filter, no shuffle) + token counts of the kept "
+    "docs. Oracle applies the same hash gate.",
+)
+def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = sample_fraction(d, "doc_id", 0.1, seed="s0")
+    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    return kept.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
+
+
+@register(
+    "sample_stratified_events",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE {_GATE_SQL.format(
+        seed='s0', key="event_type || '|' || CAST(user_id AS VARCHAR) || '|' || CAST(event_id AS VARCHAR)",
+        thr=_hex_threshold(0.2))}
+    GROUP BY event_type
+    """,
+    doc="per-stratum deterministic 20% sample: the gate hashes "
+    "(event_type, user_id, event_id), so every stratum is independently "
+    "thinned with no per-stratum bookkeeping; output = kept rows per type.",
+)
+def sample_stratified_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    composite = F.concat(
+        F.col("event_type"),
+        F.lit("|"),
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.col("event_id").cast("string"),
+    )
+    kept = e.where(hash_gate(composite, 0.2, seed="s0"))
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "split_train_test_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_GATE_SQL.format(seed='split', key='o_orderkey',
+                                       thr=_hex_threshold(0.25))}
+                THEN 'test' ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc="deterministic 75/25 train/test split by key hash: disjoint, "
+    "exhaustive, stable across runs and rescales; output = per-split "
+    "counts + decimal-stable price totals.",
+)
+def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    split = train_test_split(o, "o_orderkey", 0.25, seed="split")
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double"), 6
+        ).alias("total_price"),
+    )

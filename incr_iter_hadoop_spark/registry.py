@@ -52,6 +52,7 @@ def _load_all() -> None:
         joins,
         multimodal,
         relational,
+        sampling,
         setops,
         similarity,
         textops,
