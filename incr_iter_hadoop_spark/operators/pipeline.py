@@ -1,0 +1,117 @@
+"""End-to-end training-corpus cleaning — the flagship composition query.
+
+A real LLM-data pipeline chains the individual operators this package
+provides: exact dedup -> near-dup clustering -> quality scoring -> language
+filter -> the surviving "clean corpus" manifest. ``pipeline_clean_corpus``
+runs that whole chain as ONE declarative DataFrame program (Catalyst sees
+the complete plan; filters fuse into the scans), and the DuckDB oracle
+replays the identical semantics, so the entire pipeline is hash-checked —
+not just its stages in isolation.
+
+Keep rules (all must hold for a doc to survive):
+- exact keeper: smallest doc_id of its md5(text) group (dedup.exact_duplicates)
+- near-dup keeper: smallest doc_id of its connected component over the
+  MinHash-LSH verified jac >= 0.8 pair graph (dedup.minhash_lsh_pairs +
+  iterative.connected_components; singletons keep themselves)
+- quality >= 0.5 (textops scoring: length + stopword-ratio composite)
+- language 'en' (stopword-ratio heuristic >= 0.08)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+from .dedup import _JACCARD_ORACLE
+from .textops import _STOPS_SQL, EN_STOPWORDS
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    edges AS (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j AS src, i AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+    ),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             len(w) AS tok_cnt,
+             len(list_filter(w, x -> lower(x) IN {_STOPS_SQL}))::DOUBLE
+               / len(w) AS stop_ratio,
+             LEAST(1.0, len(w) / 100.0) * 0.5
+               + len(list_filter(w, x -> lower(x) IN {_STOPS_SQL}))::DOUBLE
+                 / len(w) * 0.5 AS quality
+      FROM t WHERE len(w) > 0
+    )
+    SELECT q.doc_id,
+           CAST(q.tok_cnt AS BIGINT) AS tok_cnt,
+           ROUND(q.quality, 6) AS quality
+    FROM q
+    JOIN clusters c ON c.doc_id = q.doc_id AND c.cluster = q.doc_id
+    JOIN exact_keep ek ON ek.doc_id = q.doc_id
+    WHERE q.quality >= 0.5 AND q.stop_ratio >= 0.08
+    """,
+    doc="the whole cleaning pipeline as one query: exact-dedup keepers ∩ "
+    "near-dup cluster keepers (MinHash-LSH pairs -> frontier-pruned "
+    "connected components, keeper = component min) ∩ quality >= 0.5 ∩ "
+    "lang='en' -> clean-corpus manifest (doc_id, tok_cnt, quality). "
+    "Hash-checked end to end against a recursive-CTE + md5-group oracle.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import exact_duplicates, minhash_lsh_pairs
+    from .iterative import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    # near-dup keepers: CC over verified pair graph, keeper = component min
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    cc = connected_components(
+        pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+        nodes=d.select(F.col("doc_id").alias("node")),
+    )
+    near_keepers = cc.state.where(F.col("node") == F.col("comp")).select(
+        F.col("node").alias("doc_id")
+    )
+    # exact keepers (covers the sub-3-token docs the shingle graph misses)
+    exact_keepers = exact_duplicates(d, "doc_id", "text").select(
+        F.col("keeper").alias("doc_id")
+    )
+    # quality + language scoring (textops semantics, inlined so the filter
+    # sits in the same plan as the scans)
+    w = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    scored = d.select("doc_id", w.alias("w")).where(F.size("w") > 0)
+    tok_cnt = F.size("w")
+    stops = F.size(F.filter(F.col("w"), lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    stop_ratio = stops.cast("double") / tok_cnt
+    quality = F.least(F.lit(1.0), tok_cnt / 100.0) * 0.5 + stop_ratio * 0.5
+    scored = scored.select(
+        "doc_id",
+        tok_cnt.cast("bigint").alias("tok_cnt"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality_raw"),
+    )
+    return (
+        scored.join(near_keepers, "doc_id", "left_semi")
+        .join(exact_keepers, "doc_id", "left_semi")
+        .where((F.col("quality_raw") >= 0.5) & (F.col("stop_ratio") >= 0.08))
+        .select("doc_id", "tok_cnt", F.round("quality_raw", 6).alias("quality"))
+    )

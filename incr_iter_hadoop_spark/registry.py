@@ -51,6 +51,7 @@ def _load_all() -> None:
         iterative,
         joins,
         multimodal,
+        pipeline,
         relational,
         sampling,
         setops,
