@@ -119,3 +119,46 @@ def test_ngram_candidates_df_capped(spark, sf_dir):
     # the plan joins against the docfreq aggregate with the <= filter.
     plan = _executed_plan(spark, sf_dir, "dedup_ngram_pairs")
     assert "df#" in plan or "(df <= 50" in plan or "(df#" in plan
+
+
+def test_pruned_pagerank_frontier_broadcasts(spark, sf_dir):
+    # the pruned iteration's propagation join must broadcast the small
+    # frontier into the cached co-partitioned static side — if the frontier
+    # ever shuffles the static relation instead, every pruned iteration
+    # pays a full |E| exchange and the frontier optimization is void.
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    from incr_iter_hadoop_spark.operators.incremental import (
+        _pagerank_delta_edges,
+        apply_edge_delta,
+    )
+    from incr_iter_hadoop_spark.plans.loopdriver import negotiate_partitions
+
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    edges = apply_edge_delta(base, delta).persist(StorageLevel.MEMORY_AND_DISK)
+    n = negotiate_partitions(edges)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    static = (
+        edges.join(deg, "src")
+        .repartition(n, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    static.count()
+    frontier = (
+        static.select(F.col("src").alias("node")).distinct().limit(50)
+        .select("node", F.lit(0.01).alias("delta"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    frontier.count()
+    prop = (
+        static.join(frontier, static.src == frontier.node)
+        .select("dst", (F.col("delta") / F.col("deg")).alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("corr"))
+    )
+    plan = prop._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    static.unpersist()
+    edges.unpersist()
+    frontier.unpersist()
