@@ -175,3 +175,81 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp"),
     )
+
+
+_CHUNK_W, _CHUNK_S = 64, 48  # window / stride (16-token overlap)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = _CHUNK_W,
+    stride: int = _CHUNK_S,
+) -> DataFrame:
+    """Sequence packing: split each document into overlapping ``window``-token
+    chunks every ``stride`` tokens — the preprocessing step that turns a
+    corpus into fixed-context training sequences. Pure array expressions
+    (sequence -> explode -> slice): the explode fans out inside the scan
+    stage, no Python and no shuffle until whatever aggregation follows.
+    Output: (doc_id, chunk_id, n_tokens, chunk_hash) — the hash stands in
+    for the chunk text so results stay small but content-checkable."""
+    w = _toks(F.col(text_col))
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), w.alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size("w") - 1) / stride).cast("int"),
+                )
+            ).alias("k"),
+        )
+        .select(
+            "doc_id",
+            F.col("k").cast("int").alias("chunk_id"),
+            F.slice("w", F.col("k") * stride + 1, window).alias("chunk"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk").cast("bigint").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             unnest(range(((len(w) - 1) // {_CHUNK_S}) + 1)) AS k
+      FROM t WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_id,
+           CAST(len(w[k * {_CHUNK_S} + 1 :
+                     LEAST(k * {_CHUNK_S} + {_CHUNK_W}, len(w))]) AS BIGINT)
+             AS n_tokens,
+           md5(array_to_string(
+                 w[k * {_CHUNK_S} + 1 :
+                   LEAST(k * {_CHUNK_S} + {_CHUNK_W}, len(w))], ' '))
+             AS chunk_hash
+    FROM c
+    """,
+    doc=f"sequence packing for training: {_CHUNK_W}-token chunks every "
+    f"{_CHUNK_S} tokens ({_CHUNK_W - _CHUNK_S}-token overlap) per document "
+    "— sequence/explode/slice column expressions only; chunk content "
+    "checked via md5 so the oracle compares every chunk boundary exactly.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d)
