@@ -115,3 +115,71 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("quality_raw") >= 0.5) & (F.col("stop_ratio") >= 0.08))
         .select("doc_id", "tok_cnt", F.round("quality_raw", 6).alias("quality"))
     )
+
+
+_DECON_N = 5        # shingle width for overlap detection (rare n-grams)
+_DECON_FRAC = 0.05  # benchmark split fraction (hash-gated, deterministic)
+
+
+@register(
+    "decontaminate_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w,
+             substring(md5('bench|' || CAST(doc_id AS VARCHAR)), 1, 4)
+               < '0ccd' AS is_bench
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, is_bench,
+             unnest(list_distinct(
+               [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                     || ' ' || w[i+4]
+                for i in range(1, len(w) - 3)])) AS s
+      FROM t WHERE len(w) >= {_DECON_N}
+    ), df AS (
+      SELECT s, COUNT(*) AS n_docs FROM sh GROUP BY s
+    ), rare AS (
+      SELECT sh.doc_id, sh.is_bench, sh.s
+      FROM sh JOIN df ON df.s = sh.s WHERE df.n_docs <= 50
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs,
+           CAST(COUNT(DISTINCT a.s) AS BIGINT) AS n_shared_shingles
+    FROM rare a JOIN rare b ON a.s = b.s
+    WHERE NOT a.is_bench AND b.is_bench
+    GROUP BY a.doc_id
+    """,
+    doc="decontamination sweep: training docs sharing any rare 5-gram with "
+    "the (hash-gated 5%) benchmark split are flagged with how many "
+    "benchmark docs and distinct shingles they collide with — the "
+    "GPT-style n-gram-overlap test-set leak check, as one inverted-index "
+    "equi-join (df-capped like the ngram dedup, so a boilerplate shingle "
+    "can't go quadratic at corpus scale).",
+)
+def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import NGRAM_MAX_DF, shingle_sets
+    from .sampling import hash_gate
+
+    d = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", n=_DECON_N)
+    gated = sets.withColumn(
+        "is_bench", hash_gate(F.col("id"), _DECON_FRAC, seed="bench")
+    )
+    inv = gated.select("id", "is_bench", F.explode("shingles").alias("s"))
+    docfreq = inv.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+    rare = inv.join(docfreq.where(F.col("n_docs") <= NGRAM_MAX_DF), "s")
+    train = rare.where(~F.col("is_bench")).select(
+        F.col("id").alias("doc_id"), "s"
+    )
+    bench = rare.where(F.col("is_bench")).select(
+        F.col("id").alias("bench_id"), "s"
+    )
+    return (
+        train.join(bench, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.countDistinct("s").alias("n_shared_shingles"),
+        )
+    )
