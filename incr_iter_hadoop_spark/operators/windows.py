@@ -513,3 +513,71 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_enriched_streamed: stream did not drain within 300s"
         )
     return spark.table(sink)
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS first_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s.user_id, s.first_signup,
+             MIN(e.ts) AS first_purchase
+      FROM signup s
+      LEFT JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.first_signup
+      GROUP BY s.user_id, s.first_signup
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_signed_up,
+           CAST(COUNT(first_purchase) AS BIGINT) AS n_converted,
+           ROUND(CAST(COUNT(first_purchase) AS DOUBLE) / COUNT(*), 6)
+             AS conversion_rate,
+           ROUND(AVG(EXTRACT(epoch FROM first_purchase - first_signup)), 6)
+             AS avg_secs_to_convert
+    FROM conv
+    """,
+    doc="funnel analysis over the event stream: users whose first purchase "
+    "follows their first signup — two per-user MIN aggregations and a "
+    "range-predicated left join (the order-dependent event-sequence shape "
+    "windows/MATCH_RECOGNIZE engines special-case, expressed as plain "
+    "relational ops); reports conversion rate and mean time-to-convert.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("first_signup")),
+            "left",
+        )
+        .groupBy("user_id", "first_signup")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count("first_purchase").alias("n_converted"),
+        F.round(
+            F.count("first_purchase").cast("double") / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+        F.round(
+            F.avg(
+                # NTZ -> LTZ under the pinned-UTC session, -> epoch seconds
+                F.col("first_purchase").cast("timestamp").cast("double")
+                - F.col("first_signup").cast("timestamp").cast("double")
+            ),
+            6,
+        ).alias("avg_secs_to_convert"),
+    )
