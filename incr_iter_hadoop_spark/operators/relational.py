@@ -551,3 +551,44 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="n",
     )
+
+
+@register(
+    "array_battery",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           ROUND(list_min(list_transform(embedding, x -> x::DOUBLE)), 6)
+             AS mn,
+           ROUND(list_max(list_transform(embedding, x -> x::DOUBLE)), 6)
+             AS mx,
+           ROUND(list_sum(list_transform(embedding, x -> x::DOUBLE))
+                 / len(embedding), 6) AS mean,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                                              x -> x::DOUBLE * x::DOUBLE))), 6)
+             AS l2,
+           CAST(len(list_filter(embedding, x -> x::DOUBLE > 0)) AS BIGINT)
+             AS n_pos
+    FROM embeddings
+    """,
+    doc="higher-order array-function battery over the embedding column: "
+    "per-vector min/max/mean/L2-norm/positive-count via transform / filter "
+    "/ aggregate lambdas — all JVM-side whole-stage-codegen expressions, "
+    "the declared array surface (reference hand-rolls these per app over "
+    "TreeMap<Integer,Double>, IterKmeans.java:295-310).",
+)
+def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vector import norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.array_min(v), 6).alias("mn"),
+        F.round(F.array_max(v), 6).alias("mx"),
+        F.round(total / F.size("embedding"), 6).alias("mean"),
+        F.round(norm2(F.col("embedding")), 6).alias("l2"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
+    )

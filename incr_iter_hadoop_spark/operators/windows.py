@@ -581,3 +581,36 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_secs_to_convert"),
     )
+
+
+@register(
+    "window_battery2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 6) AS cheapest,
+           ROUND(LAST_VALUE(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 6)
+             AS priciest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution-style window battery: ntile quartiles, percent_rank, "
+    "cume_dist, first/last value over the per-customer price ordering "
+    "(the unbounded-following frame makes last_value the partition max).",
+)
+def window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 6).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(wfull), 6).alias("priciest"),
+    )
