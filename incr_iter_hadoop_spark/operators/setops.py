@@ -52,13 +52,18 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+    SELECT CAST(o_orderdate AS DATE)::VARCHAR AS d FROM orders
     EXCEPT
-    SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+    SELECT CAST(l_shipdate AS DATE)::VARCHAR AS d FROM lineitem
     """,
-    doc="except distinct.",
+    doc="except distinct: order dates on which nothing ever shipped — a "
+    "non-empty difference at every scale factor (the previous "
+    "nationkey-based formulation degenerated to zero rows once both "
+    "segments covered all nations).",
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = _seg_keys(spark, sf_dir, "BUILDING")
-    b = _seg_keys(spark, sf_dir, "MACHINERY")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    a = o.select(F.col("o_orderdate").cast("date").cast("string").alias("d"))
+    b = li.select(F.col("l_shipdate").cast("date").cast("string").alias("d"))
     return a.distinct().subtract(b)
