@@ -8,16 +8,25 @@ convergence + k-means + incremental refresh, wall-clock per query at sf0.1.
 Each query is materialized via a count-style action (no driver collect of
 payload rows); the JVM is warmed with one throwaway action first so the
 headline numbers measure the queries, not session startup.
+
+Median-of-N (BASELINE.md protocol item 5): every headline query runs
+$SPARK_GRAFT_BENCH_REPS times (default 3); "queries" holds per-query
+MEDIANS (the regression metric — recorded single-shot history spans
+30.4-60.9s for identical code, so one-shot numbers can't separate drift
+from sandbox contention), "queries_runs" holds the raw samples, and
+bench/results/TREND.md tabulates medians across recorded runs.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 # headline set: one per operator family (SURVEY.md §2 / BASELINE.md protocol)
 HEADLINE = [
@@ -38,6 +47,10 @@ HEADLINE = [
 ]
 
 
+def _median(xs: list[float]) -> float:
+    return round(statistics.median(xs), 3)
+
+
 def main() -> None:
     from incr_iter_hadoop_spark.registry import all_queries
     from incr_iter_hadoop_spark.session import get_spark
@@ -49,16 +62,24 @@ def main() -> None:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = specs.get(name)
-        if spec is None:
-            print(f"bench: skipping unknown query {name}", file=sys.stderr)
-            continue
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    runs: dict[str, list[float]] = {}
+    for rep in range(REPS):
+        for name in HEADLINE:
+            spec = specs.get(name)
+            if spec is None:
+                if rep == 0:
+                    print(f"bench: skipping unknown query {name}", file=sys.stderr)
+                continue
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
+    timings = {name: _median(xs) for name, xs in runs.items()}
+    spreads = {
+        name: [min(xs), max(xs)] for name, xs in runs.items()
+    }
 
     # BASELINE.md protocol item 4: incremental refresh vs full recompute —
     # the reference's raison d'être; the ratio is the regression metric.
@@ -68,7 +89,8 @@ def main() -> None:
     # grows past the overhead floor. Track the ratio trend, not its absolute.
     # The incremental scenario starts from ALREADY-MATERIALIZED preserved
     # state (it survives from the prior run), so materialize it first and
-    # time only the delta application.
+    # time only the delta application. refresh() is pure (returns a new
+    # PreservedState), so median-of-N reps measure identical work.
     from pyspark.sql import functions as F
 
     from incr_iter_hadoop_spark.catalog import load_table
@@ -103,24 +125,32 @@ def main() -> None:
         .persist()
     )
     delta.count()
-    t0 = time.perf_counter()
-    refresh(state, delta).results.write.format("noop").mode("overwrite").save()
-    refresh_only_sec = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    full = (
-        o_all.where(
-            (F.col("o_orderkey") % 100 == 0) | (F.col("o_orderkey") % 97 != 0)
+    mem_refresh_runs, mem_full_runs = [], []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        refresh(state, delta).results.write.format("noop").mode(
+            "overwrite"
+        ).save()
+        mem_refresh_runs.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        full = (
+            o_all.where(
+                (F.col("o_orderkey") % 100 == 0)
+                | (F.col("o_orderkey") % 97 != 0)
+            )
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias(
+                    "spend"
+                ),
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max("o_totalprice").alias("max_price"),
+            )
         )
-        .groupBy("o_custkey")
-        .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("spend"),
-            F.count(F.lit(1)).alias("n_orders"),
-            F.max("o_totalprice").alias("max_price"),
-        )
-    )
-    full.write.format("noop").mode("overwrite").save()
-    full_recompute_sec = round(time.perf_counter() - t0, 3)
+        full.write.format("noop").mode("overwrite").save()
+        mem_full_runs.append(round(time.perf_counter() - t0, 3))
+    refresh_only_sec = _median(mem_refresh_runs)
+    full_recompute_sec = _median(mem_full_runs)
     incr_ratio = (
         round(refresh_only_sec / full_recompute_sec, 3)
         if full_recompute_sec
@@ -131,9 +161,12 @@ def main() -> None:
     # actual operating point — IFile.PreserveFile holds the converged state,
     # deltas are small). State = orders contributions replicated 150×
     # (~22.5M rows at sf0.1) in a bucketed store; the delta touches ~9 of
-    # ~15k groups. Steady-state protocol: initialize + one warm-up refresh
-    # are setup (paid once per store lifetime), then a second refresh is
-    # timed against a full recompute over the same on-disk base — the
+    # ~15k groups. Steady-state protocol v2 (ADVICE r03: protocol-explicit
+    # key so cross-date comparisons never mix scenarios): initialize + one
+    # warm-up refresh are setup (paid once per store lifetime), then REPS
+    # successive refreshes are timed (median; each adds one thin layer —
+    # the honest steady state of a layered store) against one full
+    # recompute over the same on-disk base with every delta applied — the
     # recompute pays O(|state|) scan + aggregate + full result write, the
     # refresh pays O(|affected|) bucket-pruned point reads + layer write.
     import shutil
@@ -193,17 +226,26 @@ def main() -> None:
         )
         return additions.unionByName(removals).persist()
 
-    delta1 = _mk_delta(1871, 2_000_000_000_000, 5)
-    delta1.count()
-    store.refresh(delta1)  # warm-up: file-index listing + catalog costs
-    delta2 = _mk_delta(1873, 3_000_000_000_000, 7)
-    delta2.count()
-    t0 = time.perf_counter()
-    store.refresh(delta2)
-    disk_refresh_sec = round(time.perf_counter() - t0, 3)
+    warmup = _mk_delta(1871, 2_000_000_000_000, 5)
+    warmup.count()
+    store.refresh(warmup)  # warm-up: file-index listing + catalog costs
+    timed_deltas = [
+        _mk_delta(1873 + 2 * k, (3 + k) * 1_000_000_000_000, 7 + k)
+        for k in range(REPS)
+    ]
+    all_deltas = [warmup] + timed_deltas
+    disk_refresh_runs = []
+    for d in timed_deltas:
+        d.count()
+        t0 = time.perf_counter()
+        store.refresh(d)
+        disk_refresh_runs.append(round(time.perf_counter() - t0, 3))
+    disk_refresh_sec = _median(disk_refresh_runs)
 
     base_contribs = spark.table(store._table_name("contribs"))
-    both = delta1.unionByName(delta2)
+    both = all_deltas[0]
+    for d in all_deltas[1:]:
+        both = both.unionByName(d)
     t0 = time.perf_counter()
     minus_d = both.where(F.col("op") == "-").select("o_custkey", "o_orderkey")
     plus_d = both.where(F.col("op") == "+").drop("op")
@@ -233,18 +275,25 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_spread": spreads,
+        "reps": REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # headline incremental metric: the on-disk preserve store at
-        # state ≫ delta (refresh must beat recompute here)
+        # state ≫ delta (refresh must beat recompute here). The protocol-
+        # explicit key is authoritative; the legacy key is kept so older
+        # trend lines still parse, with the protocol field disambiguating.
+        "incr_disk_refresh_vs_full_recompute": disk_ratio,
         "incr_refresh_vs_full_recompute": disk_ratio,
         "incr_disk_refresh_sec": disk_refresh_sec,
+        "incr_disk_refresh_runs": disk_refresh_runs,
         "incr_disk_full_recompute_sec": disk_full_sec,
+        "incr_protocol": "disk_state150x_steady_median_v2",
         # legacy in-memory scenario (state ~ |orders|): dominated by Spark's
         # fixed per-job overhead at sf0.1; kept for trend comparison
         "incr_mem_refresh_vs_full_recompute": incr_ratio,
     }
     print(json.dumps(result))
-    # BASELINE.md protocol: record runs for regression tracking
+    # BASELINE.md protocol: record runs for regression tracking + trend table
     try:
         import datetime
 
@@ -252,8 +301,54 @@ def main() -> None:
         stamp = datetime.date.today().isoformat()
         with open(f"bench/results/{stamp}.json", "a") as f:
             f.write(json.dumps(result) + "\n")
+        _write_trend_table("bench/results")
     except OSError:
         pass  # read-only checkout: stdout line is the contract
+
+
+def _write_trend_table(results_dir: str) -> None:
+    """Regenerate bench/results/TREND.md: per-query medians (or single-shot
+    values for pre-median history) across every recorded bench line, one
+    row per query, one column per recorded run — the at-a-glance drift
+    check BASELINE.md's 2x regression rule needs."""
+    import glob
+
+    lines = []
+    for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
+        date = os.path.basename(path)[:-5]
+        with open(path) as f:
+            for i, raw in enumerate(x for x in f if x.strip()):
+                try:
+                    rec = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue
+                label = f"{date}#{i}" + ("*" if "reps" in rec else "")
+                if rec.get("sf") not in (0.1, "0.1"):
+                    label += f"@sf{rec.get('sf')}"
+                lines.append((label, rec))
+    if not lines:
+        return
+    names = sorted({q for _l, r in lines for q in r.get("queries", {})})
+    extra = [
+        "value",
+        "incr_disk_refresh_vs_full_recompute",
+        "incr_mem_refresh_vs_full_recompute",
+    ]
+    out = [
+        "# Per-query bench trend (sec; columns are recorded runs,",
+        "# `*` = median-of-N line, others single-shot)",
+        "",
+        "| query | " + " | ".join(label for label, _r in lines) + " |",
+        "|---|" + "---|" * len(lines),
+    ]
+    for q in names + extra:
+        cells = []
+        for _label, rec in lines:
+            v = rec.get("queries", {}).get(q, rec.get(q))
+            cells.append("" if v is None else str(v))
+        out.append(f"| {q} | " + " | ".join(cells) + " |")
+    with open(os.path.join(results_dir, "TREND.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
 
 
 if __name__ == "__main__":

@@ -32,8 +32,9 @@ SHINGLE_N = 3
 # candidate-generation document-frequency cap: shingles present in more than
 # this many docs are boilerplate and are excluded from the inverted index
 # (NOT from verification) — bounds the quadratic per-shingle join blowup at
-# scale (a shingle in f docs yields f² candidate rows). A pair at jac >= 0.8
-# shares most of its shingles, so it still surfaces via any rare one.
+# scale (a shingle in f docs yields f² candidate rows). Clusters larger than
+# the cap (every shared shingle hot) are covered by the per-doc md5-minimal
+# anchor shingle retained regardless of df — see ngram_jaccard_pairs.
 NGRAM_MAX_DF = 50
 
 
@@ -98,9 +99,21 @@ def ngram_jaccard_pairs(
     verified with the full exact Jaccard. The cap bounds the per-shingle
     join from f² rows for a boilerplate shingle shared by f docs — without
     it one viral sentence makes the candidate stream quadratic in corpus
-    size. Verification is unchanged (full shingle sets), so the only pairs
-    the cap can miss are those whose EVERY shared shingle is boilerplate —
-    vanishingly rare at jac ≥ 0.8."""
+    size.
+
+    Blind-spot mitigation (ADVICE r03): a cluster of MORE than max_df
+    mutually-similar docs makes every shared shingle hot, so the capped
+    index alone would emit zero pairs for exactly the template/boilerplate
+    clusters dedup exists for. Each doc therefore also retains ONE anchor
+    shingle — the one with the minimal md5 — regardless of df, and docs
+    sharing an anchor are candidates too. By the MinHash argument,
+    P(same anchor) = jaccard ≥ 0.8 per pair, and within a large near-dup
+    cluster the anchors collide en masse, so the cluster surfaces. The
+    anchor join key has at most one row per doc, so it stays linear.
+    Residual miss: a pair whose every shared shingle is hot AND whose
+    anchors differ (≤ 20% at the 0.8 threshold) — ``minhash_lsh_pairs`` is
+    the uncapped-recall path. Verification is unchanged (full shingle
+    sets); the oracle mirrors both candidate rules exactly."""
     sets = shingle_sets(df, id_col, text_col, n)
     inv = sets.select("id", F.explode("shingles").alias("sh"))
     docfreq = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -112,9 +125,19 @@ def ngram_jaccard_pairs(
         .join(rare.alias("b"), "sh")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
-        .distinct()
     )
-    return _verify_pairs(cands, sets, threshold)
+    # md5-minimal anchor shingle per doc (df-independent; md5 exists with
+    # identical semantics in DuckDB, so the oracle replicates the key)
+    anchor = inv.groupBy("id").agg(F.min(F.md5("sh")).alias("a_sh"))
+    anchor_cands = (
+        anchor.alias("a")
+        .join(anchor.alias("b"), "a_sh")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+    )
+    return _verify_pairs(
+        cands.unionByName(anchor_cands).distinct(), sets, threshold
+    )
 
 
 _MH_M = 1 << 31  # permutation range: products stay < 2^62, no long overflow
@@ -321,10 +344,16 @@ _NGRAM_DF_CAPPED_ORACLE = f"""
       SELECT i.doc_id, i.shingle
       FROM inv i JOIN df ON df.shingle = i.shingle
       WHERE df.n_docs <= {NGRAM_MAX_DF}
+    ), anchor AS (
+      SELECT doc_id, MIN(md5(shingle)) AS a_sh FROM inv GROUP BY doc_id
     ), cand AS (
       SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
       FROM rare a JOIN rare b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      UNION
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM anchor a JOIN anchor b
+        ON a.a_sh = b.a_sh AND a.doc_id < b.doc_id
     )
     SELECT c.i, c.j,
            ROUND(len(list_intersect(a.s, b.s))::DOUBLE
@@ -340,8 +369,10 @@ _NGRAM_DF_CAPPED_ORACLE = f"""
     oracle=_NGRAM_DF_CAPPED_ORACLE,
     doc="3-gram Jaccard near-dup pairs: inverted-index candidates with a "
     f"document-frequency cap (shingle df <= {NGRAM_MAX_DF} — bounds the "
-    "per-shingle quadratic blowup at scale), full-set Jaccard verify; the "
-    "oracle mirrors the capped candidate rule exactly.",
+    "per-shingle quadratic blowup at scale) PLUS a per-doc md5-minimal "
+    "anchor shingle retained regardless of df (so >max_df near-dup "
+    "clusters still generate candidates), full-set Jaccard verify; the "
+    "oracle mirrors both candidate rules exactly.",
 )
 def dedup_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -31,6 +31,7 @@ tables bucketed by group_key the joins are shuffle-free on the big side.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -38,6 +39,25 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import register
+
+
+_EXIT_CLEANUPS: set[str] = set()
+
+
+def _cleanup_at_exit(parent: str, name: str) -> None:
+    """Register a temp store/stream dir for removal at interpreter exit.
+
+    The DataFrames these queries return read the dir lazily (the driver
+    collects AFTER the builder returns), so in-function deletion would break
+    the result; process exit is the earliest safe point."""
+    import atexit
+    import shutil
+
+    path = os.path.join(parent, name) if name else parent
+    if path in _EXIT_CLEANUPS:
+        return
+    _EXIT_CLEANUPS.add(path)
+    atexit.register(lambda: shutil.rmtree(path, ignore_errors=True))
 
 
 @dataclass
@@ -227,9 +247,16 @@ def incr_refresh_orders_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = re.sub(
         r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
     ).strip("_").lower()
+    # PID-scoped path (ADVICE r03): two concurrent driver/bench processes
+    # against the same dataset get disjoint stores instead of clobbering
+    # each other's meta/layers mid-refresh; within one process the path is
+    # stable and initialize() below overwrites it (idempotent re-runs).
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_preserve", f"orders_{slug}"
+        tempfile.gettempdir(),
+        "spark_graft_preserve",
+        f"orders_{slug}_p{os.getpid()}",
     )
+    _cleanup_at_exit(os.path.dirname(path), f"orders_{slug}_p{os.getpid()}")
     store = PreserveStore(spark, path)
     # preserve run: one full shuffle, paid once (re-run per invocation so the
     # query is self-contained and idempotent for the driver)
@@ -406,6 +433,9 @@ def streaming_refresh_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     tmp = tempfile.mkdtemp(prefix="stream_refresh_orders_")
+    # the final state's DataFrame reads these files lazily — removable only
+    # once the caller has collected, i.e. at process exit (ADVICE r03 leak)
+    _cleanup_at_exit(tmp, "")
     delta_dir = os.path.join(tmp, "delta")
     # two delta files -> two micro-batches (one refresh each); the '+' and
     # '-' sets touch disjoint source keys, so batch order doesn't matter
@@ -703,14 +733,36 @@ def _patch_pruned_oracle() -> None:
 _patch_pruned_oracle()
 
 
+def _dataset_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a dataset table: md5 over the sorted
+    (name, size, mtime_ns) of its parquet files. Keys cross-run snapshot
+    caches so a REGENERATED dataset at the same path invalidates them
+    (ADVICE r03: a path-only key silently warm-starts from stale state)."""
+    import hashlib
+
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                entries.append(f"{rel}|{st.st_size}|{st.st_mtime_ns}")
+    elif os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(f"{table}|{st.st_size}|{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+
+
 def _converged_base_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The preserved converged base state (I5 iteration snapshot / I6
     preserve): computed at most once per dataset and persisted to parquet —
     the reference keeps exactly this state resident in its MRBG-store
     between the initial converged run and later incremental runs
     (IncrPageRank.java:176-212 reads it back; it never recomputes the cold
-    fixpoint inside the incremental job)."""
-    import os
+    fixpoint inside the incremental job). The snapshot path is keyed on a
+    content fingerprint of the source table, not just the path, so a
+    regenerated dataset never resurrects a stale fixpoint."""
     import re
     import tempfile
 
@@ -719,8 +771,11 @@ def _converged_base_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = re.sub(
         r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
     ).strip("_").lower()
+    fp = _dataset_fingerprint(sf_dir, "lineitem")
     path = os.path.join(
-        tempfile.gettempdir(), "spark_graft_snapshots", f"pagerank_base_{slug}"
+        tempfile.gettempdir(),
+        "spark_graft_snapshots",
+        f"pagerank_base_{slug}_{fp}",
     )
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
         base, _ = _pagerank_delta_edges(spark, sf_dir)

@@ -37,6 +37,7 @@ still benefits from planner-side bucket pruning and min/max range stats.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import re
@@ -74,15 +75,37 @@ class PreserveStore:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta: dict | None = None
-        # Spark's planner silently falls back to a plain file scan when it
-        # judges bucketing "not useful" — which also drops BUCKET PRUNING,
-        # the store's whole point-read mechanism (hash(key) selects the
-        # bucket files to open, everything else is never touched). Pin
-        # bucketed scans on so an isin() read of k groups opens ≤k of the
-        # num_buckets files and the group-key aggregation needs no exchange.
-        self.spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
-        )
+
+    @contextlib.contextmanager
+    def _scoped_confs(self, confs: dict[str, str]):
+        """Set session SQL confs for the duration of a store operation and
+        restore the originals afterwards — the store must not leak plan-
+        changing settings into unrelated queries sharing the session. Only
+        operations that *execute* their scans inside the scope (refresh,
+        compact — their layer/base writes are the actions) can use this;
+        lazily-returned DataFrames plan at the caller's action time."""
+        prior: dict[str, str | None] = {}
+        for k, v in confs.items():
+            try:
+                prior[k] = self.spark.conf.get(k)
+            except Exception:
+                prior[k] = None
+            self.spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, old in prior.items():
+                if old is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, old)
+
+    # Spark's planner silently falls back to a plain file scan when it judges
+    # bucketing "not useful" — which also drops BUCKET PRUNING, the store's
+    # whole point-read mechanism (hash(key) selects the bucket files to open,
+    # everything else is never touched). refresh()/compact() pin bucketed
+    # scans on for their own internal reads via _scoped_confs.
+    _BUCKETED_SCAN_CONF = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
     # -- metadata ----------------------------------------------------------
 
@@ -290,6 +313,31 @@ class PreserveStore:
         read cost stays bounded over an unbounded refresh stream. Returns
         the store version after any compaction (0 right after one)."""
         gk, sk = self.group_keys, self.source_keys
+        # scope: bucketed scans pinned on for the point reads below; the
+        # inFilterThreshold is mutated inside (probe-dependent) and listed
+        # here at its current value so the exit restores BOTH to the
+        # session's prior settings (ADVICE r03: no session-global leaks).
+        with self._scoped_confs(
+            {
+                self._BUCKETED_SCAN_CONF: "false",
+                "spark.sql.parquet.pushdown.inFilterThreshold": self.spark.conf.get(
+                    "spark.sql.parquet.pushdown.inFilterThreshold"
+                ),
+            }
+        ):
+            return self._refresh_locked(
+                delta, op_col, inline_keys=inline_keys, max_layers=max_layers
+            )
+
+    def _refresh_locked(
+        self,
+        delta: DataFrame,
+        op_col: str = "op",
+        *,
+        inline_keys: int = DEFAULT_INLINE_KEYS,
+        max_layers: int | None = None,
+    ) -> int:
+        gk, sk = self.group_keys, self.source_keys
         delta = delta.persist()
         affected = delta.select(*gk).distinct().persist()
         v = self.version + 1
@@ -369,6 +417,10 @@ class PreserveStore:
         """Fold every layer into a fresh base (the reference's store rewrite,
         IFile.java:931-1015). O(|state|) — run at a cadence where
         Σ|layers| justifies it, exactly like LSM compaction."""
+        with self._scoped_confs({self._BUCKETED_SCAN_CONF: "false"}):
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
         contribs = self.current_contribs()
         results = self.current_results()
         meta = dict(self.meta)

@@ -82,28 +82,33 @@ def test_preserve_store_refresh_reads_are_bucket_pruned(spark, tmp_path):
         agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
         num_buckets=16,
     )
-    pruned = store._base("contribs").where(F.col("g").isin([3, 7]))
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
-    assert "Bucketed: true" in scan
-    assert "SelectedBucketsCount" in scan
-    # 2 keys -> at most 2 of 16 buckets selected
-    import re
+    # the confs below are exactly what refresh() scopes around its internal
+    # point reads (_scoped_confs) — pin the plan refresh actually executes
+    with store._scoped_confs({store._BUCKETED_SCAN_CONF: "false"}):
+        pruned = store._base("contribs").where(F.col("g").isin([3, 7]))
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+        assert "Bucketed: true" in scan
+        assert "SelectedBucketsCount" in scan
+        # 2 keys -> at most 2 of 16 buckets selected
+        import re
 
-    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", scan)
-    assert m and int(m.group(1)) <= 2 and int(m.group(2)) == 16
-    # in-filter reaches the parquet reader
-    assert "PushedFilters: [In(g" in scan
-    # group-key agg over the bucketed scan: no exchange between scan and agg
-    agg_plan = (
-        store._base("contribs")
-        .groupBy("g")
-        .agg(F.sum("v"))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "Exchange" not in agg_plan
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", scan)
+        assert m and int(m.group(1)) <= 2 and int(m.group(2)) == 16
+        # in-filter reaches the parquet reader
+        assert "PushedFilters: [In(g" in scan
+        # group-key agg over bucketed scan: no exchange between scan and agg
+        agg_plan = (
+            store._base("contribs")
+            .groupBy("g")
+            .agg(F.sum("v"))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan
+    # and the scope must RESTORE the session conf afterwards (ADVICE r03)
+    assert spark.conf.get(store._BUCKETED_SCAN_CONF) == "true"
 
 
 def test_embedding_lsh_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
