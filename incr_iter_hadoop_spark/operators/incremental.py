@@ -528,10 +528,13 @@ def pagerank_pruned(
 
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # adjacency + out-degree in one exchange (degree window rides the same
+    # src hash distribution — see pagerank())
+    from pyspark.sql.window import Window
+
     static = (
-        edges.join(deg, "src")
-        .repartition(n, "src")
+        edges.repartition(n, "src")
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (

@@ -35,7 +35,6 @@ from ..functions.vector import cosine
 from ..plans.loopdriver import (
     IterationResult,
     iterate,
-    l1_state_distance,
     negotiate_partitions,
 )
 from ..registry import register
@@ -61,18 +60,30 @@ def pagerank(
 
     ``init_state`` (node, rank) warm-starts the loop — the incremental
     iterative mode (SURVEY §3.3): after a graph delta, re-converging from
-    the previous fixpoint takes far fewer iterations than from scratch."""
+    the previous fixpoint takes far fewer iterations than from scratch.
+
+    One job per iteration: the state carries a ``delta`` column
+    (rankᵢ − rankᵢ₋₁, computed inside the step at zero extra shuffles since
+    the previous rank is already on the joined state row), and in converged
+    mode the L1 distance Σ|delta| rides the iteration's materializing
+    action via ``df.observe`` — no prev⋈curr full-outer join, no separate
+    distance job (the ``IterativeReducer.distance`` contract,
+    IterativeReducer.java:24-32, summed master-side like
+    JobTracker.java:5586-5595)."""
     # materialize the edge relation once: deg, static and nodes each derive
     # from it, and callers often pass an expensive pipeline (e.g. the
     # delta-applied graph — anti-join over two distincts) that would
     # otherwise be recomputed per derivation
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = num_partitions or negotiate_partitions(edges)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # static side: adjacency + out-degree, partitioned by the join key once
+    # static side: adjacency + out-degree in ONE exchange — the repartition
+    # provides the hash distribution the degree window needs, so deg comes
+    # from a within-partition sort instead of a groupBy shuffle + join
+    from pyspark.sql.window import Window
+
     static = (
-        edges.join(deg, "src")
-        .repartition(n, "src")
+        edges.repartition(n, "src")
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     nodes = (
@@ -82,6 +93,7 @@ def pagerank(
         .repartition(n, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    converged_mode = threshold is not None
     if init_state is not None:
         # warm start: keep prior ranks for surviving nodes, 1.0 for new ones
         state0 = nodes.join(init_state, "node", "left").select(
@@ -89,31 +101,47 @@ def pagerank(
         )
     else:
         state0 = nodes.select("node", F.lit(1.0).alias("rank"))
+    if converged_mode:
+        state0 = state0.withColumn("delta", F.lit(0.0))
 
-    def step(state: DataFrame, i: int) -> DataFrame:
-        contribs = (
+    def _mass(state: DataFrame):
+        return (
             static.join(state, static.src == state.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("mass"))
         )
+
+    new_rank = F.lit(retain) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
+
+    def step_bounded(state: DataFrame, i: int) -> DataFrame:
+        # single state reference → linear plan growth between checkpoints
+        contribs = _mass(state)
         return nodes.join(contribs, nodes.node == contribs.dst, "left").select(
-            "node",
-            (F.lit(retain) + F.lit(damping) * F.coalesce("mass", F.lit(0.0))).alias(
-                "rank"
-            ),
+            "node", new_rank.alias("rank")
         )
 
-    dist = (
-        (lambda p, c: l1_state_distance(p, c, "node", "rank"))
-        if threshold is not None
-        else None
-    )
+    def step_observed(state: DataFrame, i: int) -> DataFrame:
+        # the state invariantly holds every node, so joining the (persisted,
+        # node-partitioned) state instead of `nodes` keeps the previous rank
+        # on the row — the delta costs no extra join or shuffle. This step
+        # references state twice; iterate()'s observed path truncates
+        # lineage every iteration to keep the plan linear.
+        contribs = _mass(state)
+        prev = state.select("node", F.col("rank").alias("_prev"))
+        return prev.join(contribs, prev.node == contribs.dst, "left").select(
+            "node",
+            new_rank.alias("rank"),
+            (new_rank - F.col("_prev")).alias("delta"),
+        )
+
     result = iterate(
         state0,
-        step,
+        step_observed if converged_mode else step_bounded,
         max_iterations=max_iterations,
-        distance=dist,
+        observed_distance=(
+            F.sum(F.abs(F.col("delta"))) if converged_mode else None
+        ),
         threshold=threshold if threshold is not None else 0.0,
         checkpoint_interval=checkpoint_interval,
     )
@@ -395,13 +423,247 @@ def incr_sssp_warm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("node", F.round("dist", 6).alias("dist"))
 
 
+def _sssp_fixpoint_sql(rounds: int, source: int = 0) -> str:
+    """Exact oracle for CONVERGED SSSP: unlike PageRank the min-plus
+    fixpoint is unique, so an unrolled Bellman-Ford chain reproduces it
+    exactly once ``rounds`` ≥ rounds-to-fixpoint. The margin is guarded
+    loudly, not assumed: the final select emits dist = -1 for any node
+    whose round R-1 and round R values still differ, so an insufficient
+    unroll hash-MISMATCHES instead of silently passing a pre-fixpoint
+    state. (DuckDB 1.0 has no keyed recursion, and a naive recursive CTE
+    enumerates path lengths — exponential on weighted cyclic graphs.)"""
+    # MATERIALIZED everywhere: each round references d{i-1} TWICE, so
+    # without the hint DuckDB inlines CTEs and the plan doubles per round
+    # (2^20 — hangs the optimizer; the exact CTE-inlining analogue of the
+    # Spark-side lineage-truncation rule). The edges CTE additionally
+    # avoids 40 parquet re-scans exhausting file handles when DuckDB
+    # shares the process with a Spark session (the driver's exact setup).
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_SSSP_EDGES_SQL}),",
+        f"d0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        " CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", d{i} AS MATERIALIZED (
+  SELECT COALESCE(s.node, r.dst) AS node,
+         LEAST(COALESCE(s.dist, 1e308), COALESCE(r.cand, 1e308)) AS dist
+  FROM d{i-1} s FULL OUTER JOIN (
+    SELECT e.dst, MIN(s.dist + e.w) AS cand
+    FROM d{i-1} s JOIN edges e ON s.node = e.src GROUP BY e.dst
+  ) r ON s.node = r.dst
+)"""
+        )
+    parts.append(
+        f"""SELECT f.node,
+       CASE WHEN p.dist = f.dist THEN ROUND(f.dist, 6) ELSE -1.0 END AS dist
+FROM d{rounds} f JOIN d{rounds - 1} p ON p.node = f.node"""
+    )
+    return "\n".join(parts)
+
+
 @register(
     "sssp_converged",
-    oracle=None,
-    doc="SSSP to fixpoint (frontier empties); naive twin in tests.",
+    oracle=_sssp_fixpoint_sql(20),
+    doc="SSSP to fixpoint (frontier empties — I4 θ=0 termination). The "
+    "min-plus fixpoint is unique, so even the convergence-driven run is "
+    "exactly oracle-checkable: the oracle unrolls 20 Bellman-Ford rounds "
+    "and poisons (-1) any node not yet stable between rounds 19 and 20, "
+    "so an insufficient unroll fails the hash loudly (fixture fixpoint is "
+    "reached in well under 20 rounds — pinned by pytest).",
 )
 def sssp_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = sssp(_sssp_edges(spark, sf_dir), source=0, max_iterations=30)
+    return res.state.select("node", F.round("dist", 6).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# incremental SSSP under DELETIONS — the non-monotone case (SURVEY §7.5;
+# deletion fixture UpdatePageRankGraph.java:47-52). Deleting an edge can only
+# RAISE distances, so old values downstream of a deleted shortest-path edge
+# are invalid lower bounds and must be re-initialized to ∞ before warm
+# re-relaxation (min-plus would otherwise keep the stale minimum forever).
+
+
+def sssp_invalidate_affected(
+    kept_edges: DataFrame,
+    deleted_edges: DataFrame,
+    state: DataFrame,
+    *,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Nodes whose preserved distance may depend on a deleted edge.
+
+    An edge (u, v) can have supported v's value only if
+    dist(u) + w ≤ dist(v) (values only decrease round-to-round, so any
+    realized derivation satisfies this in final values — an over-
+    approximation that stays safe for mid-convergence bounded states).
+    Seeds are heads of deleted support edges; the set then closes over the
+    support edges of the KEPT graph (if u's value may rise, so may any v it
+    supports). Over-invalidation is harmless — those nodes just get
+    recomputed; under-invalidation would preserve a stale lower bound.
+
+    Returns a (node) DataFrame. Frontier-pruned propagation: per-round work
+    tracks the affected frontier, not |E| (the same shape as the reference's
+    change-propagation filter, ReduceTask.java:3399-3428, at θ=0)."""
+    u = state.select(F.col("node").alias("src"), F.col("dist").alias("_du"))
+    v = state.select(F.col("node").alias("dst"), F.col("dist").alias("_dv"))
+    support = (
+        kept_edges.join(u, "src")
+        .join(v, "dst")
+        .where(F.col("_du") + F.col("w") <= F.col("_dv"))
+        .select("src", "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seeds = (
+        deleted_edges.join(u, "src")
+        .join(v, "dst")
+        .where(F.col("_du") + F.col("w") <= F.col("_dv"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    affected = seeds
+    frontier = seeds
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        nxt = (
+            support.join(frontier, support.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(affected, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        affected = affected.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    support.unpersist()
+    return affected
+
+
+_SSSP_DEL_BASE_ROUNDS = 4
+_SSSP_DEL_WARM_ROUNDS = 3
+
+
+def _sssp_delete_sql(
+    base_rounds: int, warm_rounds: int, source: int = 0
+) -> str:
+    """Oracle: base chain on the pre-cutoff graph, exact recursive-CTE
+    closure of the affected set over support edges, re-init affected to ∞
+    (drop from state), warm chain on the delta-applied graph."""
+    parts = [
+        f"WITH RECURSIVE bedges AS MATERIALIZED ({_SSSP_BASE_EDGES_SQL}),",
+        f"b0 AS (SELECT CAST({source} AS BIGINT) AS node,"
+        " CAST(0.0 AS DOUBLE) AS dist)",
+    ]
+    for i in range(1, base_rounds + 1):
+        parts.append(
+            f""", b{i} AS (
+  SELECT COALESCE(s.node, r.dst) AS node,
+         LEAST(COALESCE(s.dist, 1e308), COALESCE(r.cand, 1e308)) AS dist
+  FROM b{i-1} s FULL OUTER JOIN (
+    SELECT e.dst, MIN(s.dist + e.w) AS cand
+    FROM b{i-1} s JOIN bedges e ON s.node = e.src GROUP BY e.dst
+  ) r ON s.node = r.dst
+)"""
+        )
+    parts.append(
+        f""", deleted AS MATERIALIZED (
+  SELECT src, dst, w FROM bedges WHERE (src + dst) % 7 = 0
+), kept AS MATERIALIZED (
+  SELECT src, dst, w FROM bedges WHERE (src + dst) % 7 <> 0
+), post AS ({_SSSP_EDGES_SQL.replace('FROM lineitem', "FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'")}
+), adds AS (
+  SELECT p.src, p.dst, p.w FROM post p
+  WHERE NOT EXISTS (SELECT 1 FROM kept k
+                    WHERE k.src = p.src AND k.dst = p.dst)
+), edges AS MATERIALIZED (
+  SELECT src, dst, w FROM kept UNION ALL SELECT src, dst, w FROM adds
+), d AS MATERIALIZED (SELECT node, dist FROM b{base_rounds}),
+support AS MATERIALIZED (
+  SELECT k.src, k.dst
+  FROM kept k JOIN d u ON u.node = k.src JOIN d v ON v.node = k.dst
+  WHERE u.dist + k.w <= v.dist
+),
+aff AS (
+  SELECT DISTINCT e.dst AS node
+  FROM deleted e JOIN d u ON u.node = e.src JOIN d v ON v.node = e.dst
+  WHERE u.dist + e.w <= v.dist
+  UNION
+  SELECT s.dst FROM aff a JOIN support s ON s.src = a.node
+),
+u0 AS (
+  SELECT node, dist FROM d
+  WHERE NOT EXISTS (SELECT 1 FROM aff WHERE aff.node = d.node)
+)"""
+    )
+    for i in range(1, warm_rounds + 1):
+        parts.append(
+            f""", u{i} AS (
+  SELECT COALESCE(s.node, r.dst) AS node,
+         LEAST(COALESCE(s.dist, 1e308), COALESCE(r.cand, 1e308)) AS dist
+  FROM u{i-1} s FULL OUTER JOIN (
+    SELECT e.dst, MIN(s.dist + e.w) AS cand
+    FROM u{i-1} s JOIN edges e ON s.node = e.src GROUP BY e.dst
+  ) r ON s.node = r.dst
+)"""
+        )
+    parts.append(
+        f"SELECT node, ROUND(dist, 6) AS dist FROM u{warm_rounds}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "incr_sssp_delete3",
+    oracle=_sssp_delete_sql(_SSSP_DEL_BASE_ROUNDS, _SSSP_DEL_WARM_ROUNDS),
+    doc="incremental SSSP with DELETIONS — the non-monotone delta (SURVEY "
+    "§7.5 hard part; deletion fixture UpdatePageRankGraph.java:47-52): 4 "
+    "base Bellman-Ford rounds preserve the pre-1997 distances; the delta "
+    "removes every (src+dst)%7==0 base edge and adds the post-1997 edges; "
+    "the affected shortest-path subtree (closure of deleted-support heads "
+    "over kept support edges, dist(u)+w <= dist(v)) is invalidated to ∞; "
+    "3 warm rounds re-relax on the updated graph. Oracle: base chain + "
+    "recursive-CTE closure + warm chain, exact.",
+)
+def incr_sssp_delete3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1997-01-01").cast("date")
+    pre = li.where(F.col("l_shipdate").cast("date") < cutoff)
+    post = li.where(F.col("l_shipdate").cast("date") >= cutoff)
+
+    def _bip(src_df):
+        fwd = src_df.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 10000).alias("dst"),
+        ).agg(F.min("l_quantity").alias("w"))
+        rev = src_df.groupBy(
+            (F.col("l_partkey") + 10000).alias("src"),
+            F.col("l_suppkey").alias("dst"),
+        ).agg(F.min("l_quantity").alias("w"))
+        return fwd.unionByName(rev)
+
+    base_e = _bip(pre).persist(StorageLevel.MEMORY_AND_DISK)
+    warm = sssp(
+        base_e, source=0, max_iterations=_SSSP_DEL_BASE_ROUNDS,
+        run_to_fixpoint=False,
+    )
+    # preserved-state snapshot boundary (see incr_sssp_warm3)
+    d = warm.state.localCheckpoint(eager=True)
+    deleted = base_e.where((F.col("src") + F.col("dst")) % 7 == 0)
+    kept = base_e.where((F.col("src") + F.col("dst")) % 7 != 0).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    adds = _bip(post).join(kept, ["src", "dst"], "left_anti")
+    new_edges = kept.unionByName(adds)
+    affected = sssp_invalidate_affected(kept, deleted, d)
+    state0 = d.join(affected, "node", "left_anti").localCheckpoint(eager=True)
+    res = sssp(
+        new_edges, source=0, max_iterations=_SSSP_DEL_WARM_ROUNDS,
+        run_to_fixpoint=False, init_state=state0,
+    )
+    base_e.unpersist()
+    kept.unpersist()
     return res.state.select("node", F.round("dist", 6).alias("dist"))
 
 

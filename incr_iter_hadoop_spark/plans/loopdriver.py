@@ -86,6 +86,7 @@ def iterate(
     *,
     max_iterations: int = 50,
     distance: Callable[[DataFrame, DataFrame], float] | None = None,
+    observed_distance=None,
     threshold: float = 0.0,
     checkpoint_interval: int = 5,
     storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
@@ -99,6 +100,14 @@ def iterate(
     exactly ``max_iterations`` steps (the fixed-iteration mode,
     JobConf.java:494-500).
 
+    ``observed_distance``: an aggregate Column over the NEW state's columns
+    (e.g. ``F.sum(F.abs(F.col("delta")))`` when the step carries a delta
+    column). The scalar rides the iteration's own materializing action via
+    ``df.observe`` — ONE Spark job per iteration, with no prev⋈curr join at
+    all (the distance job the ``distance`` callable would pay). Same
+    ``IterativeReducer.distance`` contract (IterativeReducer.java:24-32);
+    mutually exclusive with ``distance``.
+
     ``observe_counts``: attach a per-iteration ``df.observe`` counter — the
     analogue of the reference's per-iteration record stats reported to the
     master (IterationInfo, JobTracker.java:5516-5583; Counters.java) —
@@ -108,6 +117,8 @@ def iterate(
 
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
+    if distance is not None and observed_distance is not None:
+        raise ValueError("pass distance OR observed_distance, not both")
     state = state.persist(storage_level)
     state.count()  # materialize so each iteration starts from computed state
     distances: list[float] = []
@@ -117,7 +128,14 @@ def iterate(
     i = 0
     for i in range(1, max_iterations + 1):
         new_state = step(state, i)
-        if i % checkpoint_interval == 0:
+        if observed_distance is not None:
+            # observed-distance steps carry a delta column, which makes them
+            # reference the previous state TWICE (once through the
+            # contributions, once for the prev value) — the logical plan
+            # would double per iteration. Truncate lineage every iteration;
+            # the lazy checkpoint materializes on this iteration's action.
+            new_state = new_state.localCheckpoint(eager=False)
+        elif i % checkpoint_interval == 0:
             # truncate lineage: plan size otherwise grows per iteration
             new_state = new_state.localCheckpoint(eager=False)
         if observe_counts:
@@ -126,6 +144,23 @@ def iterate(
             obs = Observation(f"iteration_{i}")
             new_state = new_state.observe(obs, F.count(F.lit(1)).alias("records"))
             observations.append(obs)
+        if observed_distance is not None:
+            dist_obs = Observation(f"distance_{i}")
+            new_state = new_state.observe(
+                dist_obs, observed_distance.alias("distance")
+            )
+            new_state = new_state.persist(storage_level)
+            # the count is the SINGLE job of this iteration: it computes the
+            # step, caches the state, and fills the observation in one pass
+            new_state.count()
+            d = float(dist_obs.get["distance"] or 0.0)
+            distances.append(d)
+            state.unpersist()
+            state = new_state
+            if d <= threshold:
+                converged = True
+                break
+            continue
         new_state = new_state.persist(storage_level)
         if distance is not None:
             # the distance aggregation is the materializing action — the
