@@ -70,69 +70,78 @@ def _load_all() -> None:
 # (SURVEY §2 rows + the LLM-pipeline components) inside positions 0-49.
 # Convergence-driven (no_oracle) variants and redundant family twins are
 # deliberately registered behind the window — they stay covered by pytest.
+#
+# ROTATION (round 4): ten redundant twins whose families earned green
+# driver rows in round 3 (join_override, setop_union, gen_random_kv,
+# kmeans_assign, dedup_exact, field_selection, agg_global,
+# total_sort_top100, udf_scalar_pandas, secondary_sort_top3) swapped out
+# for ten never-driver-checked families — every family keeps >= 1 green
+# witness across rounds 3 ∪ 4, and the driver's hash reach widens each
+# round at zero coverage loss.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S3, P1-P7)
     "scan_pruned_filter",
     "projection_inverse_map",
-    "field_selection",
     "grep_regex",
     "wordcount",
     "scalar_battery",
-    # generators (P8, P9)
-    "gen_random_kv",
+    # generators (P9; P8 twin gen_random_kv green in r03)
     "gen_graph_degrees",
-    # aggregation framework (A4-A6, P10, cube/rollup family)
+    # aggregation framework (A5, P10, cube family, exact percentiles)
     "agg_value_battery",
     "agg_histogram",
-    "agg_global",
     "agg_cube",
+    "agg_percentiles",
     # join battery (J2, J4, J5, semi, non-equi, skew)
     "join_inner",
-    "join_override",
     "join_semi",
     "join_broadcast_chain",
     "join_nonequi_range",
     "join_skew_salted",
-    # relational flagship
+    # relational flagship + TPC-H tail representative (multi-way anti/exists)
     "q1_pricing_summary",
-    # iterative apps (I1-I5, J1, J3, A1-A3, S5)
+    "q21_waiting_suppliers",
+    # iterative apps (I1-I5, J1, J3, A1-A3, S5) + exact converged fixpoint
     "pagerank_bounded5",
     "sssp_bounded4",
+    "sssp_converged",
     "spmv_bounded2",
-    "kmeans_assign",
     "kmeans_bounded2",
-    # incremental view maintenance (S10, I6-I9, J6, J7)
+    # incremental view maintenance (S10, I6-I9, J6, J7) + deletion SSSP
     "incr_refresh_orders",
     "incr_refresh_orders_disk",
     "incr_pagerank_delta5",
     "incr_pagerank_pruned4",
-    # sort / window / top-k (W1, O1, O2, O4)
-    "secondary_sort_top3",
+    "incr_sssp_delete3",
+    # sort / window / top-k (W1/O1 twins green in r03; O2, O4 stay)
     "window_battery",
-    "total_sort_top100",
     "sort_validate",
     "topk_customers",
-    # pivot/unpivot
+    # pivot/unpivot + batch tumbling windows
     "events_pivot",
-    # set operations (§2.7)
-    "setop_union",
+    "events_tumbling",
+    # set operations (§2.7; union twin green in r03)
     "setop_except",
-    # UDF surface (U1, U3, UDTF)
-    "udf_scalar_pandas",
+    # UDF surface (U3, UDTF; U1 scalar twin green in r03)
     "udf_grouped_agg",
     "udtf_explode_bigrams",
-    # text analysis (LLM pipeline)
+    # text analysis (LLM pipeline) + chunking
     "text_token_stats",
     "text_quality",
     "doc_fingerprint",
-    # similarity search (LLM pipeline)
+    "text_chunk_windows",
+    # similarity search (LLM pipeline) incl. bucketed ANN
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "embedding_top_pairs_lsh",
-    # dedup (LLM pipeline)
-    "dedup_exact",
+    # dedup (LLM pipeline; exact-dedup twin green in r03)
     "dedup_minhash_pairs",
     "dedup_cc_clusters",
+    # corpus pipeline: sampling, composed cleaning, decontamination
+    "sample_documents_10pct",
+    "pipeline_clean_corpus",
+    "decontaminate_overlap",
     # multimodal plumbing (LLM pipeline)
     "multimodal_frames",
     # streaming (§2.9)
