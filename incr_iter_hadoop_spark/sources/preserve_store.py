@@ -24,6 +24,11 @@ Spark-first redesign — no point-lookup server, no in-place mutation:
 - **Reconstruction is last-layer-wins at group granularity**: a group's
   current contribs/result live entirely in the highest layer that touched it
   (or the base). ``compact()`` folds all layers back into a new base.
+- **Time travel for free**: layers are immutable, so any historical version
+  is a bounded fold (``results_as_of``/``contribs_as_of``). ``compact()``
+  retires the old era without deleting it — concurrent readers stay pinned
+  to their files — and ``vacuum()`` is the explicit delete, the same
+  rewrite-then-vacuum split lakehouse formats use.
 
 Scale: at 100 TB the base tables are written once (the shuffle is paid at
 write time and amortized); every later refresh touches only the affected
@@ -146,13 +151,15 @@ class PreserveStore:
 
     # -- base tables (bucketed external parquet) ---------------------------
 
-    def _table_name(self, which: str) -> str:
+    def _table_name(self, which: str, era: int | None = None) -> str:
         # catalog-safe, stable per store path so re-registration is idempotent
+        era = int(self.meta["base_version"]) if era is None else era
         slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.path).strip("_").lower()
-        return f"preserve_{slug}_{which}_v{self.meta['base_version']}"
+        return f"preserve_{slug}_{which}_v{era}"
 
-    def _base_path(self, which: str) -> str:
-        return os.path.join(self.path, f"base_v{self.meta['base_version']}", which)
+    def _base_path(self, which: str, era: int | None = None) -> str:
+        era = int(self.meta["base_version"]) if era is None else era
+        return os.path.join(self.path, f"base_v{era}", which)
 
     def _write_base(self, which: str, df: DataFrame) -> None:
         m = self.meta
@@ -168,11 +175,11 @@ class PreserveStore:
             .saveAsTable(self._table_name(which))
         )
 
-    def _base(self, which: str) -> DataFrame:
+    def _base(self, which: str, era: int | None = None) -> DataFrame:
         """Base table as a *bucketed* scan, re-registering the external table
         DDL when this session has never seen it (cross-session reload — the
         bucketing spec lives in the catalog, not the files)."""
-        name = self._table_name(which)
+        name = self._table_name(which, era)
         if not self.spark.catalog.tableExists(name):
             m = self.meta
             keys = ", ".join(f"`{k}`" for k in m["group_keys"])
@@ -180,7 +187,7 @@ class PreserveStore:
                 f"CREATE TABLE {name} ({m['schema_ddl'][which]}) USING PARQUET"
                 f" CLUSTERED BY ({keys}) SORTED BY ({keys})"
                 f" INTO {m['num_buckets']} BUCKETS"
-                f" LOCATION '{self._base_path(which)}'"
+                f" LOCATION '{self._base_path(which, era)}'"
             )
         return self.spark.table(name)
 
@@ -206,6 +213,9 @@ class PreserveStore:
             "version": 0,
             "base_version": 0,
             "schema_ddl": {},
+            # era -> layer count of RETIRED (compacted-away) eras still on
+            # disk; readers pinned to an old era keep working until vacuum()
+            "retired": {},
         }
         self._write_meta(meta)
         results = contribs.groupBy(*group_keys).agg(
@@ -222,58 +232,96 @@ class PreserveStore:
 
     # -- layered reads -----------------------------------------------------
 
-    def _layer_path(self, v: int, which: str) -> str:
-        return os.path.join(self.path, f"layers/v{v}", which)
+    def _layer_path(self, v: int, which: str, era: int | None = None) -> str:
+        era = int(self.meta["base_version"]) if era is None else era
+        return os.path.join(self.path, f"layers/b{era}/v{v}", which)
 
-    def _layer(self, v: int, which: str) -> DataFrame:
-        return self.spark.read.parquet(self._layer_path(v, which))
+    def _layer(self, v: int, which: str, era: int | None = None) -> DataFrame:
+        return self.spark.read.parquet(self._layer_path(v, which, era))
 
     def _pruned(self, df: DataFrame, keys_filter) -> DataFrame:
         if keys_filter is None:
             return df
         return df.where(keys_filter)
 
-    def _current(self, which: str, keys_filter=None, affected: DataFrame | None = None):
+    def _era_layers(self, era: int | None) -> int:
+        """Number of layers in ``era`` (None/current era → live version)."""
+        cur = int(self.meta["base_version"])
+        if era is None or era == cur:
+            return self.version
+        retired = self.meta.get("retired", {})
+        if str(era) not in retired:
+            raise ValueError(
+                f"PreserveStore: unknown era {era} (current {cur}, retired "
+                f"{sorted(retired)}) — vacuumed eras are unreadable"
+            )
+        return int(retired[str(era)])
+
+    def _current(
+        self,
+        which: str,
+        keys_filter=None,
+        affected: DataFrame | None = None,
+        upto: int | None = None,
+        era: int | None = None,
+    ):
         """Last-layer-wins reconstruction of ``contribs`` or ``results``,
         optionally restricted to the groups matching ``keys_filter`` (an
         in-list Column — bucket + page pruned) or ``affected`` (a group-key
-        DataFrame — co-bucketed semi-join fallback)."""
+        DataFrame — co-bucketed semi-join fallback). ``upto`` bounds the
+        reconstruction at a layer version (time travel — layers are
+        immutable, so any historical version is just a shorter fold);
+        ``era`` addresses a retired base generation."""
         gk = self.group_keys
-        base = self._pruned(self._base(which), keys_filter)
+        n = self._era_layers(era) if upto is None else upto
+        if n > self._era_layers(era) or n < 0:
+            raise ValueError(
+                f"PreserveStore: version {n} does not exist in era "
+                f"{era if era is not None else self.meta['base_version']} "
+                f"(0..{self._era_layers(era)})"
+            )
+        base = self._pruned(self._base(which, era), keys_filter)
         if affected is not None:
             base = base.join(affected, gk, "left_semi")
-        if self.version == 0:
-            # no layers yet: the base IS the current state — skip the
+        if n == 0:
+            # no layers in view: the base IS the state — skip the
             # last-layer-wins join entirely (it would join against an empty
             # touched-set and still cost a stage per read)
             return base
         tagged = base.withColumn("_v", F.lit(0))
-        for v in range(1, self.version + 1):
-            lay = self._pruned(self._layer(v, which), keys_filter)
+        for v in range(1, n + 1):
+            lay = self._pruned(self._layer(v, which, era), keys_filter)
             if affected is not None:
                 lay = lay.join(affected, gk, "left_semi")
             tagged = tagged.unionByName(lay.withColumn("_v", F.lit(v)))
         # the layer that last touched a group holds ALL of that group's rows;
         # affected-key files record touches even when the group vanished
-        touched = self._touched_versions(keys_filter, affected)
+        touched = self._touched_versions(keys_filter, affected, n, era)
         last = tagged.join(touched, gk, "left").where(
             F.col("_v") == F.coalesce(F.col("_last_v"), F.lit(0))
         )
         return last.drop("_v", "_last_v")
 
-    def _touched_versions(self, keys_filter=None, affected: DataFrame | None = None):
-        """(group_keys, _last_v): highest layer that touched each group."""
+    def _touched_versions(
+        self,
+        keys_filter=None,
+        affected: DataFrame | None = None,
+        n: int | None = None,
+        era: int | None = None,
+    ):
+        """(group_keys, _last_v): highest layer ≤ n that touched each group."""
         gk = self.group_keys
+        n = self._era_layers(era) if n is None else n
         parts = []
-        for v in range(1, self.version + 1):
-            aff = self._pruned(self._layer(v, "affected"), keys_filter)
+        for v in range(1, n + 1):
+            aff = self._pruned(self._layer(v, "affected", era), keys_filter)
             if affected is not None:
                 aff = aff.join(affected, gk, "left_semi")
             parts.append(aff.select(*gk, F.lit(v).alias("_last_v")))
         if not parts:
             # no layers yet: empty frame with the right shape
             return (
-                self._base("results")
+                self._base("results", era)
                 .select(*gk, F.lit(0).alias("_last_v"))
                 .limit(0)
             )
@@ -287,6 +335,25 @@ class PreserveStore:
 
     def current_contribs(self) -> DataFrame:
         return self._current("contribs")
+
+    # -- time travel (I5 iteration-snapshot analogue) ----------------------
+    # The reference preserves per-iteration state snapshots it can re-read
+    # (ReduceTask.java:3359-3372); here every layer is immutable, so ANY
+    # historical version is readable as a bounded fold — no extra storage.
+
+    def results_as_of(
+        self, version: int, base_version: int | None = None
+    ) -> DataFrame:
+        """State of ``results`` after layer ``version`` of the given era
+        (version 0 = that era's base). Versions of a retired era stay
+        readable after compact() until vacuum() — the version pin that
+        keeps concurrent readers safe across compaction."""
+        return self._current("results", upto=version, era=base_version)
+
+    def contribs_as_of(
+        self, version: int, base_version: int | None = None
+    ) -> DataFrame:
+        return self._current("contribs", upto=version, era=base_version)
 
     # -- incremental refresh (I7 + I8) -------------------------------------
 
@@ -416,7 +483,14 @@ class PreserveStore:
     def compact(self) -> None:
         """Fold every layer into a fresh base (the reference's store rewrite,
         IFile.java:931-1015). O(|state|) — run at a cadence where
-        Σ|layers| justifies it, exactly like LSM compaction."""
+        Σ|layers| justifies it, exactly like LSM compaction.
+
+        The superseded era (base + layers) is RETIRED, not deleted: its
+        files stay on disk and its versions stay readable via
+        ``*_as_of(..., base_version=old)``, so a reader holding a
+        reconstruction DataFrame planned before the compaction never loses
+        its files mid-query. ``vacuum()`` is the explicit delete step —
+        the same rewrite-then-vacuum split lakehouse table formats use."""
         with self._scoped_confs({self._BUCKETED_SCAN_CONF: "false"}):
             self._compact_locked()
 
@@ -425,29 +499,39 @@ class PreserveStore:
         results = self.current_results()
         meta = dict(self.meta)
         old_base_version = int(meta["base_version"])
-        old_tables = [self._table_name("contribs"), self._table_name("results")]
         meta["base_version"] = old_base_version + 1
         old_version = meta["version"]
         meta["version"] = 0
+        retired = dict(meta.get("retired", {}))
+        retired[str(old_base_version)] = old_version
+        meta["retired"] = retired
         # write to the NEW base dirs before flipping meta so a crash leaves
         # the old base intact (meta flip is the atomic commit point)
         self._meta = meta  # _write_base/_table_name read the new base_version
         self._write_base("contribs", contribs)
         self._write_base("results", results)
         self._write_meta(meta)
-        # post-commit cleanup: the folded layers, the superseded base copy
-        # AND its catalog registrations — leaving them would leak a full
-        # snapshot of the state (plus two dangling external tables) per
-        # compaction
+
+    def vacuum(self) -> None:
+        """Delete every retired era's base + layers and drop their catalog
+        registrations. Call once no reader still needs pre-compaction
+        versions — retired eras are a full state snapshot each, so leaving
+        them forever leaks O(|state|) disk per compaction."""
         import shutil
 
-        for v in range(1, old_version + 1):
+        meta = dict(self.meta)
+        retired = dict(meta.get("retired", {}))
+        for era_str in retired:
+            era = int(era_str)
             shutil.rmtree(
-                os.path.join(self.path, f"layers/v{v}"), ignore_errors=True
+                os.path.join(self.path, f"layers/b{era}"), ignore_errors=True
             )
-        for t in old_tables:
-            self.spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(
-            os.path.join(self.path, f"base_v{old_base_version}"),
-            ignore_errors=True,
-        )
+            for which in ("contribs", "results"):
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(which, era)}"
+                )
+            shutil.rmtree(
+                os.path.join(self.path, f"base_v{era}"), ignore_errors=True
+            )
+        meta["retired"] = {}
+        self._write_meta(meta)

@@ -120,7 +120,7 @@ def test_null_group_key_rejected(spark, tmp_path):
         store.refresh(bad, inline_keys=0)  # semi-join path rejects too
 
 
-def test_compact_folds_layers_and_reclaims_space(spark, tmp_path):
+def test_compact_retires_era_and_vacuum_reclaims_space(spark, tmp_path):
     store = _fresh_store(spark, tmp_path, BASE_ROWS)
     store.refresh(_delta(spark, [(9, 90, 4.0, "+"), (3, 30, 0.0, "-")]))
     store.refresh(_delta(spark, [(9, 91, 6.0, "+")]))
@@ -130,18 +130,93 @@ def test_compact_folds_layers_and_reclaims_space(spark, tmp_path):
     store.compact()
     assert store.version == 0
     assert _results_dict(store) == before
-    # folded layers and the superseded base (+ its catalog tables) are gone
-    assert not os.path.isdir(os.path.join(store.path, "layers/v1"))
-    assert not os.path.isdir(os.path.join(store.path, "layers/v2"))
+    # compact RETIRES the old era (version pin for concurrent readers):
+    # files and layers stay on disk and stay readable
+    assert os.path.isdir(os.path.join(store.path, "layers/b0/v1"))
+    assert os.path.isdir(old_base)
+    assert store.meta["retired"] == {"0": 2}
+    # vacuum is the explicit delete: layers, base, catalog tables all go
+    store.vacuum()
+    assert not os.path.isdir(os.path.join(store.path, "layers/b0"))
     assert not os.path.isdir(old_base)
     import re
 
     slug = re.sub(r"[^0-9a-zA-Z]+", "_", store.path).strip("_").lower()
     for which in ("contribs", "results"):
         assert not spark.catalog.tableExists(f"preserve_{slug}_{which}_v0")
+    assert store.meta["retired"] == {}
     # the compacted store keeps refreshing correctly
     store.refresh(_delta(spark, [(1, 13, 1.0, "+")]))
     assert _results_dict(store)[1] == (4.0, 3, 2.0)
+
+
+def _asof_dict(store, version, era=None):
+    return {
+        r["g"]: (r["total"], r["n"], r["mx"])
+        for r in store.results_as_of(version, base_version=era).collect()
+    }
+
+
+def test_time_travel_reads_every_version(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    v0 = _results_dict(store)
+    store.refresh(_delta(spark, [(9, 90, 4.0, "+"), (3, 30, 0.0, "-")]))
+    v1 = _results_dict(store)
+    store.refresh(_delta(spark, [(9, 91, 6.0, "+"), (1, 10, 0.0, "-")]))
+    v2 = _results_dict(store)
+    assert v0 != v1 != v2
+    # every historical version reconstructs exactly (layers are immutable)
+    assert _asof_dict(store, 0) == v0
+    assert _asof_dict(store, 1) == v1
+    assert _asof_dict(store, 2) == v2
+    # contribs travel too
+    assert store.contribs_as_of(0).count() == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="does not exist"):
+        store.results_as_of(3).collect()
+
+
+def test_time_travel_survives_compact_until_vacuum(spark, tmp_path):
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    v0 = _results_dict(store)
+    store.refresh(_delta(spark, [(9, 90, 4.0, "+")]))
+    v1 = _results_dict(store)
+    store.compact()
+    # retired-era versions stay readable (the concurrent-reader pin) ...
+    assert _asof_dict(store, 0, era=0) == v0
+    assert _asof_dict(store, 1, era=0) == v1
+    # ... and the new era starts its own history
+    store.refresh(_delta(spark, [(1, 13, 8.0, "+")]))
+    assert _asof_dict(store, 0) == v1  # new base == pre-compact head
+    assert _results_dict(store)[1] == (11.0, 3, 8.0)
+    import pytest as _pytest
+
+    store.vacuum()
+    with _pytest.raises(ValueError, match="vacuumed eras are unreadable"):
+        store.results_as_of(0, base_version=0)
+
+
+def test_layer_read_cost_grows_until_compact(spark, tmp_path):
+    """Read cost is O(#layers): the reconstruction unions one scan per
+    layer, so an unbounded refresh stream degrades reads linearly — the
+    measurement that justifies running refresh(max_layers=...) compaction
+    cadence. After compact the read is a single base scan again."""
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    for i in range(6):
+        store.refresh(_delta(spark, [(1, 100 + i, 1.0, "+")]))
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("FileScan parquet") + plan.count("Scan parquet")
+
+    layered = n_scans(store.current_results())
+    # base + 6 result layers + 6 affected-key files ≥ 13 scans
+    assert layered >= 13, layered
+    store.compact()
+    compacted = n_scans(store.current_results())
+    assert compacted <= 2, compacted
+    assert _results_dict(store)[1] == (9.0, 8, 2.0)
 
 
 def test_cross_session_reload_reregisters_catalog(spark, tmp_path):

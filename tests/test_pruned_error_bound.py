@@ -1,0 +1,91 @@
+"""Bounded-error contract of the θ-pruned incremental PageRank (I9).
+
+The change-propagation filter drops per-node deltas below θ
+(ReduceTask.java:3399-3428 semantics) — trading bounded error for a
+frontier that empties. These tests PIN the bound instead of asserting it in
+prose: PageRank's iteration is affine, so by linear superposition the
+θ-run equals the exact (θ=0) run minus the future propagation of each
+dropped packet, and a packet of mass |δ| influences downstream ranks by at
+most |δ|·(d + d² + …) = |δ|·d/(1−d). Hence
+
+    L1(pruned_k, exact_k) ≤ (Σ_i dropped_mass_i) · d/(1−d)
+                          ≤ k · θ · N · d/(1−d)     (coarse a-priori form)
+
+where dropped_mass_i is the Σ|delta| the filter suppressed at iteration i.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from incr_iter_hadoop_spark.operators.incremental import (
+    _pagerank_delta_edges,
+    apply_edge_delta,
+    pagerank_pruned,
+)
+from incr_iter_hadoop_spark.operators.iterative import pagerank
+
+DAMPING = 0.8
+GEO = DAMPING / (1.0 - DAMPING)  # 4.0
+K = 3
+
+
+def _setup(spark, sf_dir):
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    warm = pagerank(base, max_iterations=6).state.select("node", "rank")
+    warm = warm.localCheckpoint(eager=True)
+    updated = apply_edge_delta(base, delta).localCheckpoint(eager=True)
+    return updated, warm
+
+
+def _l1(a, b):
+    j = (
+        a.select("node", F.col("rank").alias("ra"))
+        .join(b.select("node", F.col("rank").alias("rb")), "node", "full_outer")
+        .select(
+            F.abs(
+                F.coalesce("ra", F.lit(0.0)) - F.coalesce("rb", F.lit(0.0))
+            ).alias("d")
+        )
+    )
+    return float(j.agg(F.sum("d")).collect()[0][0] or 0.0)
+
+
+@pytest.mark.parametrize("theta", [0.01, 0.05])
+def test_pruned_error_within_dropped_mass_bound(spark, sf_dir, theta):
+    updated, warm = _setup(spark, sf_dir)
+    exact, _ = pagerank_pruned(updated, warm, theta=0.0, iterations=K)
+    pruned, _ = pagerank_pruned(updated, warm, theta=theta, iterations=K)
+    # dropped mass at iteration i+1 = Σ|delta| below θ in the state after i
+    # pruned iterations (iteration counts are deterministic, so re-running
+    # the loop at each prefix length reproduces the trajectory exactly)
+    dropped_total = 0.0
+    for i in range(K):
+        s_i, _ = pagerank_pruned(updated, warm, theta=theta, iterations=i)
+        row = (
+            s_i.where(F.abs("delta") < theta)
+            .agg(F.sum(F.abs("delta")).alias("m"))
+            .collect()[0]
+        )
+        dropped_total += float(row["m"] or 0.0)
+    err = _l1(pruned, exact)
+    n_nodes = exact.count()
+    tight = dropped_total * GEO
+    coarse = K * theta * n_nodes * GEO
+    assert err <= tight * 1.05 + 1e-9, (err, tight)
+    assert err <= coarse, (err, coarse)
+    # the contract is meaningful, not vacuous: the filter actually drops
+    # mass at these θ on the fixture delta, and the tight bound is far
+    # sharper than the coarse a-priori one
+    assert dropped_total > 0.0
+    assert tight < coarse
+
+
+def test_theta_zero_is_exact_full_pagerank(spark, sf_dir):
+    # θ=0 pruned propagation is algebraically the plain warm-started loop:
+    # refresh step + K full iterations == K+1 bounded iterations from warm
+    updated, warm = _setup(spark, sf_dir)
+    exact, _ = pagerank_pruned(updated, warm, theta=0.0, iterations=K)
+    twin = pagerank(updated, max_iterations=K + 1, init_state=warm)
+    assert _l1(exact, twin.state) < 1e-9
