@@ -180,6 +180,41 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
     )
 
 
+def _band_structs(bands: int, rows: int):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.hash(
+                    *[F.element_at("sig", b * rows + r + 1) for r in range(rows)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _banded_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, bands: int
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle sets, banded LSH keys) — both persisted.
+
+    The banded join references the signatures on BOTH sides, and without a
+    materialization barrier Catalyst inlines the 128-expression agg subtree
+    into every branch of the downstream joins — the optimizer then spends
+    minutes on the exploded plan (measured 464s → ~12s at sf0.1 with the
+    persists)."""
+    rows = num_hashes // bands
+    sets = shingle_sets(df, id_col, text_col).persist()
+    sigs = minhash_signatures(sets, num_hashes).persist()
+    banded = (
+        sigs.select("id", F.explode(_band_structs(bands, rows)).alias("bb"))
+        .select("id", "bb.band", "bb.bucket")
+        .persist()
+    )
+    return sets, banded
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -193,28 +228,7 @@ def minhash_lsh_pairs(
     32 bands × 4 rows: P(miss | jac=0.8) = (1−0.8⁴)^32 ≈ 5e-8 — effectively
     recall 1 at the threshold, with bucket sizes bounded by band collisions
     (the 100 TB-safe join key)."""
-    rows = num_hashes // bands
-    sets = shingle_sets(df, id_col, text_col).persist()
-    # persist the signatures: the banded self-join references them on BOTH
-    # sides, and without a materialization barrier Catalyst inlines the
-    # 128-expression agg subtree into every branch of the downstream joins —
-    # the optimizer then spends minutes on the exploded plan (measured 464s →
-    # ~12s at sf0.1 with the persists)
-    sigs = minhash_signatures(sets, num_hashes).persist()
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.hash(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("id", F.explode(band_structs).alias("bb")).select(
-        "id", "bb.band", "bb.bucket"
-    ).persist()
+    sets, banded = _banded_signatures(df, id_col, text_col, num_hashes, bands)
     cands = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
@@ -227,6 +241,44 @@ def minhash_lsh_pairs(
     # candidate/shingle leaves instead of re-optimizing the full signature
     # tree (measured 67s → 18s at sf0.1 for the SimHash variant)
     cands.count()
+    return _verify_pairs(cands, sets, threshold)
+
+
+def minhash_lsh_pairs_incr(
+    df: DataFrame,
+    new_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = JACCARD_THRESHOLD,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Incremental MinHash dedup step (I7 applied to the dedup domain): a
+    corpus delta of NEW documents arrives, the preserved base pairs stay
+    valid verbatim (old×old similarity cannot change), and only pairs
+    touching a new document are candidate-generated and verified — the
+    banded join's left side is restricted to new docs, so per-delta work is
+    O(|new| × bucket collisions), not O(|corpus|²-candidates).
+
+    ``new_ids``: one-column (id) relation of the delta's doc ids. Returns
+    verified (i, j, jac) pairs with at least one new endpoint; union with
+    the preserved base pairs reconstructs the full pair set."""
+    sets, banded = _banded_signatures(df, id_col, text_col, num_hashes, bands)
+    banded_new = banded.join(
+        new_ids.select(F.col(new_ids.columns[0]).alias("id")), "id", "left_semi"
+    )
+    cands = (
+        banded_new.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.least("a.id", "b.id").alias("i"),
+            F.greatest("a.id", "b.id").alias("j"),
+        )
+        .distinct()
+        .persist()
+    )
+    cands.count()  # eager: see minhash_lsh_pairs
     return _verify_pairs(cands, sets, threshold)
 
 
@@ -400,9 +452,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, "doc_id", "text")
 
 
-@register(
-    "dedup_cc_clusters",
-    oracle=f"""
+_CC_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
     edges AS (
       SELECT i AS src, j AS dst FROM pairs
@@ -415,7 +465,12 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     )
     SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
-    """,
+    """
+
+
+@register(
+    "dedup_cc_clusters",
+    oracle=_CC_ORACLE,
     doc="near-dup cluster assignment: MinHash+LSH verified pairs (the "
     "100 TB candidate path, exact after verification) as undirected edges, "
     "connected components by min-label propagation to fixpoint (cluster id "
@@ -432,6 +487,82 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
     res = connected_components(
         edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return res.state.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — the reference's preserve/delta discipline (SURVEY
+# §2.8 I6-I8) applied to the LLM-pipeline domain: a corpus delta of new
+# documents lands; preserved old×old pairs stay valid verbatim, only pairs
+# touching a new doc are generated and verified, and the near-dup clusters
+# warm-start from the preserved labeling instead of a cold fixpoint.
+
+_NEW_DOC_MOD = 10  # delta = every 10th doc (held out of the base corpus)
+
+
+def _doc_split(spark: SparkSession, sf_dir: str):
+    d = load_table(spark, sf_dir, "documents")
+    base = d.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
+    new = d.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
+    return d, base, new
+
+
+@register(
+    "incr_dedup_minhash_pairs",
+    oracle=_JACCARD_ORACLE,
+    doc="incremental MinHash+LSH dedup (I7 on the dedup domain): base "
+    f"corpus = doc_id % {_NEW_DOC_MOD} != 0, delta = the held-out tenth; "
+    "preserved base pairs are reused verbatim (old-by-old similarity "
+    "cannot change under insertion) and only candidates touching a new "
+    "doc are banded-joined and verified — per-delta work is O(|new| x "
+    "bucket collisions). Union equals the full-corpus pair set; oracle = "
+    "exact all-pairs Jaccard over the whole corpus.",
+)
+def incr_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, base, new = _doc_split(spark, sf_dir)
+    base_pairs = minhash_lsh_pairs(base, "doc_id", "text")
+    delta_pairs = minhash_lsh_pairs_incr(
+        d, new.select(F.col("doc_id").alias("id")), "doc_id", "text"
+    )
+    # disjoint by construction: base pairs are old-by-old, delta pairs
+    # touch at least one new doc
+    return base_pairs.unionByName(delta_pairs)
+
+
+@register(
+    "incr_dedup_clusters",
+    oracle=_CC_ORACLE,
+    doc="incremental near-dup clustering: the preserved base clusters "
+    "(min-label CC over base pairs) warm-start the propagation after the "
+    "delta's pairs land — labels only decrease under edge additions, so "
+    "re-convergence walks the merge boundary instead of whole-component "
+    "diameters (SURVEY §3.3 on the CC workload). Oracle: recursive-CTE "
+    "transitive closure over the full corpus's exact-Jaccard pairs.",
+)
+def incr_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import connected_components
+
+    d, base, new = _doc_split(spark, sf_dir)
+    base_pairs = minhash_lsh_pairs(base, "doc_id", "text")
+    base_cc = connected_components(
+        base_pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")),
+        nodes=base.select(F.col("doc_id").alias("node")),
+    )
+    warm = base_cc.state  # (node, comp) — eager-checkpointed per round
+    delta_pairs = minhash_lsh_pairs_incr(
+        d, new.select(F.col("doc_id").alias("id")), "doc_id", "text"
+    )
+    all_edges = (
+        base_pairs.unionByName(delta_pairs)
+        .select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    res = connected_components(
+        all_edges,
+        nodes=d.select(F.col("doc_id").alias("node")),
+        init_labels=warm,
     )
     return res.state.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")

@@ -1150,6 +1150,7 @@ def connected_components(
     *,
     nodes: DataFrame | None = None,
     max_iterations: int = 30,
+    init_labels: DataFrame | None = None,
 ) -> IterationResult:
     """Undirected connected components by min-label propagation on the
     iterate() driver: comp(v) ← min(comp(v), min over neighbors comp(u))
@@ -1168,7 +1169,17 @@ def connected_components(
     per-round work tracks the shrinking frontier instead of |E|, and an
     empty frontier is itself the convergence signal (no separate
     distance job). Scale: the symmetrized edge list is partitioned by src
-    once and reused every round; the frontier side broadcasts while small."""
+    once and reused every round; the frontier side broadcasts while small.
+
+    ``init_labels`` (node, comp) warm-starts from a preserved labeling —
+    the incremental mode for edge ADDITIONS (SURVEY §3.3 semantics on the
+    CC workload): adding edges only merges components, labels only
+    decrease, and each preserved label is the min id of its old component
+    — a valid upper bound of the merged component's min — so propagation
+    from the old fixpoint converges to the new one in O(merge-boundary)
+    rounds instead of O(diameter). Nodes absent from ``init_labels`` start
+    at their own id. Edge deletions would need a recompute (a component
+    can split)."""
     # the symmetrize-union references edges twice; persist first so an
     # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1185,9 +1196,14 @@ def connected_components(
         endpoint_nodes.union(nodes.select("node")) if nodes is not None
         else endpoint_nodes
     ).distinct()
+    if init_labels is not None:
+        labeled = all_nodes.join(init_labels, "node", "left").select(
+            "node", F.coalesce("comp", F.col("node")).alias("comp")
+        )
+    else:
+        labeled = all_nodes.select("node", F.col("node").alias("comp"))
     state = (
-        all_nodes.select("node", F.col("node").alias("comp"))
-        .repartition(n, "node")
+        labeled.repartition(n, "node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     state.count()

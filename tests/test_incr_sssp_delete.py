@@ -81,3 +81,32 @@ def test_fixpoint_oracle_unroll_margin(spark, sf_dir):
     # comfortably inside that margin on driver data
     res = sssp(_sssp_edges(spark, sf_dir), source=0, max_iterations=30)
     assert res.converged and res.iterations <= 15, res.iterations
+
+
+def test_warm_start_cc_matches_cold(spark):
+    # incremental CC: warm labels from the base graph + new merge edge must
+    # converge to the same fixpoint as a cold run on the full graph
+    from incr_iter_hadoop_spark.operators.iterative import connected_components
+
+    base_edges = _df(
+        spark, [(1, 2, 0.0), (3, 4, 0.0), (5, 6, 0.0)],
+        "src long, dst long, w double",
+    ).select("src", "dst")
+    cold_base = connected_components(base_edges)
+    warm = cold_base.state
+    assert {r["node"]: r["comp"] for r in warm.collect()} == {
+        1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5,
+    }
+    # delta merges {1,2} with {3,4}; {5,6} untouched
+    new_edges = base_edges.unionByName(
+        _df(spark, [(2, 3, 0.0)], "src long, dst long, w double").select(
+            "src", "dst"
+        )
+    )
+    warm_res = connected_components(new_edges, init_labels=warm)
+    cold_res = connected_components(new_edges)
+    w = {r["node"]: r["comp"] for r in warm_res.state.collect()}
+    c = {r["node"]: r["comp"] for r in cold_res.state.collect()}
+    assert w == c == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+    # warm-start must not be slower in rounds than cold (labels start merged)
+    assert warm_res.iterations <= cold_res.iterations
