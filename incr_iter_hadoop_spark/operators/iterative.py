@@ -230,7 +230,13 @@ def sssp(
     distances — the incremental mode for ADDITIONS-ONLY edge deltas: old
     distances stay valid upper bounds (min-plus is monotone under edge
     insertion), so re-convergence relaxes only paths the new edges
-    improve. Edge deletions would need recompute-from-source instead."""
+    improve. Edge deletions need ``sssp_invalidate_affected`` first.
+
+    Fixpoint mode runs ONE job per iteration: the step's full-outer join
+    already has the previous distance on the row, so a ``changed`` flag
+    (min-plus only decreases — changed ⇔ new < prev or node is new) is
+    free, and the not-yet-converged count (A8) rides the materializing
+    action via ``df.observe`` instead of a second prev⋈curr join job."""
     spark = edges.sparkSession
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
@@ -241,7 +247,7 @@ def sssp(
         else spark.createDataFrame([(source, 0.0)], "node long, dist double")
     )
 
-    def step(state: DataFrame, i: int) -> DataFrame:
+    def step_bounded(state: DataFrame, i: int) -> DataFrame:
         relaxed = (
             static.join(state, static.src == state.node)
             .select("dst", (F.col("dist") + F.col("w")).alias("cand"))
@@ -259,24 +265,48 @@ def sssp(
             )
         )
 
-    def changed(prev: DataFrame, curr: DataFrame) -> float:
-        j = prev.join(curr, "node", "full_outer")
-        return float(
-            j.where(
-                prev["dist"].isNull()
-                | curr["dist"].isNull()
-                | (prev["dist"] != curr["dist"])
-            ).count()
+    def step_observed(state: DataFrame, i: int) -> DataFrame:
+        prev = state.select("node", F.col("dist").alias("_prev"))
+        relaxed = (
+            static.join(state, static.src == state.node)
+            .select("dst", (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new_dist = F.least(
+            F.coalesce("_prev", F.lit(float("inf"))),
+            F.coalesce("cand", F.lit(float("inf"))),
+        )
+        return (
+            prev.join(relaxed, prev.node == relaxed.dst, "full_outer")
+            .select(
+                F.coalesce("node", "dst").alias("node"),
+                new_dist.alias("dist"),
+                F.when(
+                    F.col("_prev").isNull() | (new_dist < F.col("_prev")), 1
+                )
+                .otherwise(0)
+                .alias("changed"),
+            )
         )
 
-    result = iterate(
-        state0,
-        step,
-        max_iterations=max_iterations,
-        distance=changed if run_to_fixpoint else None,
-        threshold=0.0,
-        checkpoint_interval=checkpoint_interval,
-    )
+    if run_to_fixpoint:
+        result = iterate(
+            state0.withColumn("changed", F.lit(1)),
+            step_observed,
+            max_iterations=max_iterations,
+            observed_distance=F.sum("changed").cast("double"),
+            threshold=0.0,
+            checkpoint_interval=checkpoint_interval,
+        )
+        result.state = result.state.drop("changed")
+    else:
+        result = iterate(
+            state0,
+            step_bounded,
+            max_iterations=max_iterations,
+            checkpoint_interval=checkpoint_interval,
+        )
     static.unpersist()
     edges.unpersist()
     return result
