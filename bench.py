@@ -157,6 +157,42 @@ def main() -> None:
         else None
     )
 
+    # linear fast path (sum/count only — updateResKV analogue): new result =
+    # old + net delta, zero preserved-contribution reads
+    from incr_iter_hadoop_spark.operators.incremental import refresh_linear
+
+    lin_state = preserve(
+        contribs,
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_exprs={
+            "spend": F.sum(F.col("o_totalprice").cast("decimal(27,6)")),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+    lin_state.results.persist().count()
+    lin_runs = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        refresh_linear(
+            lin_state,
+            delta,
+            linear_exprs={
+                "spend": F.sum(
+                    F.col("_sign") * F.col("o_totalprice").cast("decimal(27,6)")
+                ),
+                "n_orders": F.sum("_sign").cast("bigint"),
+            },
+            count_col="n_orders",
+        ).write.format("noop").mode("overwrite").save()
+        lin_runs.append(round(time.perf_counter() - t0, 3))
+    linear_refresh_sec = _median(lin_runs)
+    linear_ratio = (
+        round(linear_refresh_sec / full_recompute_sec, 3)
+        if full_recompute_sec
+        else None
+    )
+
     # The on-disk preserve-store scenario: state ≫ delta (the reference's
     # actual operating point — IFile.PreserveFile holds the converged state,
     # deltas are small). State = orders contributions replicated 150×
@@ -291,6 +327,10 @@ def main() -> None:
         # legacy in-memory scenario (state ~ |orders|): dominated by Spark's
         # fixed per-job overhead at sf0.1; kept for trend comparison
         "incr_mem_refresh_vs_full_recompute": incr_ratio,
+        # invertible-aggregate fast path: old result + net delta, no
+        # contribution reads (updateResKV analogue)
+        "incr_mem_linear_refresh_sec": linear_refresh_sec,
+        "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
     }
     print(json.dumps(result))
     # BASELINE.md protocol: record runs for regression tracking + trend table

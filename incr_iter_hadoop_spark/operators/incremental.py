@@ -136,6 +136,64 @@ def refresh(state: PreservedState, delta: DataFrame, op_col: str = "op") -> Pres
     )
 
 
+def refresh_linear(
+    state: PreservedState,
+    delta: DataFrame,
+    linear_exprs: dict[str, Column],
+    op_col: str = "op",
+    count_col: str | None = None,
+) -> DataFrame:
+    """I8 fast path for INVERTIBLE aggregates (sum/count): the new result is
+    old_result + net delta contribution, computed from the DELTA ALONE — no
+    preserved-contribution reads at all, so a refresh touches O(|delta|)
+    rows plus point reads of the affected groups' RESULT rows (tiny),
+    versus the recompute path's O(affected groups' contribs).
+
+    The reference distinguishes exactly these two refresh modes: in-place
+    result update for accumulable aggregates (updateResKV,
+    IFile.java:805-930) vs full group re-reduce for the rest
+    (ReduceTask.java:3324-3500). ``refresh()`` is the general path;
+    this one requires every output column to be linear.
+
+    ``linear_exprs``: output col -> SIGNED aggregate over the delta rows,
+    evaluated with a ``_sign`` column (+1 for '+', −1 for '-') in scope —
+    e.g. ``F.sum(F.col("_sign") * F.col("v"))``. Retraction rows must carry
+    the true stored payload (the reference's remove records do,
+    UpdatePageRankGraph.java:58-141); the recompute path ignores '-'
+    payloads, this path trusts them.
+
+    Returns the refreshed RESULTS relation (the caller re-derives contribs
+    if it needs a further non-linear refresh)."""
+    gk = state.group_keys
+    signed = delta.withColumn(
+        "_sign", F.when(F.col(op_col) == "+", F.lit(1)).otherwise(F.lit(-1))
+    )
+    net = signed.groupBy(*gk).agg(
+        *[expr.alias(f"_d_{name}") for name, expr in linear_exprs.items()]
+    )
+    joined = state.results.join(net, gk, "full_outer")
+    out_cols = [F.col(k) for k in gk]
+    for name in state.agg_exprs:
+        if name not in linear_exprs:
+            raise ValueError(
+                f"refresh_linear: aggregate '{name}' has no linear delta "
+                "expression — use refresh() for non-invertible aggregates"
+            )
+        out_cols.append(
+            (
+                F.coalesce(F.col(name), F.lit(0))
+                + F.coalesce(F.col(f"_d_{name}"), F.lit(0))
+            ).alias(name)
+        )
+    refreshed = joined.select(*out_cols)
+    # groups whose every contribution was retracted net to a zero count —
+    # they vanished (the recompute path drops them because no rows remain).
+    # ``count_col`` names the row-count output column used for the check.
+    if count_col is not None:
+        refreshed = refreshed.where(F.col(count_col) > 0)
+    return refreshed
+
+
 def changed_groups(
     old: PreservedState, new: PreservedState, distance: Column, threshold: float
 ) -> DataFrame:
@@ -284,6 +342,171 @@ def incr_refresh_orders_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.refresh(additions.unionByName(removals))
     return store.current_results()
+
+
+@register(
+    "incr_refresh_orders_linear",
+    oracle=f"""
+    SELECT o_custkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE), 6)
+             AS spend,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE NOT (CAST(o_orderdate AS DATE) < DATE '{_CUTOFF}'
+               AND o_orderkey % 97 = 0)
+    GROUP BY o_custkey
+    """,
+    doc="I8 linear fast path (in-place accumulable update, updateResKV "
+    "IFile.java:805-930): the same delta as incr_refresh_orders applied to "
+    "a SUM/COUNT-only view via refresh_linear — new result = old result + "
+    "net delta, computed from the delta ALONE with zero preserved-"
+    "contribution reads (the non-invertible-MAX twin incr_refresh_orders "
+    "exercises the group-recompute path). Decimal accumulation keeps the "
+    "add exact, so the oracle is the same full recompute.",
+)
+def incr_refresh_orders_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_CUTOFF).cast("date")
+    base = o.where(F.col("o_orderdate").cast("date") < cutoff)
+    contribs = base.select("o_custkey", "o_orderkey", "o_totalprice")
+    state = preserve(
+        contribs,
+        group_keys=["o_custkey"],
+        source_keys=["o_orderkey"],
+        agg_exprs={
+            # UNROUNDED internally: the linear path adds the net delta to
+            # the stored value, so rounding happens once at the output
+            "spend": F.sum(F.col("o_totalprice").cast("decimal(27,6)")),
+            "n_orders": F.count(F.lit(1)),
+        },
+    )
+    additions = (
+        o.where(F.col("o_orderdate").cast("date") >= cutoff)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("+"))
+    )
+    removals = (
+        base.where(F.col("o_orderkey") % 97 == 0)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("op", F.lit("-"))
+    )
+    refreshed = refresh_linear(
+        state,
+        additions.unionByName(removals),
+        linear_exprs={
+            "spend": F.sum(
+                F.col("_sign") * F.col("o_totalprice").cast("decimal(27,6)")
+            ),
+            "n_orders": F.sum("_sign").cast("bigint"),
+        },
+        count_col="n_orders",
+    )
+    return refreshed.select(
+        "o_custkey",
+        F.round(F.col("spend").cast("double"), 6).alias("spend"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "incr_spmv_delta1",
+    oracle=f"""
+    WITH m AS ({{spmv_sql}}),
+    x0 AS (SELECT DISTINCT c AS i, CAST(1.0 AS DOUBLE) AS x FROM m),
+    p AS (
+      SELECT (r * 7 + 3) % 500 AS r, (c * 3 + 1) % 500 AS c,
+             CAST(1.5 AS DOUBLE) AS v
+      FROM m WHERE (r + c) % 13 = 0
+    ),
+    m2 AS (
+      SELECT r, c, v FROM m WHERE (r + c) % 11 <> 0
+      UNION ALL SELECT r, c, v FROM p
+    )
+    SELECT m2.r AS i, ROUND(SUM(m2.v * x.x), 6) AS x
+    FROM m2 JOIN x0 x ON m2.c = x.i GROUP BY m2.r
+    """,
+    doc="incremental SpMV — the delta-propagation identity for a LINEAR "
+    "operator (A−D+P)·x = A·x + (P−D)·x: the preserved product y = A·x is "
+    "updated from the matrix delta ALONE (O(|Δ|) work, no re-read of A "
+    "beyond the preserved per-row cell counts that detect fully-retracted "
+    "rows). Values are dyadic rationals (integer quantity sums and 1.5), "
+    "so the float add is exact and the oracle is a full recompute over "
+    "the delta-applied matrix.",
+)
+def incr_spmv_delta1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import _spmv_matrix
+
+    m = _spmv_matrix(spark, sf_dir).persist()
+    x0 = (
+        m.select(F.col("c").alias("i"))
+        .distinct()
+        .select("i", F.lit(1.0).alias("x"))
+        .persist()
+    )
+    # preserve run: y = A·x plus per-row cell count (the vanish detector)
+    y1 = (
+        m.join(x0, m.c == x0.i)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("v") * F.col("x")).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    removals = m.where((F.col("r") + F.col("c")) % 11 == 0).withColumn(
+        "op", F.lit("-")
+    )
+    additions = (
+        m.where((F.col("r") + F.col("c")) % 13 == 0)
+        .select(
+            ((F.col("r") * 7 + 3) % 500).alias("r"),
+            ((F.col("c") * 3 + 1) % 500).alias("c"),
+            F.lit(1.5).alias("v"),
+        )
+        .withColumn("op", F.lit("+"))
+    )
+    signed = additions.unionByName(removals).withColumn(
+        "_s", F.when(F.col("op") == "+", F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+    dy = (
+        signed.join(x0, signed.c == x0.i)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("_s") * F.col("v") * F.col("x")).alias("dx"),
+            F.sum("_s").alias("dn"),
+        )
+    )
+    out = (
+        y1.join(dy, "r", "full_outer")
+        .select(
+            F.col("r").alias("i"),
+            (
+                F.coalesce("x", F.lit(0.0)) + F.coalesce("dx", F.lit(0.0))
+            ).alias("x"),
+            (
+                F.coalesce("n", F.lit(0)).cast("double")
+                + F.coalesce("dn", F.lit(0.0))
+            ).alias("_nn"),
+        )
+        .where(F.col("_nn") > 0)
+        .select("i", F.round("x", 6).alias("x"))
+    )
+    return out
+
+
+def _patch_spmv_delta_oracle() -> None:
+    from ..registry import _REGISTRY, QuerySpec
+    from .iterative import _SPMV_MATRIX_SQL
+
+    spec = _REGISTRY["incr_spmv_delta1"]
+    _REGISTRY["incr_spmv_delta1"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=spec.oracle.replace("{spmv_sql}", _SPMV_MATRIX_SQL),
+        doc=spec.doc,
+    )
+
+
+_patch_spmv_delta_oracle()
 
 
 # ---------------------------------------------------------------------------
