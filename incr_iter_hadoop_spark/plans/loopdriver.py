@@ -174,10 +174,15 @@ def iterate(
                 converged = True
                 break
         else:
-            # fixed-iteration mode: materialize eagerly — a step may reference
-            # state multiple times, and an unmaterialized plan would double
-            # per iteration
-            new_state.count()
+            # fixed-iteration mode: materialize at the checkpoint cadence and
+            # at the end, not every iteration — persist() markers make a
+            # multiply-referenced state compute once within the one job that
+            # eventually runs, so the intermediate counts were pure job
+            # overhead; the interval-count still bounds the optimizer's plan
+            # depth (the lazy localCheckpoint above truncates when it
+            # materializes)
+            if i % checkpoint_interval == 0 or i == max_iterations:
+                new_state.count()
             state.unpersist()
             state = new_state
     for obs in observations:
