@@ -140,12 +140,15 @@ def iterate(
             new_state = new_state.localCheckpoint(eager=False)
         if observe_counts:
             # observe AFTER any checkpoint: localCheckpoint replaces the
-            # logical plan, which would drop the CollectMetrics node
-            obs = Observation(f"iteration_{i}")
+            # logical plan, which would drop the CollectMetrics node.
+            # Anonymous Observation(): the name must be globally unique —
+            # joining the states of two separate runs whose iteration i
+            # carried the same metric name fails with DUPLICATED_METRICS_NAME
+            obs = Observation()
             new_state = new_state.observe(obs, F.count(F.lit(1)).alias("records"))
             observations.append(obs)
         if observed_distance is not None:
-            dist_obs = Observation(f"distance_{i}")
+            dist_obs = Observation()  # anonymous: see observe_counts note
             new_state = new_state.observe(
                 dist_obs, observed_distance.alias("distance")
             )
