@@ -592,3 +592,96 @@ def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm2(F.col("embedding")), 6).alias("l2"),
         F.size(F.filter(v, lambda x: x > 0)).cast("bigint").alias("n_pos"),
     )
+
+
+@register(
+    "scan_text_kv_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS regionkey,
+           CAST(LENGTH(CAST(n_nationkey AS VARCHAR)) + 1 + LENGTH(n_name)
+                AS INT) AS raw_line_len
+    FROM nation
+    """,
+    doc="S1+S2+S4 text scan surface, driver-checkable end-to-end: nation is "
+    "written out as two tab-separated text files, then read back through "
+    "all three reader flavors — S1 read_text_lines (raw line relation; "
+    "contributes the raw line length), S2 read_kv_text (first-separator "
+    "key/value split, KeyValueTextInputFormat semantics), S4 read_typed_kv "
+    "(schema-cast typed KV lines, IntFloatKVInputFormat family) — joined "
+    "on the key. Oracle recomputes the same rows (and the line length "
+    "arithmetically) from the table directly, so any parse drift in the "
+    "readers breaks the hash.",
+)
+def scan_text_kv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.readers import read_kv_text, read_text_lines, read_typed_kv
+    from .incremental import _cleanup_at_exit
+
+    n = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="scan_text_roundtrip_")
+    # the returned DataFrame reads these files lazily; clean at exit
+    _cleanup_at_exit(tmp, "")
+    name_file = os.path.join(tmp, "names")
+    region_file = os.path.join(tmp, "regions")
+    n.select(
+        F.concat_ws("\t", F.col("n_nationkey"), F.col("n_name")).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(name_file)
+    n.select(
+        F.concat_ws("\t", F.col("n_nationkey"), F.col("n_regionkey")).alias(
+            "value"
+        )
+    ).coalesce(1).write.mode("overwrite").text(region_file)
+
+    raw = read_text_lines(spark, name_file).select(
+        F.substring_index("value", "\t", 1).cast("bigint").alias("nationkey"),
+        F.length("value").cast("int").alias("raw_line_len"),
+    )
+    kv = read_kv_text(spark, name_file).select(
+        F.col("k").cast("bigint").alias("nationkey"),
+        F.col("v").alias("n_name"),
+    )
+    typed = read_typed_kv(
+        spark, region_file, key_type="bigint", value_type="bigint"
+    ).select(
+        F.col("k").alias("nationkey"), F.col("v").alias("regionkey")
+    )
+    return (
+        kv.join(typed, "nationkey")
+        .join(raw, "nationkey")
+        .select("nationkey", "n_name", "regionkey", "raw_line_len")
+    )
+
+
+@register(
+    "pipe_external_transform",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           UPPER(n_name) AS uname,
+           CAST(LENGTH(n_name) AS BIGINT) AS name_len
+    FROM nation
+    """,
+    doc="U4 external-program transport, driver-checkable: nation rows "
+    "stream through an external `awk` process (Hadoop-streaming "
+    "PipeMapper analogue, contrib/streaming PipeMapper.java:1-180) that "
+    "upper-cases the name and appends its length; stdout lines are parsed "
+    "back into typed columns on the executors via mapInPandas. Oracle "
+    "computes the same transform in SQL — any transport drift (field "
+    "splitting, row loss, encoding) breaks the hash.",
+)
+def pipe_external_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import pipe_transform
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return pipe_transform(
+        n,
+        [
+            "awk",
+            "-F\t",
+            '{ print $1 "\t" toupper($2) "\t" length($2) }',
+        ],
+        output_schema="nationkey bigint, uname string, name_len bigint",
+    )
