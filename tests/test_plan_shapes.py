@@ -167,3 +167,23 @@ def test_pruned_pagerank_frontier_broadcasts(spark, sf_dir):
     static.unpersist()
     edges.unpersist()
     frontier.unpersist()
+
+
+def test_pagerank_static_side_is_single_exchange(spark):
+    # adjacency + out-degree must come from ONE exchange over the edge
+    # relation: the repartition provides the hash distribution and the
+    # degree window rides it as a within-partition sort (the old
+    # groupBy+join+repartition shape cost two more shuffles of |E| at
+    # every loop warm-up).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    edges = spark.createDataFrame(
+        [(i % 40, (i * 7 + 1) % 40) for i in range(400)],
+        "src long, dst long",
+    )
+    static = edges.repartition(8, "src").withColumn(
+        "deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    )
+    plan = static._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
