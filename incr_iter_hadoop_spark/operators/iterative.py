@@ -53,6 +53,7 @@ def pagerank(
     checkpoint_interval: int = 5,
     num_partitions: int | None = None,
     init_state: DataFrame | None = None,
+    observe_counts: bool = False,
 ) -> IterationResult:
     """Reference-semantics PageRank: rank₀=1.0; rankᵢ₊₁(v) = retain +
     damping·Σ_{(u,v)∈E} rankᵢ(u)/deg(u). Constants 0.2/0.8 are the
@@ -144,6 +145,7 @@ def pagerank(
         ),
         threshold=threshold if threshold is not None else 0.0,
         checkpoint_interval=checkpoint_interval,
+        observe_counts=observe_counts,
     )
     static.unpersist()
     edges.unpersist()
@@ -1608,3 +1610,29 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = closed.agg(F.count(F.lit(1)).alias("n_triangles"))
     return out
+
+
+@register(
+    "loop_iteration_counters",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    n AS (SELECT COUNT(*) AS records FROM nodes)
+    SELECT CAST(t.it AS INT) AS iteration, CAST(n.records AS BIGINT) AS records
+    FROM (VALUES (1), (2), (3)) t(it), n
+    """,
+    doc="A9 counters / I11 per-iteration stats, driver-checkable: three "
+    "bounded PageRank iterations with observe_counts=True report each "
+    "iteration's record count through df.observe (the reference's "
+    "IterationInfo stats reported to the master, "
+    "JobTracker.java:5516-5583; Counters.java) — piggybacked on the "
+    "iterations' existing actions, zero extra jobs. PageRank's state "
+    "invariantly holds every node, so the oracle is |V| per iteration; a "
+    "dropped or duplicated state row anywhere in the loop breaks the hash.",
+)
+def loop_iteration_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = pagerank(
+        _lineitem_edges(spark, sf_dir), max_iterations=3, observe_counts=True
+    )
+    rows = [(k + 1, int(c)) for k, c in enumerate(res.record_counts)]
+    return spark.createDataFrame(rows, "iteration int, records bigint")
