@@ -344,11 +344,11 @@ def simhash_pairs(
 # registered queries — all near-dup variants share the exact-Jaccard oracle
 
 _JACCARD_ORACLE = f"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT doc_id,
              list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                             for i in range(1, len(w) - 1)]) AS s
@@ -379,16 +379,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_DF_CAPPED_ORACLE = f"""
-    WITH tok AS (
+    WITH tok AS MATERIALIZED (
       SELECT doc_id,
              list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
       FROM documents
-    ), sh AS (
+    ), sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
                             for i in range(1, len(w) - 1)]) AS s
       FROM tok WHERE len(w) >= 3
-    ), inv AS (
+    ), inv AS MATERIALIZED (
       SELECT doc_id, unnest(s) AS shingle FROM sh
     ), df AS (
       SELECT shingle, COUNT(*) AS n_docs FROM inv GROUP BY shingle
@@ -453,8 +453,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CC_ORACLE = f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+    edges AS MATERIALIZED (
       SELECT i AS src, j AS dst FROM pairs
       UNION
       SELECT j AS src, i AS dst FROM pairs

@@ -854,16 +854,16 @@ def _pagerank_pruned_sql(
     """CTE chain mirroring warm-start + full refresh step + theta-pruned
     delta-propagation iterations on the delta-applied graph."""
     parts = [
-        f"WITH bedges AS ({_EDGES_BASE_SQL}),",
-        "bnodes AS (SELECT src AS node FROM bedges"
+        f"WITH bedges AS MATERIALIZED ({_EDGES_BASE_SQL}),",
+        "bnodes AS MATERIALIZED (SELECT src AS node FROM bedges"
         " UNION SELECT dst FROM bedges),",
-        "bdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM bedges"
+        "bdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM bedges"
         " GROUP BY src),",
         "b0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM bnodes)",
     ]
     for i in range(1, warm_iters + 1):
         parts.append(
-            f""", b{i} AS (
+            f""", b{i} AS MATERIALIZED (
   SELECT n.node, 0.2 + 0.8 * COALESCE(c.mass, 0.0) AS rank
   FROM bnodes n LEFT JOIN (
     SELECT e.dst AS node, SUM(r.rank / bdeg.d) AS mass
@@ -874,19 +874,19 @@ def _pagerank_pruned_sql(
 )"""
         )
     parts.append(
-        f""", edges AS ({_UPDATED_EDGES_SQL}),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
-warm AS (
+        f""", edges AS MATERIALIZED ({_UPDATED_EDGES_SQL}),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+warm AS MATERIALIZED (
   SELECT n.node, COALESCE(b.rank, 1.0) AS rank
   FROM nodes n LEFT JOIN b{warm_iters} b ON n.node = b.node
 ),
-m0 AS (
+m0 AS MATERIALIZED (
   SELECT e.dst AS node, SUM(w.rank / d.d) AS mass
   FROM warm w JOIN edges e ON w.node = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst
 ),
-s0 AS (
+s0 AS MATERIALIZED (
   SELECT n.node, COALESCE(m.mass, 0.0) AS mass,
          0.2 + 0.8 * COALESCE(m.mass, 0.0) AS rank,
          0.2 + 0.8 * COALESCE(m.mass, 0.0) - w.rank AS delta
@@ -896,13 +896,13 @@ s0 AS (
     )
     for i in range(1, pruned_iters + 1):
         parts.append(
-            f""", c{i} AS (
+            f""", c{i} AS MATERIALIZED (
   SELECT node, delta FROM s{i-1} WHERE ABS(delta) >= {theta!r}
-), p{i} AS (
+), p{i} AS MATERIALIZED (
   SELECT e.dst AS node, SUM(c.delta / d.d) AS corr
   FROM c{i} c JOIN edges e ON c.node = e.src JOIN deg d ON d.src = e.src
   GROUP BY e.dst
-), s{i} AS (
+), s{i} AS MATERIALIZED (
   SELECT s.node, s.mass + COALESCE(p.corr, 0.0) AS mass,
          0.2 + 0.8 * (s.mass + COALESCE(p.corr, 0.0)) AS rank,
          0.8 * COALESCE(p.corr, 0.0) AS delta

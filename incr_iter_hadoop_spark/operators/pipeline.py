@@ -31,8 +31,8 @@ from .textops import _STOPS_SQL, EN_STOPWORDS
 @register(
     "pipeline_clean_corpus",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
-    edges AS (
+    WITH RECURSIVE pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+    edges AS MATERIALIZED (
       SELECT i AS src, j AS dst FROM pairs
       UNION
       SELECT j AS src, i AS dst FROM pairs
@@ -42,13 +42,13 @@ from .textops import _STOPS_SQL, EN_STOPWORDS
       UNION
       SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
     ),
-    clusters AS (
+    clusters AS MATERIALIZED (
       SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
     ),
-    exact_keep AS (
+    exact_keep AS MATERIALIZED (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
-    t AS (
+    t AS MATERIALIZED (
       SELECT doc_id,
              list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
       FROM documents
