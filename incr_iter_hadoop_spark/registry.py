@@ -71,20 +71,20 @@ def _load_all() -> None:
 # Convergence-driven (no_oracle) variants and redundant family twins are
 # deliberately registered behind the window — they stay covered by pytest.
 #
-# ROTATION (round 4): ten redundant twins whose families earned green
+# ROTATION (round 4): fourteen redundant twins whose families earned green
 # driver rows in round 3 (join_override, setop_union, gen_random_kv,
 # kmeans_assign, dedup_exact, field_selection, agg_global,
-# total_sort_top100, udf_scalar_pandas, secondary_sort_top3) swapped out
-# for ten never-driver-checked families — every family keeps >= 1 green
-# witness across rounds 3 ∪ 4, and the driver's hash reach widens each
-# round at zero coverage loss.
+# total_sort_top100, udf_scalar_pandas, secondary_sort_top3,
+# projection_inverse_map, wordcount, ann_bruteforce_topk,
+# incr_refresh_orders) swapped out for never-driver-checked families —
+# every family keeps >= 1 green witness across rounds 3 ∪ 4, and the
+# driver's hash reach widens each round at zero coverage loss.
 
 FIRST_WINDOW: list[str] = [
-    # scans / projection / scalar battery (S3, P1-P7)
+    # scans / projection / scalar battery (S1-S4, P2, P6-P7)
     "scan_pruned_filter",
-    "projection_inverse_map",
+    "scan_text_kv_roundtrip",
     "grep_regex",
-    "wordcount",
     "scalar_battery",
     # generators (P9; P8 twin gen_random_kv green in r03)
     "gen_graph_degrees",
@@ -108,36 +108,42 @@ FIRST_WINDOW: list[str] = [
     "sssp_converged",
     "spmv_bounded2",
     "kmeans_bounded2",
-    # incremental view maintenance (S10, I6-I9, J6, J7) + deletion SSSP
-    "incr_refresh_orders",
+    # incremental view maintenance (S10, I6-I9, J6, J7) + deletion SSSP +
+    # the invertible-aggregate linear fast path (general-path twin
+    # incr_refresh_orders was green in r03; disk + streaming twins remain)
+    "incr_refresh_orders_linear",
     "incr_refresh_orders_disk",
     "incr_pagerank_delta5",
     "incr_pagerank_pruned4",
     "incr_sssp_delete3",
+    # A9/I11 per-iteration counters via df.observe
+    "loop_iteration_counters",
     # sort / window / top-k (W1/O1 twins green in r03; O2, O4 stay)
     "window_battery",
     "sort_validate",
     "topk_customers",
-    # pivot/unpivot + batch tumbling windows
-    "events_pivot",
+    # batch tumbling windows (pivot twin events_pivot green in r03)
     "events_tumbling",
     # set operations (§2.7; union twin green in r03)
     "setop_except",
-    # UDF surface (U3, UDTF; U1 scalar twin green in r03)
+    # UDF surface (U3, UDTF, U4 external transport; U1 scalar twin green
+    # in r03)
     "udf_grouped_agg",
     "udtf_explode_bigrams",
+    "pipe_external_transform",
     # text analysis (LLM pipeline) + chunking
     "text_token_stats",
     "text_quality",
     "doc_fingerprint",
     "text_chunk_windows",
-    # similarity search (LLM pipeline) incl. bucketed ANN
-    "ann_bruteforce_topk",
+    # similarity search (LLM pipeline; exact brute-force twin green in r03)
     "ann_lsh_topk",
     "embedding_top_pairs_lsh",
-    # dedup (LLM pipeline; exact-dedup twin green in r03)
+    # dedup (LLM pipeline; exact-dedup twin green in r03) + the
+    # incremental delta-restricted variant
     "dedup_minhash_pairs",
     "dedup_cc_clusters",
+    "incr_dedup_minhash_pairs",
     # corpus pipeline: sampling, composed cleaning, decontamination
     "sample_documents_10pct",
     "pipeline_clean_corpus",
