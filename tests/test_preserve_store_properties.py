@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
 
@@ -82,4 +83,79 @@ def test_layered_refresh_equals_recompute(spark, tmp_path_factory, base, deltas)
     for (g, _s), v in model.items():
         t, n, m = expect.get(g, (0.0, 0, float("-inf")))
         expect[g] = (t + v, n + 1, max(m, v))
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# refresh_linear ≡ refresh on invertible aggregates, property-tested
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    base=st.lists(
+        st.tuples(
+            st.integers(0, 5),          # group
+            st.integers(0, 30),         # source
+            st.integers(-50, 50),       # value (integer-valued double: exact)
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    plus=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(100, 130), st.integers(-50, 50)),
+        max_size=10,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    minus_idx=st.sets(st.integers(0, 24), max_size=10),
+)
+def test_refresh_linear_matches_recompute(spark, base, plus, minus_idx):
+    """For SUM/COUNT state the linear path (old + net delta, no contribution
+    reads) must equal the general group-recompute path on ANY delta whose
+    retractions carry the true stored payloads."""
+    from incr_iter_hadoop_spark.operators.incremental import (
+        preserve,
+        refresh,
+        refresh_linear,
+    )
+
+    contribs = spark.createDataFrame(
+        [(g, s, float(v)) for g, s, v in base], "g bigint, s bigint, v double"
+    )
+    state = preserve(
+        contribs,
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_exprs={"total": F.sum("v"), "n": F.count(F.lit(1))},
+    )
+    minus_rows = [base[i] for i in minus_idx if i < len(base)]
+    delta_rows = [(g, s, float(v), "+") for g, s, v in plus] + [
+        (g, s, float(v), "-") for g, s, v in minus_rows
+    ]
+    if not delta_rows:
+        return
+    delta = spark.createDataFrame(
+        delta_rows, "g bigint, s bigint, v double, op string"
+    )
+    expect = {
+        r["g"]: (r["total"], r["n"])
+        for r in refresh(state, delta).results.collect()
+        if r["n"] > 0  # recompute emits no row for emptied groups
+    }
+    got = {
+        r["g"]: (r["total"], r["n"])
+        for r in refresh_linear(
+            state,
+            delta,
+            linear_exprs={
+                "total": F.sum(F.col("_sign") * F.col("v")),
+                "n": F.sum("_sign").cast("bigint"),
+            },
+            count_col="n",
+        ).collect()
+    }
     assert got == expect
