@@ -162,21 +162,36 @@ def minhash_signatures(sets: DataFrame, num_hashes: int = 128) -> DataFrame:
     mod 2^31. One string hash per shingle row + 128 multiply-adds — ~an
     order of magnitude cheaper than 128 independent string hashes, the
     standard MinHash permutation-family construction. Arithmetic stays below
-    2^62 so it is exact under ANSI mode (the driver's bare session)."""
+    2^62 so it is exact under ANSI mode (the driver's bare session).
+
+    Shape note: ONE collect_list aggregate + a nested higher-order
+    transform, not 128 separate min-agg columns — the execution work is
+    identical (still 128·|shingles| multiply-adds per doc, JVM-side) but
+    Catalyst optimizes a 2-expression plan instead of a 128-aggregate one
+    (measured ~3× faster cold end-to-end at sf0.01; the per-doc hash list
+    is the same size as the shingle array already held per row)."""
     consts = _mh_consts(num_hashes)
+    a_arr = F.array(*[F.lit(a) for a, _b in consts])
+    b_arr = F.array(*[F.lit(b) for _a, b in consts])
     exploded = sets.select("id", F.explode("shingles").alias("sh")).select(
         "id", F.pmod(F.xxhash64("sh"), F.lit(_MH_M)).alias("h")
     )
-    mins = exploded.groupBy("id").agg(
-        *[
-            F.min(
-                F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MH_M))
-            ).alias(f"h{k}")
-            for k, (a, b) in enumerate(consts)
-        ]
-    )
-    return mins.select(
-        "id", F.array(*[F.col(f"h{k}") for k in range(num_hashes)]).alias("sig")
+    hs = exploded.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    return hs.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda k: F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: F.pmod(
+                        F.element_at(a_arr, k + 1) * h
+                        + F.element_at(b_arr, k + 1),
+                        F.lit(_MH_M),
+                    ),
+                )
+            ),
+        ).alias("sig"),
     )
 
 
