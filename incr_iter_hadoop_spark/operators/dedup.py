@@ -312,26 +312,40 @@ def simhash_pairs(
     exploded = sets.select("id", F.explode("shingles").alias("sh")).select(
         "id", F.xxhash64("sh").alias("h")
     )
-    # per-bit signed vote: +1 if bit set else -1; sign of the sum is the bit.
-    # Persisted below for the same plan-explosion reason as the MinHash sigs.
-    votes = exploded.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(1) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(64)
-        ]
+    # per-bit signed vote: +1 if bit set else -1; sign of the sum is the
+    # bit. One collect_list + higher-order transforms instead of 64 sum-agg
+    # columns — identical work, 2-expression plan (see minhash_signatures).
+    hs = exploded.groupBy("id").agg(F.collect_list("h").alias("hs"))
+    # SQL lambdas: the Python shiftrightunsigned API only takes a literal
+    # shift amount, but the SQL function accepts the lambda variable
+    votes_arr = F.expr(
+        """
+        transform(sequence(0, 63), j -> aggregate(hs, 0, (acc, h) ->
+          acc + CASE WHEN (shiftrightunsigned(h, j) & 1) = 1
+                     THEN 1 ELSE -1 END))
+        """
     )
-    block_cols = []
-    for b in range(n_blocks):
-        expr = F.lit(0)
-        for k in range(bits_per_block):
-            j = b * bits_per_block + k
-            bit = F.when(F.col(f"v{j}") >= 0, 1).otherwise(0)
-            expr = expr + (bit * F.lit(2**k))
-        block_cols.append(expr.alias(f"blk{b}"))
-    blocks = votes.select("id", *block_cols).persist()
+    block_arr = F.expr(
+        f"""
+        transform(sequence(0, {n_blocks - 1}), b ->
+          aggregate(sequence(0, {bits_per_block - 1}), 0, (acc, k) ->
+            acc + CASE WHEN element_at(votes, b * {bits_per_block} + k + 1)
+                            >= 0
+                       THEN cast(shiftleft(1, k) as int) ELSE 0 END))
+        """
+    )
+    blocks = (
+        hs.select("id", votes_arr.alias("votes"))
+        .select("id", block_arr.alias("blks"))
+        .select(
+            "id",
+            *[
+                F.element_at("blks", b + 1).alias(f"blk{b}")
+                for b in range(n_blocks)
+            ],
+        )
+        .persist()
+    )
     stacked = blocks.select(
         "id",
         F.explode(
