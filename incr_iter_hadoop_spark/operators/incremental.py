@@ -1035,3 +1035,218 @@ def incr_pagerank_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_to_empty=True,
     )
     return state.select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# §2.9 × §3.3: STREAMING incremental graph maintenance — micro-batched edge
+# deltas drive warm-started re-ranking, the streaming expression of the
+# reference's IncrPageRank flow (delta file → refresh → re-converge,
+# IncrPageRank.java:176-267) with every stage bounded so the whole stream is
+# exactly hash-checkable.
+
+_SPR_C1 = "1996-07-01"
+_SPR_C2 = "1997-07-01"
+_SPR_BASE_ITERS = 3
+_SPR_BATCH_ITERS = 2
+
+
+def _spr_warm_rounds_sql(edges_cte: str, warm_cte: str, pre: str, rounds: int) -> str:
+    """Warm-started bounded PageRank rounds over ``edges_cte`` starting from
+    ``warm_cte`` (node, rank); emits MATERIALIZED CTEs, final = {pre}r{rounds}."""
+    parts = [
+        f""", {pre}n AS MATERIALIZED (
+  SELECT src AS node FROM {edges_cte} UNION SELECT dst FROM {edges_cte}
+), {pre}d AS MATERIALIZED (
+  SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM {edges_cte} GROUP BY src
+), {pre}r0 AS MATERIALIZED (
+  SELECT n.node, COALESCE(w.rank, 1.0) AS rank
+  FROM {pre}n n LEFT JOIN {warm_cte} w ON n.node = w.node
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", {pre}r{i} AS MATERIALIZED (
+  SELECT n.node, 0.2 + 0.8 * COALESCE(c.mass, 0.0) AS rank
+  FROM {pre}n n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / d.d) AS mass
+    FROM {pre}r{i-1} r JOIN {edges_cte} e ON r.node = e.src
+    JOIN {pre}d d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    return "".join(parts)
+
+
+def _spr_oracle() -> str:
+    k = _SPR_BATCH_ITERS
+    parts = [
+        f"""WITH bedges AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) < DATE '{_SPR_C1}'
+), w1 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{_SPR_C1}'
+    AND CAST(l_shipdate AS DATE) < DATE '{_SPR_C2}'
+), w2 AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '{_SPR_C2}'
+), init AS (SELECT CAST(NULL AS BIGINT) AS node,
+                   CAST(NULL AS DOUBLE) AS rank WHERE 1 = 0)"""
+    ]
+    # base: 3 cold rounds on bedges (warm = empty -> every node starts 1.0)
+    parts.append(_spr_warm_rounds_sql("bedges", "init", "b", _SPR_BASE_ITERS))
+    parts.append(
+        f""", e1 AS MATERIALIZED (
+  SELECT src, dst FROM bedges WHERE (src + dst) % 17 <> 0
+  UNION ALL
+  SELECT w.src, w.dst FROM w1 w
+  WHERE NOT EXISTS (SELECT 1 FROM bedges b
+                    WHERE b.src = w.src AND b.dst = w.dst)
+)"""
+    )
+    parts.append(_spr_warm_rounds_sql("e1", f"br{_SPR_BASE_ITERS}", "u", k))
+    parts.append(
+        f""", e2 AS MATERIALIZED (
+  SELECT src, dst FROM e1 WHERE (src + dst) % 19 <> 0
+  UNION ALL
+  SELECT w.src, w.dst FROM w2 w
+  WHERE NOT EXISTS (SELECT 1 FROM e1 p
+                    WHERE p.src = w.src AND p.dst = w.dst)
+)"""
+    )
+    parts.append(_spr_warm_rounds_sql("e2", f"ur{k}", "v", k))
+    parts.append(f"\nSELECT node, ROUND(rank, 6) AS rank FROM vr{k}")
+    return "".join(parts)
+
+
+@register(
+    "streaming_incr_pagerank",
+    oracle=_spr_oracle(),
+    doc="STREAMING incremental graph maintenance (§2.9 applied to the "
+    "IncrPageRank flow, IncrPageRank.java:176-267): two sequenced (+/-) "
+    "edge-delta files land in a watched directory; a foreachBatch handler "
+    "applies each delta to the live edge relation (I7 anti-join/union) and "
+    "re-ranks with 2 bounded iterations warm-started from the previous "
+    "state (I3). Deltas carry a seq column and the handler applies them in "
+    "seq order WITHIN each micro-batch too, so the result is deterministic "
+    "under any batching. Every stage is bounded, so the full stream is "
+    "exactly hash-checked: oracle = base chain + per-delta warm chains.",
+)
+def streaming_incr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .iterative import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate").cast("date")
+    c1, c2 = F.lit(_SPR_C1).cast("date"), F.lit(_SPR_C2).cast("date")
+
+    def _pairs(cond):
+        return (
+            li.where(cond)
+            .select(
+                F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+            )
+            .distinct()
+        )
+
+    base = _pairs(ship < c1).persist()
+    base.count()
+    ranks0 = (
+        pagerank(base, max_iterations=_SPR_BASE_ITERS)
+        .state.select("node", "rank")
+        .localCheckpoint(eager=True)
+    )
+    w1 = _pairs((ship >= c1) & (ship < c2))
+    w2 = _pairs(ship >= c2)
+    adds1 = w1.join(base, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("+").alias("op"), F.lit(1).alias("seq")
+    )
+    rm1 = base.where((F.col("src") + F.col("dst")) % 17 == 0).select(
+        "src", "dst", F.lit("-").alias("op"), F.lit(1).alias("seq")
+    )
+    e1 = apply_edge_delta(
+        base, adds1.unionByName(rm1).drop("seq")
+    ).localCheckpoint(eager=True)
+    adds2 = w2.join(e1, ["src", "dst"], "left_anti").select(
+        "src", "dst", F.lit("+").alias("op"), F.lit(2).alias("seq")
+    )
+    rm2 = e1.where((F.col("src") + F.col("dst")) % 19 == 0).select(
+        "src", "dst", F.lit("-").alias("op"), F.lit(2).alias("seq")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_incr_pagerank_")
+    _cleanup_at_exit(tmp, "")
+    delta_dir = os.path.join(tmp, "deltas")
+    os.makedirs(delta_dir, exist_ok=True)
+    # write each delta separately and move its single part file into the
+    # watch dir under a controlled name + mtime: the file source
+    # (maxFilesPerTrigger=1, oldest first) then delivers the deltas as two
+    # ordered micro-batches; the seq-order loop below stays correct even if
+    # they coalesce into one batch
+    import shutil
+    import time as _time
+
+    now = _time.time()
+    for k, d in enumerate([adds1.unionByName(rm1), adds2.unionByName(rm2)]):
+        staging = os.path.join(tmp, f"stage_{k}")
+        d.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        dest = os.path.join(delta_dir, f"delta-{k:03d}.parquet")
+        shutil.move(os.path.join(staging, part), dest)
+        os.utime(dest, (now + 60 * k, now + 60 * k))
+
+    schema = spark.read.parquet(delta_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta_dir)
+    )
+    holder = {"edges": base, "ranks": ranks0}
+
+    def process_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.localCheckpoint(eager=True)
+        seqs = sorted(
+            r["seq"] for r in batch_df.select("seq").distinct().collect()
+        )
+        for s in seqs:
+            delta = batch_df.where(F.col("seq") == s).drop("seq")
+            new_edges = apply_edge_delta(holder["edges"], delta).localCheckpoint(
+                eager=True
+            )
+            new_ranks = (
+                pagerank(
+                    new_edges,
+                    max_iterations=_SPR_BATCH_ITERS,
+                    init_state=holder["ranks"],
+                )
+                .state.select("node", "rank")
+                .localCheckpoint(eager=True)
+            )
+            holder["edges"] = new_edges
+            holder["ranks"] = new_ranks
+
+    q = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    base.unpersist()
+    if not drained:
+        raise TimeoutError(
+            "streaming_incr_pagerank: stream did not drain within 300s"
+        )
+    return holder["ranks"].select("node", F.round("rank", 6).alias("rank"))
