@@ -1636,3 +1636,45 @@ def loop_iteration_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(k + 1, int(c)) for k, c in enumerate(res.record_counts)]
     return spark.createDataFrame(rows, "iteration int, records bigint")
+
+
+@register(
+    "iteration_snapshot_roundtrip",
+    oracle=_spmv_sql(2),
+    doc="S9 per-iteration snapshot dirs, driver-checkable end-to-end "
+    "(iteration-<i>/part-N layout, ReduceTask.java:3063-3067, as "
+    "partitioned parquet .../iteration=<i>): two SpMV iterations each "
+    "write a snapshot via write_iteration_snapshot; the result is read "
+    "back from the snapshot ROOT with a partition filter iteration=2 — "
+    "partition pruning must select exactly the final snapshot (any "
+    "cross-iteration leakage or layout drift breaks the hash against the "
+    "2-round chain oracle).",
+)
+def iteration_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.readers import write_iteration_snapshot
+    from .incremental import _cleanup_at_exit
+
+    m = _spmv_matrix(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    x = m.select(F.col("c").alias("i")).distinct().select(
+        "i", F.lit(1.0).alias("x")
+    )
+    base = tempfile.mkdtemp(prefix="iter_snapshots_")
+    _cleanup_at_exit(base, "")
+    static = m.repartition(8, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    for it in range(1, 3):
+        x = (
+            static.join(x, static.c == x.i)
+            .select("r", (F.col("v") * F.col("x")).alias("px"))
+            .groupBy("r")
+            .agg(F.sum("px").alias("x"))
+            .select(F.col("r").alias("i"), "x")
+            .localCheckpoint(eager=True)
+        )
+        write_iteration_snapshot(x, base, it)
+    m.unpersist()
+    static.unpersist()
+    back = spark.read.parquet(base).where(F.col("iteration") == 2)
+    return back.select("i", F.round("x", 6).alias("x"))

@@ -79,6 +79,13 @@ def _load_all() -> None:
 # incr_refresh_orders) swapped out for never-driver-checked families —
 # every family keeps >= 1 green witness across rounds 3 ∪ 4, and the
 # driver's hash reach widens each round at zero coverage loss.
+#
+# Round-5 rotation candidates (oracle-green locally, never driver-checked):
+# incr_dedup_clusters, incr_spmv_delta1, streaming_incr_pagerank,
+# dedup_simhash_pairs, dedup_ngram_pairs, ann_ivf_topk, events_session,
+# events_funnel, sample_stratified_events, split_train_test_counts,
+# text_lang_id, graph_triangle_count, power_bounded3, incr_kmeans_delta2,
+# q2-q20 battery reps, window_battery2, json_extract, array_battery.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)
