@@ -187,3 +187,12 @@ def test_pagerank_static_side_is_single_exchange(spark):
     )
     plan = static._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_incr_dedup_candidate_join_is_equi_not_cartesian(spark, sf_dir):
+    # the delta-restricted candidate join must stay an equi-join on the
+    # (band, bucket) key with the NEW side semi-filtered — never a
+    # cartesian over the corpus.
+    plan = _executed_plan(spark, sf_dir, "incr_dedup_minhash_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

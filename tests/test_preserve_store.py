@@ -345,3 +345,24 @@ def test_auto_compact_cadence(spark, tmp_path):
     # refreshes keep working against the new base
     store.refresh(_delta(spark, [(3, 30, 0.0, "-")]), max_layers=2)
     assert 3 not in _results_dict(store)
+
+
+def test_refresh_linear_rejects_non_linear_aggregates(spark, tmp_path):
+    # MAX has no signed-delta form: the linear path must refuse loudly
+    # instead of silently producing a wrong accumulation
+    from incr_iter_hadoop_spark.operators.incremental import (
+        preserve,
+        refresh_linear,
+    )
+
+    state = preserve(
+        _contribs(spark, BASE_ROWS),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_exprs={"total": F.sum("v"), "mx": F.max("v")},
+    )
+    delta = _delta(spark, [(1, 12, 4.0, "+")])
+    with pytest.raises(ValueError, match="no linear delta"):
+        refresh_linear(
+            state, delta, linear_exprs={"total": F.sum(F.col("_sign") * F.col("v"))}
+        ).collect()
