@@ -110,3 +110,35 @@ def test_warm_start_cc_matches_cold(spark):
     assert w == c == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
     # warm-start must not be slower in rounds than cold (labels start merged)
     assert warm_res.iterations <= cold_res.iterations
+
+
+def test_dataset_fingerprint_tracks_content_changes(tmp_path):
+    # the converged-snapshot cache key must change when the source files
+    # change (ADVICE r03: a path-only key resurrects stale fixpoints)
+    import os
+    import shutil
+
+    from incr_iter_hadoop_spark.operators.incremental import (
+        _dataset_fingerprint,
+    )
+
+    src = "/root/testdata/sf0.001/lineitem.parquet"
+    work = tmp_path / "ds"
+    work.mkdir()
+    if os.path.isdir(src):
+        shutil.copytree(src, work / "lineitem.parquet")
+    else:
+        shutil.copy(src, work / "lineitem.parquet")
+    fp1 = _dataset_fingerprint(str(work), "lineitem")
+    fp2 = _dataset_fingerprint(str(work), "lineitem")
+    assert fp1 == fp2  # deterministic for unchanged files
+    # touch mtime only -> fingerprint must change (regeneration signal)
+    target = work / "lineitem.parquet"
+    victim = (
+        next(p for p in target.rglob("*") if p.is_file())
+        if target.is_dir()
+        else target
+    )
+    st = victim.stat()
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+    assert _dataset_fingerprint(str(work), "lineitem") != fp1
