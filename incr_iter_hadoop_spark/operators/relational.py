@@ -685,3 +685,37 @@ def pipe_external_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         output_schema="nationkey bigint, uname string, name_len bigint",
     )
+
+
+@register(
+    "scan_multi_path_combine",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey, n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM (SELECT n_nationkey, n_name FROM nation
+          UNION ALL SELECT n_nationkey, n_name FROM nation) u
+    GROUP BY 1, 2
+    """,
+    doc="S6 multi-file combine scan, driver-checkable (the reference's "
+    "CombineFileInputFormat multi-split read): nation is written to TWO "
+    "separate parquet directories and both paths feed ONE "
+    "spark.read.parquet(p1, p2) scan; the combined relation must hold "
+    "every row exactly twice. Oracle = nation unioned with itself.",
+)
+def scan_multi_path_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .incremental import _cleanup_at_exit
+
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tmp = tempfile.mkdtemp(prefix="scan_multi_path_")
+    _cleanup_at_exit(tmp, "")
+    p1 = os.path.join(tmp, "part_a")
+    p2 = os.path.join(tmp, "part_b")
+    n.write.mode("overwrite").parquet(p1)
+    n.write.mode("overwrite").parquet(p2)
+    both = spark.read.parquet(p1, p2)
+    return both.groupBy(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"), "n_name"
+    ).agg(F.count(F.lit(1)).alias("n_copies"))
