@@ -1678,3 +1678,70 @@ def iteration_snapshot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     static.unpersist()
     back = spark.read.parquet(base).where(F.col("iteration") == 2)
     return back.select("i", F.round("x", 6).alias("x"))
+
+
+_KCORE_EDGES_SQL = """
+  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+  FROM lineitem WHERE (l_partkey + 3 * l_suppkey) % 4 = 0
+"""
+
+
+@register(
+    "graph_kcore_bounded3",
+    oracle=f"""
+    WITH base AS ({_KCORE_EDGES_SQL}),
+    und AS (SELECT p AS a, s AS b FROM base UNION ALL SELECT s, p FROM base),
+    d0 AS (SELECT a, count(*) AS d FROM und GROUP BY 1),
+    v1 AS (SELECT a FROM d0 WHERE d >= 3),
+    e1 AS (SELECT u.a, u.b FROM und u JOIN v1 x ON u.a = x.a
+           JOIN v1 y ON u.b = y.a),
+    d1 AS (SELECT a, count(*) AS d FROM e1 GROUP BY 1),
+    v2 AS (SELECT a FROM d1 WHERE d >= 3),
+    e2 AS (SELECT u.a, u.b FROM e1 u JOIN v2 x ON u.a = x.a
+           JOIN v2 y ON u.b = y.a),
+    d2 AS (SELECT a, count(*) AS d FROM e2 GROUP BY 1),
+    v3 AS (SELECT a FROM d2 WHERE d >= 3),
+    e3 AS (SELECT u.a, u.b FROM e2 u JOIN v3 x ON u.a = x.a
+           JOIN v3 y ON u.b = y.a)
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+    FROM e3 GROUP BY 1
+    """,
+    doc="bounded k-core decomposition (k=3, 3 peel rounds) on the thinned "
+    "part/supplier bipartite graph (parts = 2i, suppliers = 2j+1; the hash "
+    "gate keeps degrees in peeling range at every sf). Each round: degree "
+    "count, drop nodes below k, keep only edges between survivors — the "
+    "standard iterative peel; at sf0.001 the fixture genuinely peels for "
+    "all three rounds before converging. Per round one agg shuffle + two "
+    "semi-joins; edges localCheckpoint each round so the bounded loop's "
+    "lineage stays flat (same discipline as the other loops). Oracle = the "
+    "3-round CTE chain unrolled.",
+)
+def graph_kcore_bounded3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.where((F.col("l_partkey") + 3 * F.col("l_suppkey")) % 4 == 0)
+        .select(
+            (F.col("l_partkey") * 2).alias("p"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    und = base.select(F.col("p").alias("a"), F.col("s").alias("b")).unionByName(
+        base.select(F.col("s").alias("a"), F.col("p").alias("b"))
+    )
+    und = und.repartition(32, "a").localCheckpoint(eager=True)
+    for _ in range(3):
+        surv = (
+            und.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") >= 3)
+            .select("a")
+        )
+        und = (
+            und.join(surv, "a", "left_semi")
+            .join(surv.withColumnRenamed("a", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("a").alias("node"), F.col("deg").cast("bigint").alias("deg")
+    )

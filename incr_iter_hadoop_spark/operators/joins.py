@@ -322,3 +322,121 @@ def one2one_join(
                 f"duplicated on '{key}'"
             )
     return left.join(right, key)
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    strict: bool = False,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the right row with the
+    greatest ``right_ts`` <= ``left_ts`` (strictly < when ``strict``) within
+    the same ``on`` key group — the time-series point-in-time lookup Spark
+    has no built-in operator for.
+
+    Scale shape: ONE shuffle (union both sides, repartition by ``on`` inside
+    a window) instead of a non-equi range join — a naive
+    ``l.ts >= r.ts`` theta-join degenerates to a per-key cross product,
+    O(|L|·|R|) per key; here each key group is sorted once and swept
+    linearly, O((|L|+|R|) log) per key. Hot keys skew the window partition —
+    mitigate upstream by splitting the time range per key if needed.
+
+    The right side must be unique per (``on``, ``right_ts``): pre-aggregate
+    otherwise (ties would make the matched row nondeterministic). The whole
+    matched right row travels as ONE struct through ``last(ignorenulls)`` so
+    legitimately-NULL right columns can't bleed values from older rows.
+    """
+    from pyspark.sql import Window
+
+    lcols = [c for c in left.columns if c not in on]
+    rcols = [c for c in right.columns if c not in on]
+    rstruct = F.struct(*[F.col(c) for c in rcols])
+    rtype = right.select(rstruct.alias("_x")).schema[0].dataType.simpleString()
+    lstruct = F.struct(*[F.col(c) for c in lcols])
+    ltype = left.select(lstruct.alias("_x")).schema[0].dataType.simpleString()
+
+    lp = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__r"),
+        lstruct.alias("__l"),
+        F.lit(None).cast(rtype).alias("__rp"),
+    )
+    rp = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__r"),
+        F.lit(None).cast(ltype).alias("__l"),
+        rstruct.alias("__rp"),
+    )
+    # ordering decides whether an equal-timestamp right row is visible to the
+    # left row: backward-inclusive sorts right rows first at a tie
+    tie = F.col("__r").asc() if strict else F.col("__r").desc()
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), tie)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        lp.unionByName(rp)
+        .withColumn("__m", F.last("__rp", ignorenulls=True).over(w))
+        .where(F.col("__r") == 0)
+    )
+    out_cols = (
+        [F.col(c) for c in on]
+        + [F.col(f"__l.{c}").alias(c) for c in lcols]
+        + [F.col(f"__m.{c}").alias(c) for c in rcols]
+    )
+    return matched.select(*out_cols)
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, max(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           ROUND(p.purchase_value, 6) AS purchase_value,
+           ROUND(c.value, 6) AS click_value
+    FROM c ASOF JOIN p ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    """,
+    doc="backward as-of join (point-in-time lookup): every click is "
+    "enriched with the user's most recent purchase at-or-before the click. "
+    "Implemented union+sorted-window (one shuffle, linear sweep per key) — "
+    "NOT a range theta-join, which would cross-product per key; oracle is "
+    "DuckDB's native ASOF JOIN. Purchases pre-aggregated per (user, ts) so "
+    "the match is deterministic; clicks with no prior purchase drop (inner "
+    "as-of).",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    joined = asof_join_backward(
+        clicks, purchases, ["user_id"], left_ts="ts", right_ts="purchase_ts"
+    )
+    return joined.where(F.col("purchase_ts").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.round("click_value", 6).alias("click_value"),
+    )

@@ -253,3 +253,73 @@ def chunk_documents(
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return chunk_documents(d)
+
+
+@register(
+    "text_repetition_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    tstats AS (
+      SELECT doc_id, count(*) AS d, max(c) AS mx, sum(c) AS n
+      FROM tc GROUP BY 1
+    ),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS big
+      FROM t
+    ),
+    bc AS (SELECT doc_id, big, count(*) AS c FROM big GROUP BY 1, 2),
+    bstats AS (SELECT doc_id, max(c) AS bmx, sum(c) AS bn FROM bc GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_tokens,
+           ROUND(s.d / CAST(s.n AS DOUBLE), 6) AS distinct_ratio,
+           ROUND(s.mx / CAST(s.n AS DOUBLE), 6) AS top_token_frac,
+           ROUND(b.bmx / CAST(b.bn AS DOUBLE), 6) AS top_bigram_frac
+    FROM tstats s JOIN bstats b USING (doc_id)
+    """,
+    doc="repetition-based quality signals (the Gopher/C4 repetition rules): "
+    "distinct-token ratio, most-frequent-token fraction, most-frequent-"
+    "bigram fraction per document. Computed ENTIRELY map-side with array "
+    "higher-order functions (array_distinct/transform/filter/zip_with) — "
+    "zero shuffles, so at 100 TB it rides the scan; the unnest+groupBy "
+    "formulation (what the oracle uses) would shuffle |tokens| rows. "
+    "Per-doc cost is O(distinct·n) — fine for LLM-pipeline docs (<=100k "
+    "tokens); switch to the explode form for pathological single-doc sizes.",
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", _toks(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "bigs",
+            F.expr(
+                "zip_with(slice(toks, 1, n - 1), slice(toks, 2, n - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            ),
+        )
+    )
+    top_of = (
+        "array_max(transform(array_distinct({0}),"
+        " t -> size(filter({0}, x -> x = t))))"
+    )
+    return t.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.col("n").cast("double"), 6
+        ).alias("distinct_ratio"),
+        F.round(
+            F.expr(top_of.format("toks")) / F.col("n").cast("double"), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.expr(top_of.format("bigs")) / (F.col("n") - 1).cast("double"), 6
+        ).alias("top_bigram_frac"),
+    )

@@ -196,3 +196,20 @@ def test_incr_dedup_candidate_join_is_equi_not_cartesian(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "incr_dedup_minhash_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_quality_is_shuffle_free(spark, sf_dir):
+    # the Gopher repetition signals ride the scan: array higher-order
+    # functions, zero Exchange — the explode+groupBy formulation would
+    # shuffle |tokens| rows at 100 TB.
+    plan = _executed_plan(spark, sf_dir, "text_repetition_quality")
+    assert "Exchange" not in plan
+
+
+def test_asof_join_is_windowed_sweep_not_range_join(spark, sf_dir):
+    # the as-of join must compile to ONE window sweep over the union —
+    # never a per-key range cross-product (BroadcastNestedLoop/Cartesian).
+    plan = _executed_plan(spark, sf_dir, "join_asof")
+    assert plan.count("Window") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
