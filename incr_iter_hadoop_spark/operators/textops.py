@@ -323,3 +323,165 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(top_of.format("bigs")) / (F.col("n") - 1).cast("double"), 6
         ).alias("top_bigram_frac"),
     )
+
+
+@register(
+    "corpus_top_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+        AS tok
+      FROM documents
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM tok GROUP BY 1 ORDER BY n DESC, tok ASC LIMIT 100
+    """,
+    doc="exact corpus-wide vocabulary heavy hitters: top-100 tokens by "
+    "count (vocab building / BPE seeding). Explode → map-side partial "
+    "count → one shuffle on token → TakeOrderedAndProject (never a global "
+    "sort); ordering is (count DESC, token ASC) — integer-deterministic, "
+    "no float tie risk.",
+)
+def corpus_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_toks(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, sum(c) AS n FROM tc GROUP BY 1),
+    df AS (SELECT tok, count(*) AS df FROM tc GROUP BY 1),
+    total AS (SELECT count(*) AS nd FROM t),
+    ranked AS (
+      SELECT tc.doc_id, tc.tok, tc.c, df.df, n.n, total.nd,
+             row_number() OVER (
+               PARTITION BY tc.doc_id
+               ORDER BY tc.c DESC, df.df ASC, tc.tok ASC
+             ) AS rk
+      FROM tc JOIN df USING (tok) JOIN n USING (doc_id) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(rk AS INT) AS rank, tok,
+           CAST(c AS BIGINT) AS tf_count,
+           CAST(df AS BIGINT) AS doc_freq,
+           ROUND((c / CAST(n AS DOUBLE)) * ln(nd / CAST(df AS DOUBLE)), 6)
+             AS tfidf
+    FROM ranked WHERE rk <= 3
+    """,
+    doc="per-document top-3 keywords (keyword extraction): ranked by "
+    "(term count DESC, document frequency ASC, token ASC) — an "
+    "integer-only ordering so row SELECTION is exactly reproducible "
+    "across engines; the float TF-IDF score is reported as a VALUE "
+    "column only (rounded, compared at tolerance), never used to pick "
+    "rows. Two shuffles (doc-term counts, token df) + a per-doc window; "
+    "the df side joins on token and the corpus size broadcast-crosses.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    tc = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    df = tc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("nd"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("c").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tc.join(F.broadcast(df), "tok")
+        .join(n, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rank"),
+            "tok",
+            F.col("c").cast("bigint").alias("tf_count"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            F.round(
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log(F.col("nd") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "inverted_index_trigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM t
+    ),
+    td AS (SELECT DISTINCT g, doc_id FROM tri),
+    df AS (SELECT g, count(*) AS df FROM td GROUP BY 1)
+    SELECT t.g AS trigram, CAST(d.df AS BIGINT) AS df,
+           string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id)
+             AS postings
+    FROM td t JOIN df d USING (g) WHERE d.df <= 3
+    GROUP BY 1, 2
+    """,
+    doc="inverted index over RARE trigrams (df <= 3): trigram → sorted "
+    "posting list — the retrieval-side structure decontamination and "
+    "exact-substring search build on. Distinct (trigram, doc) pairs "
+    "shuffle once on trigram; the df cap bounds posting-list size so no "
+    "reducer key explodes (the df>cap head of the distribution is "
+    "boilerplate, already covered by the repetition/dedup operators). "
+    "Postings serialize as a comma-joined NUMERICALLY-sorted id string on "
+    "both engines, so the value hash is order-stable.",
+)
+def inverted_index_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", _toks(F.col("text")).alias("toks"))
+    tri = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat(toks[i-1], ' ', toks[i], ' ', toks[i+1]))"
+            )
+        ).alias("g"),
+    )
+    td = tri.distinct()
+    return (
+        td.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .where(F.col("df") <= 3)
+        .select(
+            F.col("g").alias("trigram"),
+            F.col("df").cast("bigint").alias("df"),
+            "postings",
+        )
+    )

@@ -213,3 +213,11 @@ def test_asof_join_is_windowed_sweep_not_range_join(spark, sf_dir):
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_top_tokens_is_take_ordered_with_partial_agg(spark, sf_dir):
+    # vocab heavy hitters: map-side partial count before the token shuffle,
+    # and top-100 via TakeOrderedAndProject — never a global sort.
+    plan = _executed_plan(spark, sf_dir, "corpus_top_tokens")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan or "partial count" in plan.lower()
