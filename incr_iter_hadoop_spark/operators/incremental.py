@@ -577,18 +577,48 @@ def _incr_pagerank_oracle(n_iter: int) -> str:
     return _pagerank_sql(n_iter, edges_sql=_UPDATED_EDGES_SQL)
 
 
+def _pagerank_updated_edges_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan derivation of the delta-APPLIED edge set — edge-for-edge
+    equivalent to ``apply_edge_delta(*_pagerank_delta_edges(...))`` (pinned
+    by ``test_fused_updated_edges_match_delta_path``), but ONE lineitem scan
+    and ONE shuffle: per-edge pre/post-cutoff flags from a single groupBy
+    replace two distinct scans plus two anti-joins. The general (base, Δ)
+    path stays the I7 witness for deltas arriving as separate relations
+    (the reference's delta FILE, IncrPageRank.java:176-212); this fast path
+    applies when base and delta derive from one source — recompute the
+    flags, don't join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit(_EDGE_CUTOFF).cast("date")
+    pre = (F.col("l_shipdate").cast("date") < cutoff).alias("pre")
+    flags = (
+        li.select(
+            F.col("l_partkey").alias("src"),
+            F.col("l_suppkey").alias("dst"),
+            pre,
+        )
+        .groupBy("src", "dst")
+        .agg(F.max("pre").alias("has_pre"), F.max(~F.col("pre")).alias("has_post"))
+    )
+    kept_base = F.col("has_pre") & ((F.col("src") + F.col("dst")) % 13 != 0)
+    added = F.col("has_post") & ~F.col("has_pre")
+    return flags.where(kept_base | added).select("src", "dst")
+
+
 @register(
     "incr_pagerank_delta5",
     oracle=None,  # oracle injected below (circular-import-free)
     doc="IncrPageRank one-pass shape (IncrPageRank.java:176-212): apply a "
-    "(+/-) edge delta via anti-join/union, then 5 bounded iterations on the "
-    "updated graph; oracle = unrolled CTE chain over the delta-applied edges.",
+    "(+/-) edge delta, then 5 bounded iterations on the updated graph; "
+    "oracle = unrolled CTE chain over the delta-applied edges. The edge "
+    "update uses the fused single-scan derivation (equivalence with the "
+    "anti-join/union path is test-pinned; that general path remains the "
+    "I7 witness in incr_refresh_orders / incr_pagerank_pruned4 / "
+    "streaming_incr_pagerank).",
 )
 def incr_pagerank_delta5(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .iterative import pagerank
 
-    base, delta = _pagerank_delta_edges(spark, sf_dir)
-    updated = apply_edge_delta(base, delta)
+    updated = _pagerank_updated_edges_fused(spark, sf_dir)
     res = pagerank(updated, max_iterations=5)
     return res.state.select("node", F.round("rank", 6).alias("rank"))
 

@@ -480,3 +480,17 @@ def test_one2one_join_strict_validation(spark):
     )
     with pytest.raises(ValueError, match="one2one"):
         one2one_join(a, dup, "k")
+
+
+def test_fused_updated_edges_match_delta_path(spark, sf_dir):
+    """The single-scan fused derivation of the delta-applied edge set must
+    equal the general anti-join/union path edge-for-edge."""
+    from incr_iter_hadoop_spark.operators.incremental import (
+        _pagerank_updated_edges_fused,
+    )
+
+    base, delta = _pagerank_delta_edges(spark, sf_dir)
+    general = apply_edge_delta(base, delta)
+    fused = _pagerank_updated_edges_fused(spark, sf_dir)
+    assert fused.exceptAll(general).count() == 0
+    assert general.exceptAll(fused).count() == 0
