@@ -614,3 +614,68 @@ def window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("o_totalprice").over(w), 6).alias("cheapest"),
         F.round(F.last("o_totalprice").over(wfull), 6).alias("priciest"),
     )
+
+
+@register(
+    "streaming_dedup_events",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_sql('value')} AS total
+    FROM events GROUP BY 1
+    """,
+    doc="streaming deduplication (§2.9 × the dedup family): the event "
+    "stream is unioned with ITSELF (every event arrives twice) and "
+    "dropDuplicatesWithinWatermark(event_id) must collapse the pairs — "
+    "the oracle aggregates the original table, so a missed (or over-"
+    "eager) dedup doubles (or drops) counts and fails the hash. The "
+    "within-watermark variant is the 100 TB shape: dedup state is evicted "
+    "once the watermark passes, so state is bounded by the lateness "
+    "horizon instead of growing with the stream.",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    load_table(spark, sf_dir, "events")  # sets nanosAsLong when needed
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
+
+    def source():
+        s = spark.readStream.schema(raw.schema).option(
+            "pathGlobFilter", "events.parquet"
+        ).parquet(sf_dir)
+        return s.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            if ts_is_nanos
+            else F.col("ts").cast("timestamp_ntz"),
+        )
+
+    # watermarks require TIMESTAMP (tz-aware); the NTZ reading stays the
+    # table contract elsewhere — here ts only gates dedup-state eviction
+    doubled = (
+        source().unionByName(source()).withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )
+    _STREAM_SEQ[0] += 1
+    sink = f"streaming_dedup_events_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not drained:
+        raise TimeoutError("streaming_dedup_events: stream did not drain within 300s")
+    return spark.table(sink)
