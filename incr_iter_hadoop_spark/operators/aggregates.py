@@ -236,3 +236,121 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 6).alias("p99"),
     )
+
+
+def _profile_piece_sql(col: str, minmax: str) -> str:
+    return f"""
+    SELECT '{col}' AS col,
+           CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {minmax.format(agg='MIN', c=col)} AS min_val,
+           {minmax.format(agg='MAX', c=col)} AS max_val
+    FROM orders"""
+
+
+_PROFILE_FMT = {
+    "bigint": "CAST({agg}({c}) AS VARCHAR)",
+    "string": "{agg}({c})",
+    # doubles round-trip through DECIMAL so both engines print '123.45'
+    "double": "CAST(CAST(ROUND({agg}({c}), 2) AS DECIMAL(18,2)) AS VARCHAR)",
+    "timestamp": "strftime({agg}(CAST({c} AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')",
+}
+
+_ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "double"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+
+
+@register(
+    "profile_orders",
+    oracle="\n    UNION ALL\n".join(
+        _profile_piece_sql(c, _PROFILE_FMT[t]) for c, t in _ORDERS_PROFILE_COLS
+    ),
+    doc="table profiling (ANALYZE-style data-quality pass): per-column "
+    "null count, exact distinct count, min/max — ONE scan computing every "
+    "column's aggregates in a single agg (Spark's expand handles the "
+    "multi-column exact distincts), then an unpivot to one row per "
+    "column. The first thing a 100 TB ingest runs: null spikes, "
+    "cardinality drift, and range anomalies all surface here before any "
+    "downstream join keys on a broken column. min/max serialize through "
+    "type-stable formats (decimal for doubles, formatted timestamps) so "
+    "the cross-engine hash is representation-independent.",
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def fmt(agg_col, typ):
+        if typ == "bigint":
+            return agg_col.cast("string")
+        if typ == "double":
+            return F.round(agg_col, 2).cast("decimal(18,2)").cast("string")
+        if typ == "timestamp":
+            return F.date_format(agg_col.cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+        return agg_col
+
+    aggs = []
+    for c, t in _ORDERS_PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            fmt(F.min(c), t).alias(f"{c}__min"),
+            fmt(F.max(c), t).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        for c, _ in _ORDERS_PROFILE_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_ORDERS_PROFILE_COLS)}, {stack_args})"
+            " as (col, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).select(
+        "col",
+        F.col("n_nulls").cast("bigint").alias("n_nulls"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        "min_val",
+        "max_val",
+    )
+
+
+@register(
+    "skew_report_suppkey",
+    oracle="""
+    WITH k AS (
+      SELECT l_suppkey AS key, count(*) AS n FROM lineitem GROUP BY 1
+    ), t AS (SELECT count(*) AS total FROM lineitem)
+    SELECT k.key, CAST(k.n AS BIGINT) AS n,
+           ROUND(k.n / CAST(t.total AS DOUBLE), 6) AS share
+    FROM k CROSS JOIN t
+    ORDER BY n DESC, key ASC LIMIT 10
+    """,
+    doc="join-key skew diagnostics: the 10 hottest l_suppkey values with "
+    "their share of the table — the pre-flight check that decides whether "
+    "a join needs salting (operators/joins.salted_join) or AQE skew "
+    "handling. Map-side partial count, one shuffle on key, "
+    "TakeOrderedAndProject for the top-10; ordering is integer-first "
+    "(n DESC, key ASC) so row selection is exact across engines.",
+)
+def skew_report_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("key").asc())
+        .limit(10)
+    )
