@@ -494,3 +494,35 @@ def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_sim", 6).alias("sim"),
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+_EMB_DIMS = 64
+
+
+@register(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT e.label, r.i,
+           ROUND(AVG(e.embedding[r.i + 1]), 6) AS c
+    FROM embeddings e, range(0, {_EMB_DIMS}) r(i)
+    GROUP BY 1, 2
+    """,
+    doc="per-label embedding centroids (class means — the nearest-class-"
+    "mean classifier / clustering seed): one avg aggregate PER DIMENSION "
+    "inside a single groupBy(label), so the plan is one shuffle of "
+    "64-value partial-agg rows. The naive posexplode(embedding) → "
+    "groupBy(label, pos) formulation shuffles dims x rows — 64x the "
+    "traffic at 100 TB. Output is (label, dim, value) long-form.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    aggs = [
+        F.avg(F.col("embedding").getItem(i)).alias(f"c{i}")
+        for i in range(_EMB_DIMS)
+    ]
+    wide = e.groupBy("label").agg(*aggs)
+    stack_args = ", ".join(f"{i}, c{i}" for i in range(_EMB_DIMS))
+    return wide.select(
+        "label",
+        F.expr(f"stack({_EMB_DIMS}, {stack_args}) as (i, c)"),
+    ).select("label", F.col("i").cast("bigint").alias("i"), F.round("c", 6).alias("c"))
