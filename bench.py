@@ -312,6 +312,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "queries_spread": spreads,
+        "queries_runs": runs,
         "reps": REPS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # headline incremental metric: the on-disk preserve store at

@@ -1034,11 +1034,36 @@ def _converged_base_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pagerank_base_{slug}_{fp}",
     )
     if not os.path.isfile(os.path.join(path, "_SUCCESS")):
+        import shutil
+
         base, _ = _pagerank_delta_edges(spark, sf_dir)
         converged = pagerank(base, max_iterations=60, threshold=1.0)
+        # Write to a PID-unique staging dir, then atomically rename into
+        # place: two concurrent processes racing on a cold cache each write
+        # their own staging dir, one rename wins, and no reader ever sees a
+        # half-written snapshot (the shared-path overwrite race ADVICE r03
+        # flagged for the preserve store applies here too).
+        tmp = f"{path}.tmp.{os.getpid()}"
         converged.state.select("node", "rank").write.mode("overwrite").parquet(
-            path
+            tmp
         )
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse
+        # Retire snapshots of OTHER fingerprints for this dataset path —
+        # each regeneration changes the fingerprint, and without cleanup the
+        # stale dirs accumulate in the tempdir forever. Skip in-flight
+        # ".tmp." staging dirs of concurrent writers.
+        snap_root = os.path.dirname(path)
+        prefix = f"pagerank_base_{slug}_"
+        for d in os.listdir(snap_root):
+            if (
+                d.startswith(prefix)
+                and ".tmp." not in d
+                and d != os.path.basename(path)
+            ):
+                shutil.rmtree(os.path.join(snap_root, d), ignore_errors=True)
     return spark.read.parquet(path)
 
 

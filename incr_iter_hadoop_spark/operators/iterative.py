@@ -557,8 +557,10 @@ def sssp_invalidate_affected(
     )
     affected = seeds
     frontier = seeds
+    exhausted = True
     for _ in range(max_rounds):
         if frontier.count() == 0:
+            exhausted = False
             break
         nxt = (
             support.join(frontier, support.src == frontier.node)
@@ -570,6 +572,16 @@ def sssp_invalidate_affected(
         affected = affected.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     support.unpersist()
+    if exhausted and frontier.count() != 0:
+        # A silently truncated closure would leave stale lower-bound
+        # distances — exactly what this pass exists to prevent. Fail loudly;
+        # the caller can raise max_rounds (closure depth is bounded by the
+        # longest support chain, itself <= the graph diameter).
+        raise RuntimeError(
+            f"sssp_invalidate_affected: affected-set closure still has a "
+            f"non-empty frontier after max_rounds={max_rounds}; raise "
+            f"max_rounds (support-chain depth exceeds the cap)"
+        )
     return affected
 
 

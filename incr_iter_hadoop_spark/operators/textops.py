@@ -298,6 +298,10 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (
         d.select("doc_id", _toks(F.col("text")).alias("toks"))
         .withColumn("n", F.size("toks"))
+        # Docs need >= 2 tokens to have a bigram: the oracle's inner JOIN on
+        # bstats drops 0/1-token docs, and slice(toks, 1, n - 1) would throw
+        # on a negative length for an empty doc — filter them identically.
+        .where(F.col("n") >= 2)
         .withColumn(
             "bigs",
             F.expr(

@@ -124,6 +124,7 @@ def iterate(
     distances: list[float] = []
     record_counts: list[int] = []
     observations: list[Observation] = []
+    pending_unpersist: list[DataFrame] = []
     converged = False
     i = 0
     for i in range(1, max_iterations + 1):
@@ -183,11 +184,19 @@ def iterate(
             # eventually runs, so the intermediate counts were pure job
             # overhead; the interval-count still bounds the optimizer's plan
             # depth (the lazy localCheckpoint above truncates when it
-            # materializes)
+            # materializes). Intermediate states must KEEP their persist
+            # markers until that job runs: unpersisting an unmaterialized
+            # state removes the marker, and a step that references state
+            # twice (e.g. SSSP's full-outer join) would then double the
+            # plan per un-checkpointed iteration. Defer the unpersist to
+            # after the next materialization.
+            pending_unpersist.append(state)
+            state = new_state
             if i % checkpoint_interval == 0 or i == max_iterations:
                 new_state.count()
-            state.unpersist()
-            state = new_state
+                for old in pending_unpersist:
+                    old.unpersist()
+                pending_unpersist.clear()
     for obs in observations:
         record_counts.append(int(obs.get["records"]))
     return IterationResult(

@@ -379,7 +379,6 @@ class PreserveStore:
         (the reference's periodic store rewrite, IFile.java:931-1015), so
         read cost stays bounded over an unbounded refresh stream. Returns
         the store version after any compaction (0 right after one)."""
-        gk, sk = self.group_keys, self.source_keys
         # scope: bucketed scans pinned on for the point reads below; the
         # inFilterThreshold is mutated inside (probe-dependent) and listed
         # here at its current value so the exit restores BOTH to the
