@@ -459,7 +459,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def inverted_index_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    t = d.select("doc_id", _toks(F.col("text")).alias("toks"))
+    # Guard: sequence(1, size - 2) on a < 3-token doc would generate a
+    # DESCENDING sequence in Spark (DuckDB's range(lo, hi) is empty when
+    # hi <= lo) — filter short docs so both engines see zero trigrams.
+    t = d.select("doc_id", _toks(F.col("text")).alias("toks")).where(
+        F.size("toks") >= 3
+    )
     tri = t.select(
         "doc_id",
         F.explode(
@@ -487,5 +492,110 @@ def inverted_index_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("g").alias("trigram"),
             F.col("df").cast("bigint").alias("df"),
             "postings",
+        )
+    )
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+               AS itext
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(itext,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(itext, '\b\d{3}-\d{4}\b')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(itext,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """,
+    doc="PII redaction (LLM-pipeline scrubbing pass): mask email- and "
+    "phone-shaped spans and count the redactions per document. The corpus "
+    "is synthetic, so a deterministic email+phone is first INJECTED per "
+    "doc (derived from doc_id) to make the redaction non-degenerate; both "
+    "engines apply the identical injection. Pure regexp column "
+    "expressions — map-side only, zero shuffles, rides the scan at "
+    "100 TB. The regex subset used (char classes, \\d, \\b, {m,}) "
+    "behaves identically in Java regex and RE2. Redacted text is emitted "
+    "as an md5 so the driver hash checks content without shipping it.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    itext = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(itext, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(itext, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(itext, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(trim(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           ROUND(avg(ln(v.c / tot.n)), 6) AS avg_logprob
+    FROM tok t JOIN vocab v USING (tok), tot
+    GROUP BY t.doc_id
+    """,
+    doc="perplexity-proxy quality score (unigram LM): mean log-probability "
+    "of each document's tokens under the corpus's own unigram frequency "
+    "distribution — the classic cheap fluency/quality filter (gibberish "
+    "and boilerplate score far from the corpus mode). Two shuffles at "
+    "scale: one groupBy(token) for the frequency table, one groupBy(doc) "
+    "for the per-doc mean; the frequency join shuffles on token (or "
+    "broadcasts when the vocabulary is small — AQE decides). The corpus "
+    "total rides a broadcast cross join of a 1-row aggregate.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 6).alias(
+                "avg_logprob"
+            ),
         )
     )
