@@ -526,3 +526,112 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(f"stack({_EMB_DIMS}, {stack_args}) as (i, c)"),
     ).select("label", F.col("i").cast("bigint").alias("i"), F.round("c", 6).alias("c"))
+
+
+_CLUSTER_SIM = 0.40  # cosine threshold for a near-dup edge
+_CLUSTER_BAND = 4    # planes per band; 2 bands OR-amplify recall
+
+
+@register(
+    "embedding_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE planes_dot AS MATERIALIZED (
+      SELECT e.vec_id, planes.p,
+             list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                              planes.vec) AS d
+      FROM embeddings e CROSS JOIN
+           {_planes_sql_literal(_hyperplanes(2 * _CLUSTER_BAND, _PAIR_DIM))}
+    ),
+    buckets AS MATERIALIZED (
+      SELECT vec_id,
+             SUM(CASE WHEN p < {_CLUSTER_BAND} AND d >= 0
+                 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS b0,
+             SUM(CASE WHEN p >= {_CLUSTER_BAND} AND d >= 0
+                 THEN CAST(POWER(2, p - {_CLUSTER_BAND}) AS BIGINT)
+                 ELSE 0 END) AS b1
+      FROM planes_dot GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM buckets a JOIN buckets b
+        ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+      UNION
+      SELECT a.vec_id AS i, b.vec_id AS j
+      FROM buckets a JOIN buckets b
+        ON a.b1 = b.b1 AND a.vec_id < b.vec_id
+    ),
+    elems AS (
+      SELECT c.i, c.j,
+             unnest(ea.embedding)::DOUBLE AS av,
+             unnest(eb.embedding)::DOUBLE AS bv
+      FROM cand c
+      JOIN embeddings ea ON ea.vec_id = c.i
+      JOIN embeddings eb ON eb.vec_id = c.j
+    ),
+    pairs AS (
+      SELECT i, j FROM (
+        SELECT i, j,
+               CASE WHEN sqrt(SUM(av*av)) * sqrt(SUM(bv*bv)) > 0
+                    THEN SUM(av*bv) / (sqrt(SUM(av*av)) * sqrt(SUM(bv*bv)))
+                    ELSE 0.0 END AS raw_sim
+        FROM elems GROUP BY i, j
+      ) WHERE ROUND(raw_sim, 6) >= {_CLUSTER_SIM}
+    ),
+    edges AS MATERIALIZED (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j AS src, i AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+    """,
+    doc="semantic near-dup clustering over embeddings: banded hyperplane "
+    f"LSH (2 bands x {_CLUSTER_BAND} planes, OR-amplified — a same-band "
+    "collision in EITHER band makes a candidate, the same recall shape "
+    f"MinHash dedup uses), cosine >= {_CLUSTER_SIM} verification, then "
+    "connected components by min-label propagation (cluster id = min "
+    "vec_id — the keeper). The pair stream is banded-join-bounded, never "
+    "n²; the oracle replicates the md5-derived planes, both bands, and "
+    "the recursive closure exactly, so the convergence-driven clustering "
+    "is still hash-checked. Scale: identical plan shape to "
+    "dedup_cc_clusters (the text twin) — Σ|bucket|² candidates per band, "
+    "frontier-pruned CC rounds.",
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(2 * _CLUSTER_BAND, _PAIR_DIM)
+    v = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("vec"),
+        lsh_bucket("embedding", planes[:_CLUSTER_BAND]).alias("b0"),
+        lsh_bucket("embedding", planes[_CLUSTER_BAND:]).alias("b1"),
+    )
+    cand = None
+    for band in ("b0", "b1"):
+        a = v.select(F.col("vid").alias("i"), F.col(band).alias("bk"))
+        b = v.select(F.col("vid").alias("j"), F.col(band).alias("bk"))
+        c = a.join(b, "bk").where(F.col("i") < F.col("j")).select("i", "j")
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    va = v.select(F.col("vid").alias("i"), F.col("vec").alias("va"))
+    vb = v.select(F.col("vid").alias("j"), F.col("vec").alias("vb"))
+    pairs = (
+        cand.join(va, "i")
+        .join(vb, "j")
+        .where(
+            F.round(cosine(F.col("va"), F.col("vb")), 6) >= _CLUSTER_SIM
+        )
+        .select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    )
+    res = connected_components(
+        pairs, nodes=emb.select(F.col("vec_id").alias("node"))
+    )
+    return res.state.select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster")
+    )
