@@ -26,7 +26,7 @@ broadcast, mirroring GlobalUniqValueWritable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -1251,6 +1251,7 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     state.count()
+    backing = state  # the persisted DF whose blocks this round reads
     frontier = state  # round 1: every node announces its own label
     frontier_counts: list[float] = []
     converged = False
@@ -1261,41 +1262,46 @@ def connected_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("comp").alias("cand"))
         )
-        # eager localCheckpoint: materializes AND truncates lineage every
-        # round — each round's plan must reference only checkpointed blocks,
-        # or recomputation chains back through every earlier round
-        # (measured: quadratic blowup, 4s -> 15s by round 2 at sf0.1)
-        new_state = (
+        # ONE job per round: merge carries a `chg` flag, the frontier count
+        # rides the materializing count via df.observe (the same fusion
+        # that took converged PageRank to one job/iteration), and state /
+        # frontier are views over the SAME cached `merged` — no separate
+        # frontier checkpoint job. The lazy localCheckpoint truncates
+        # lineage when the count materializes it — each round's plan must
+        # reference only checkpointed blocks, or recomputation chains back
+        # through every earlier round (measured: quadratic blowup,
+        # 4s -> 15s by round 2 at sf0.1).
+        merged = (
             state.join(prop, "node", "left")
             .select(
                 "node",
                 F.least(
                     "comp", F.coalesce("cand", F.col("comp"))
                 ).alias("comp"),
+                # labels only decrease: strict decreases ARE the frontier
+                (
+                    F.coalesce("cand", F.col("comp")) < F.col("comp")
+                ).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # labels only decrease: the strict decreases ARE the next frontier
-        new_frontier = (
-            state.alias("p")
-            .join(new_state.alias("c"), "node")
-            .where(F.col("c.comp") < F.col("p.comp"))
-            .select("node", F.col("c.comp").alias("comp"))
-            .localCheckpoint(eager=True)
+        obs = Observation()  # anonymous: names must be globally unique
+        merged = merged.observe(
+            obs, F.sum(F.col("chg").cast("long")).alias("n_changed")
         )
-        n_changed = new_frontier.count()
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        merged.count()
+        n_changed = int(obs.get["n_changed"] or 0)
         frontier_counts.append(float(n_changed))
-        if frontier is not state:
-            frontier.unpersist()
-        state.unpersist()
-        state, frontier = new_state, new_frontier
+        backing.unpersist()
+        backing = merged
+        state = merged.select("node", "comp")
+        frontier = merged.where("chg").select("node", "comp")
         if n_changed == 0:
             converged = True
             break
     sym.unpersist()
     edges.unpersist()
-    if frontier is not state:
-        frontier.unpersist()
     return IterationResult(
         state=state,
         iterations=i,
