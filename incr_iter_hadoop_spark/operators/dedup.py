@@ -596,3 +596,74 @@ def incr_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
     )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
+    edges AS MATERIALIZED (
+      SELECT i AS src, j AS dst FROM pairs
+      UNION
+      SELECT j AS src, i AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS lbl FROM documents
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY node
+    ),
+    toks AS (
+      SELECT doc_id,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.cluster, c.doc_id, t.tok,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster
+                                ORDER BY t.tok DESC, c.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster) AS n_members
+      FROM clusters c JOIN toks t USING (doc_id)
+    )
+    SELECT cluster, doc_id AS keeper, CAST(tok AS BIGINT) AS keeper_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """,
+    doc="dedup keeper selection: within each near-dup cluster (MinHash+LSH "
+    "pairs → connected components) KEEP the longest member — the "
+    "representative-selection pass a dedup pipeline runs after clustering "
+    "(longest-version-wins is the common C4/RefinedWeb policy; singletons "
+    "keep themselves). Ordering is integer-only (token count DESC, doc_id "
+    "ASC) so the pick is reproducible across engines. One window over the "
+    "cluster assignment — partitioned by cluster, never a global sort.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    clusters = dedup_cc_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != "")).alias(
+            "tok"
+        ),
+    )
+    joined = clusters.join(toks, "doc_id")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("tok"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster",
+            F.col("doc_id").alias("keeper"),
+            F.col("tok").cast("bigint").alias("keeper_tokens"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

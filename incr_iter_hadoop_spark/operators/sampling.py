@@ -156,3 +156,83 @@ def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double"), 6
         ).alias("total_price"),
     )
+
+
+_BUDGET_TOKENS = 800  # per-source token budget
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok,
+             md5('budget|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    b AS (SELECT *, substring(h, 1, 1) AS bkt FROM t),
+    l1 AS (
+      SELECT *, SUM(tok) OVER (PARTITION BY source, bkt ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS cum_in
+      FROM b
+    ),
+    bt AS (SELECT source, bkt, SUM(tok) AS btot FROM b GROUP BY 1, 2),
+    off AS (
+      SELECT source, bkt,
+             SUM(btot) OVER (PARTITION BY source ORDER BY bkt
+                 ROWS UNBOUNDED PRECEDING) - btot AS boff
+      FROM bt
+    )
+    SELECT l1.doc_id, l1.source, CAST(l1.tok AS BIGINT) AS tok,
+           CAST(o.boff + l1.cum_in AS BIGINT) AS cum
+    FROM l1 JOIN off o ON l1.source = o.source AND l1.bkt = o.bkt
+    WHERE o.boff + l1.cum_in - l1.tok < {_BUDGET_TOKENS}
+    """,
+    doc=f"budget-capped mixture sampling: each corpus source contributes "
+    f"documents in deterministic md5 order until a {_BUDGET_TOKENS}-token "
+    "budget fills — the data-mixture step that assembles a training set "
+    "from per-source token quotas. TWO-LEVEL cumulative sum so the heavy "
+    "window never runs on a whole source: level 1 accumulates within "
+    "(source, hash-bucket) — 16 buckets/source, so 16x the parallelism — "
+    "and level 2 offsets each bucket by the (tiny, broadcast) per-bucket "
+    "totals. The single-window-per-source formulation would serialize "
+    "each source through one task at 100 TB. All-integer arithmetic and "
+    "md5 string ordering, so the selection is exactly reproducible.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+    h = F.md5(F.concat(F.lit("budget|"), F.col("doc_id").cast("string")))
+    b = d.select(
+        "doc_id",
+        "source",
+        tok.alias("tok"),
+        h.alias("h"),
+        F.substring(h, 1, 1).alias("bkt"),
+    )
+    w1 = (
+        Window.partitionBy("source", "bkt")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    l1 = b.withColumn("cum_in", F.sum("tok").over(w1))
+    bt = b.groupBy("source", "bkt").agg(F.sum("tok").alias("btot"))
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = bt.withColumn("boff", F.sum("btot").over(w2) - F.col("btot")).select(
+        "source", "bkt", "boff"
+    )
+    joined = l1.join(F.broadcast(off), ["source", "bkt"])
+    cum = F.col("boff") + F.col("cum_in")
+    return joined.where(cum - F.col("tok") < _BUDGET_TOKENS).select(
+        "doc_id",
+        "source",
+        F.col("tok").cast("bigint").alias("tok"),
+        cum.cast("bigint").alias("cum"),
+    )

@@ -90,7 +90,8 @@ def _load_all() -> None:
 # text_repetition_quality, graph_kcore_bounded3, corpus_top_tokens,
 # tfidf_top_terms, inverted_index_trigrams, streaming_dedup_events,
 # profile_orders, skew_report_suppkey, embedding_label_centroids,
-# text_pii_redact, text_unigram_logprob, embedding_dedup_clusters.
+# text_pii_redact, text_unigram_logprob, embedding_dedup_clusters,
+# sample_token_budget, dedup_keep_best.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)
