@@ -299,10 +299,20 @@ _IVF_PROBE = 4
       FROM embeddings WHERE vec_id < {_IVF_CELLS}
     ),
     asgn_sims AS (
-      SELECT e.vec_id AS nid, c.cell,
-             list_cosine_similarity(
-               list_transform(e.embedding, x -> x::DOUBLE), c.cvec) AS s
-      FROM embeddings e CROSS JOIN cents c
+      -- explicit zero-norm-guarded cosine, NOT list_cosine_similarity:
+      -- the builtin yields NaN for a zero vector (and NaN sorts FIRST in
+      -- DuckDB's DESC), while the engine's cosine() convention is 0.0
+      SELECT e.nid, c.cell,
+             CASE WHEN sqrt(list_dot_product(e.ev, e.ev))
+                       * sqrt(list_dot_product(c.cvec, c.cvec)) > 0
+                  THEN list_dot_product(e.ev, c.cvec)
+                       / (sqrt(list_dot_product(e.ev, e.ev))
+                          * sqrt(list_dot_product(c.cvec, c.cvec)))
+                  ELSE 0.0 END AS s
+      FROM (SELECT vec_id AS nid,
+                   list_transform(embedding, x -> x::DOUBLE) AS ev
+            FROM embeddings) e
+      CROSS JOIN cents c
     ),
     v_cells AS (
       SELECT nid, cell FROM (

@@ -1,0 +1,140 @@
+"""Oracle parity on ADVERSARIAL inputs — degenerate documents (empty,
+whitespace-only, 1-token, 2-token, heavily repeated, unicode) and
+embeddings (zero vector, identical vectors).
+
+The sf* corpora are benign: every doc has plenty of tokens, so a
+Spark-vs-oracle divergence that only triggers on short docs (inner-join
+drops vs unconditional rows, negative-length slice, descending sequence(),
+zero-norm division) passes the standard gate silently. This suite pins the
+whole class: every documents-/embeddings-only query must match its oracle
+on inputs built to hit the edges. (Bug class found in review: 0/1-token
+docs diverged in text_repetition_quality and inverted_index_trigrams.)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from incr_iter_hadoop_spark.registry import all_queries
+
+from test_oracle_parity import assert_frames_match
+
+# queries whose Spark side and oracle read ONLY the documents table
+DOC_QUERIES = [
+    "text_token_stats",
+    "text_quality",
+    "text_lang_id",
+    "text_regex_tokens",
+    "doc_fingerprint",
+    "text_chunk_windows",
+    "text_repetition_quality",
+    "corpus_top_tokens",
+    "tfidf_top_terms",
+    "inverted_index_trigrams",
+    "text_pii_redact",
+    "text_unigram_logprob",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_ngram_pairs",
+    "dedup_cc_clusters",
+    "dedup_keep_best",
+    "incr_dedup_minhash_pairs",
+    "sample_documents_10pct",
+    "sample_token_budget",
+    "pipeline_clean_corpus",
+    "decontaminate_overlap",
+]
+
+# queries whose Spark side and oracle read ONLY the embeddings table
+EMB_QUERIES = [
+    "embedding_top_pairs_lsh",
+    "embedding_dedup_clusters",
+    "embedding_label_centroids",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_corpus")
+    texts = [
+        "",  # empty
+        "   ",  # whitespace-only
+        "solo",  # 1 token: no bigrams/trigrams
+        "two tokens",  # 2 tokens: bigram but no trigram
+        "the the the the the the the the",  # max repetition
+        "héllo wörld héllo wörld naïve café",  # non-ASCII
+        "a b a b a b a b a b a b a b a b a b",  # near-dup template A
+        "a b a b a b a b a b a b a b a b c d",  # near-dup template B
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "an entirely different document with its own unique vocabulary set",
+        "numbers 123 456 and punctuation ! ? . , mixed into the stream",
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": [f"src{i % 3}" for i in range(len(texts))],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }
+    )
+    docs.to_parquet(d / "documents.parquet")
+    dim = 64
+    rng = [
+        [0.0] * dim,  # zero vector: cosine must not divide by zero
+        [1.0] * dim,
+        [1.0] * dim,  # exact duplicate of vec 1
+        [(-1.0) ** i for i in range(dim)],
+        [float(i) / dim for i in range(dim)],
+        [1.0] + [0.0] * (dim - 1),
+    ]
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(rng), dtype=np.int64),
+            "embedding": [np.array(v, dtype=np.float32) for v in rng],
+            "label": np.array([i % 2 for i in range(len(rng))], dtype=np.int64),
+        }
+    )
+    emb.to_parquet(d / "embeddings.parquet")
+    return str(d)
+
+
+def _ddb_for(adv_dir: str, table: str):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS "
+        f"SELECT * FROM read_parquet('{adv_dir}/{table}.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", DOC_QUERIES)
+def test_adversarial_documents_parity(name, spark, adv_dir):
+    spec = all_queries()[name]
+    spark_pdf = spec.fn(spark, adv_dir).toPandas()
+    con = _ddb_for(adv_dir, "documents")
+    try:
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_parity(name, spark, adv_dir):
+    spec = all_queries()[name]
+    spark_pdf = spec.fn(spark, adv_dir).toPandas()
+    con = _ddb_for(adv_dir, "embeddings")
+    try:
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
