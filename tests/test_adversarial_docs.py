@@ -138,3 +138,69 @@ def test_adversarial_embeddings_parity(name, spark, adv_dir):
     finally:
         con.close()
     assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
+
+
+# batch queries whose Spark side and oracle read ONLY the events table
+EVENT_QUERIES = [
+    "events_tumbling",
+    "events_pivot",
+    "events_unpivot",
+    "events_sliding",
+    "events_session",
+    "events_funnel",
+    "sample_stratified_events",
+    "json_extract",
+    "join_asof",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_events")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    m = pd.Timedelta
+    rows = [
+        # (event_id, ts_offset, user_id, event_type, value, props)
+        (0, m("0s"), 1, "view", 1.0, '{"k": 1}'),
+        # duplicate timestamp, different events/users (tie-break stress)
+        (1, m("0s"), 1, "click", 2.0, '{"k": 2}'),
+        (2, m("0s"), 2, "view", 3.0, '{}'),
+        # exactly on a 5-minute tumbling boundary
+        (3, m("300s"), 1, "view", 4.0, '{"k": 3}'),
+        # exactly a 10-minute gap after event 3 (session boundary edge)
+        (4, m("900s"), 1, "purchase", 5.0, '{"k": 4}'),
+        # one microsecond inside / outside the gap
+        (5, m("1499999999us"), 1, "view", 6.0, '{"k": 5}'),
+        (6, m("2100s"), 2, "signup", 0.0, '{"k": 0}'),
+        # same user, same ts, different types (funnel steps simultaneous)
+        (7, m("2100s"), 2, "purchase", -7.5, '{"k": -1}'),
+        (8, m("3000s"), 3, "view", 8.0, '{"nested": {"k": 9}}'),
+        (9, m("3600s"), 3, "purchase", 9.0, '{"k": 10}'),
+        # out-of-order event_id vs ts
+        (10, m("1800s"), 3, "click", 10.0, '{"k": 11}'),
+        (11, m("7200s"), 4, "error", 11.0, '{"k": 12}'),
+    ]
+    ev = pd.DataFrame(
+        {
+            "event_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "ts": [base + r[1] for r in rows],
+            "user_id": np.array([r[2] for r in rows], dtype=np.int64),
+            "event_type": [r[3] for r in rows],
+            "value": np.array([r[4] for r in rows], dtype=np.float64),
+            "props": [r[5] for r in rows],
+        }
+    )
+    ev.to_parquet(d / "events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_adversarial_events_parity(name, spark, adv_events_dir):
+    spec = all_queries()[name]
+    spark_pdf = spec.fn(spark, adv_events_dir).toPandas()
+    con = _ddb_for(adv_events_dir, "events")
+    try:
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
