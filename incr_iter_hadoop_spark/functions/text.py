@@ -24,6 +24,16 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), TOKEN_SEP)
 
 
+def ws_tokens(text: Column) -> Column:
+    """THE canonical oracle-mirrored tokenizer: split on single spaces and
+    drop empties — bit-identical to the DuckDB twin
+    ``list_filter(string_split(trim(text), ' '), x -> x <> '')`` that every
+    documents oracle uses. All Spark-side token counts compared against an
+    oracle MUST go through this (a drifting copy silently desynchronizes
+    from its oracle — review finding r4)."""
+    return F.filter(F.split(F.trim(text), " "), lambda t: t != "")
+
+
 def token_count(text: Column) -> Column:
     """Number of whitespace tokens; 0 for empty/blank strings."""
     return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import ws_tokens
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.8
@@ -41,7 +42,7 @@ NGRAM_MAX_DF = 50
 def _tokens(text: Column) -> Column:
     """Single-space tokens, empties dropped — mirrored exactly by the
     oracle's string_split + list_filter so shingle sets match."""
-    return F.filter(F.split(F.trim(text), " "), lambda t: t != "")
+    return ws_tokens(text)
 
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
@@ -645,12 +646,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = dedup_cc_clusters(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != "")).alias(
-            "tok"
-        ),
-    )
+    toks = d.select("doc_id", F.size(ws_tokens(F.col("text"))).alias("tok"))
     joined = clusters.join(toks, "doc_id")
     w = Window.partitionBy("cluster").orderBy(
         F.desc("tok"), F.asc("doc_id")

@@ -1289,7 +1289,10 @@ def connected_components(
         merged = merged.observe(
             obs, F.sum(F.col("chg").cast("long")).alias("n_changed")
         )
-        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        # no Dataset-level persist: localCheckpoint already stores the
+        # round's blocks at MEMORY_AND_DISK when the count materializes it;
+        # a persist() on top would hold a second columnar copy of the same
+        # rows (review finding r4)
         merged.count()
         n_changed = int(obs.get["n_changed"] or 0)
         frontier_counts.append(float(n_changed))

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import ws_tokens
 from ..registry import register
 from .dedup import _JACCARD_ORACLE
 from .textops import _STOPS_SQL, EN_STOPWORDS
@@ -97,7 +98,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # quality + language scoring (textops semantics, inlined so the filter
     # sits in the same plan as the scans)
-    w = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    w = ws_tokens(F.col("text"))
     scored = d.select("doc_id", w.alias("w")).where(F.size("w") > 0)
     tok_cnt = F.size("w")
     stops = F.size(F.filter(F.col("w"), lambda t: F.lower(t).isin(*EN_STOPWORDS)))

@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import ws_tokens
 from ..registry import register
 
 
@@ -100,7 +101,7 @@ _GATE_SQL = "substring(md5('{seed}|' || CAST({key} AS VARCHAR)), 1, 4) < '{thr}'
 def sample_documents_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = sample_fraction(d, "doc_id", 0.1, seed="s0")
-    toks = F.filter(F.split(F.trim(F.col("text")), " "), lambda t: t != "")
+    toks = ws_tokens(F.col("text"))
     return kept.select("doc_id", F.size(toks).cast("bigint").alias("n_tokens"))
 
 
@@ -204,7 +205,7 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = F.size(F.filter(F.split(F.trim("text"), " "), lambda t: t != ""))
+    tok = F.size(ws_tokens(F.col("text")))
     h = F.md5(F.concat(F.lit("budget|"), F.col("doc_id").cast("string")))
     b = d.select(
         "doc_id",

@@ -11,14 +11,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import EN_STOPWORDS
+from ..functions.text import EN_STOPWORDS, ws_tokens
 from ..registry import register
 
 _STOPS_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
 
 
 def _toks(text):
-    return F.filter(F.split(F.trim(text), " "), lambda t: t != "")
+    return ws_tokens(text)
 
 
 @register(

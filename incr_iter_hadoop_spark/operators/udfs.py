@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..catalog import load_table
+from ..functions.text import ws_tokens
 from ..registry import register
 
 
@@ -152,7 +153,7 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
-    toks = F.filter(F.split(F.trim("p_name"), " "), lambda t: t != "")
+    toks = ws_tokens(F.col("p_name"))
     bigrams = F.transform(
         F.sequence(F.lit(0), F.size("w") - 2),
         lambda i: F.concat_ws(
