@@ -204,3 +204,25 @@ def test_adversarial_events_parity(name, spark, adv_events_dir):
     finally:
         con.close()
     assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
+
+
+# streaming queries that read ONLY events.parquet from the sf_dir — run the
+# REAL micro-batch pipelines over the tie-heavy fixture (duplicate rows with
+# identical timestamps are exactly what watermark dedup state must collapse)
+STREAMING_EVENT_QUERIES = [
+    "events_tumbling_streamed",
+    "events_running_totals_streamed",
+    "streaming_dedup_events",
+]
+
+
+@pytest.mark.parametrize("name", STREAMING_EVENT_QUERIES)
+def test_adversarial_events_streaming_parity(name, spark, adv_events_dir):
+    spec = all_queries()[name]
+    spark_pdf = spec.fn(spark, adv_events_dir).toPandas()
+    con = _ddb_for(adv_events_dir, "events")
+    try:
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
