@@ -1,0 +1,226 @@
+"""Oracle parity for the RELATIONAL surface on an adversarial micro-fixture.
+
+The sf* tables are referentially clean and densely populated, so
+divergences that need an empty group, an FK orphan, a childless parent, or
+a predicate-boundary row never fire there. This fixture packs those edges
+into seven tiny internally-consistent tables:
+
+- a customer with no orders; a nation with no customers; a region with no
+  nations (semi/anti/outer-join edges)
+- an order with no lineitems; a lineitem whose l_orderkey matches no order
+  (FK orphan — aggregation and join sides must agree on dropping it)
+- l_shipdate exactly ON the q1/q6-style cutoffs (inclusive/exclusive edge)
+- discount 0.0 and 1.0 (revenue terms vanish), quantity 0 (zero-weight
+  SSSP edge), totalprice 0.0, negative acctbal
+- suppkey 0 present so SSSP's source node exists
+
+Every relational-only registered query (81 of them — TPC-H battery, join/
+agg/window/setop batteries, graph loops derived from lineitem, incremental
+refresh, sampling splits) runs Spark-vs-DuckDB on this fixture. Parity
+here means the oracles encode the ENGINE's semantics, not just the happy
+path of the generated data.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from incr_iter_hadoop_spark.registry import all_queries
+
+from test_oracle_parity import assert_frames_match
+
+REL_TABLES = (
+    "orders",
+    "lineitem",
+    "customer",
+    "supplier",
+    "part",
+    "nation",
+    "region",
+)
+_OTHER = ("events", "documents", "embeddings")
+
+
+def _relational_only_names() -> list[str]:
+    names = []
+    for name, spec in all_queries().items():
+        if not spec.oracle:
+            continue
+        o = spec.oracle.lower()
+        used = {
+            t
+            for t in REL_TABLES + _OTHER
+            if re.search(rf"\b(from|join)\s+{t}\b", o)
+        }
+        if used and used <= set(REL_TABLES):
+            names.append(name)
+    return names
+
+
+REL_QUERIES = _relational_only_names()
+
+
+@pytest.fixture(scope="module")
+def adv_rel_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_rel")
+    ts = pd.Timestamp
+
+    region = pd.DataFrame(
+        {
+            "r_regionkey": np.array([0, 1], dtype=np.int32),
+            "r_name": ["AMERICA", "EMPTYREGION"],  # region 1: no nations
+        }
+    )
+    nation = pd.DataFrame(
+        {
+            "n_nationkey": np.array([0, 1, 2], dtype=np.int32),
+            "n_name": ["ALPHA", "BRAVO", "GHOSTNATION"],  # 2: no customers
+            "n_regionkey": np.array([0, 0, 0], dtype=np.int32),
+        }
+    )
+    customer = pd.DataFrame(
+        {
+            "c_custkey": np.array([0, 1, 2, 3, 4], dtype=np.int64),
+            "c_name": [
+                "Customer#0",
+                "Customer#1",
+                "Customer#1",  # duplicate display name, distinct key
+                "Customer#3",
+                "Customer#4",  # no orders at all
+            ],
+            "c_nationkey": np.array([0, 0, 1, 1, 0], dtype=np.int32),
+            "c_acctbal": np.array([0.0, -999.99, 100.5, 5000.0, 1.0]),
+            "c_mktsegment": [
+                "BUILDING",
+                "BUILDING",
+                "MACHINERY",
+                "AUTOMOBILE",
+                "BUILDING",
+            ],
+        }
+    )
+    supplier = pd.DataFrame(
+        {
+            "s_suppkey": np.array([0, 1, 2], dtype=np.int64),  # 2: no items
+            "s_name": ["Supplier#0", "Supplier#1", "Supplier#2"],
+            "s_nationkey": np.array([0, 1, 2], dtype=np.int32),
+            "s_acctbal": np.array([0.0, -1.5, 42.0]),
+        }
+    )
+    part = pd.DataFrame(
+        {
+            "p_partkey": np.array([0, 1, 2, 3], dtype=np.int64),  # 3: unused
+            "p_name": [
+                "azure metallic thing",
+                "promo plated widget",
+                "small brushed rod",
+                "never ordered gizmo",
+            ],
+            "p_brand": ["Brand#12", "Brand#23", "Brand#12", "Brand#55"],
+            "p_type": [
+                "PROMO BURNISHED COPPER",
+                "STANDARD POLISHED TIN",
+                "PROMO PLATED STEEL",
+                "ECONOMY ANODIZED NICKEL",
+            ],
+            "p_size": np.array([1, 15, 50, 7], dtype=np.int32),
+            "p_retailprice": np.array([100.0, 0.0, 55.5, 900.01]),
+        }
+    )
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.array([0, 1, 2, 3, 4, 5], dtype=np.int64),
+            "o_custkey": np.array([0, 0, 1, 2, 3, 0], dtype=np.int64),
+            "o_orderstatus": ["F", "O", "F", "P", "O", "F"],
+            "o_totalprice": np.array(
+                [0.0, 123.45, 9999.99, 50.0, 1.0, 777.77]
+            ),
+            "o_orderdate": [
+                ts("1995-03-15"),  # exactly the q3 cutoff
+                ts("1996-07-01"),  # exactly a refresh cutoff
+                ts("1994-01-01"),
+                ts("1997-12-31"),
+                ts("1995-03-14 23:59:59"),  # one second inside
+                ts("1998-08-01"),
+            ],
+            "o_orderpriority": [
+                "1-URGENT",
+                "2-HIGH",
+                "3-MEDIUM",
+                "5-LOW",
+                "1-URGENT",
+                "4-NOT SPECIFIED",
+            ],
+        }
+        # order 5 has NO lineitems
+    )
+    li_rows = [
+        # (okey, pkey, skey, ln, qty, extprice, disc, tax, rf, ls, shipdate)
+        (0, 0, 0, 1, 17.0, 1000.0, 0.05, 0.02, "R", "F", ts("1995-01-01")),
+        (0, 1, 1, 2, 36.0, 2000.0, 0.0, 0.0, "A", "F", ts("1995-01-01")),
+        (1, 0, 0, 1, 0.0, 500.0, 1.0, 0.08, "N", "O", ts("1996-07-01")),
+        (1, 2, 1, 2, 5.0, 100.0, 0.1, 0.0, "N", "O", ts("1998-09-02")),
+        (2, 1, 0, 1, 50.0, 9999.99, 0.02, 0.04, "R", "F", ts("1994-02-02")),
+        (2, 2, 1, 2, 3.0, 0.0, 0.0, 0.0, "A", "F", ts("1994-02-03")),
+        (3, 0, 1, 1, 8.0, 300.0, 0.06, 0.01, "N", "O", ts("1998-01-01")),
+        (4, 2, 0, 1, 29.0, 450.0, 0.09, 0.06, "N", "O", ts("1995-03-15")),
+        # FK orphan: no order 99 exists
+        (99, 1, 1, 1, 2.0, 10.0, 0.5, 0.0, "R", "F", ts("1997-06-30")),
+    ]
+    lineitem = pd.DataFrame(
+        {
+            "l_orderkey": np.array([r[0] for r in li_rows], dtype=np.int64),
+            "l_partkey": np.array([r[1] for r in li_rows], dtype=np.int64),
+            "l_suppkey": np.array([r[2] for r in li_rows], dtype=np.int64),
+            "l_linenumber": np.array(
+                [r[3] for r in li_rows], dtype=np.int32
+            ),
+            "l_quantity": np.array([r[4] for r in li_rows]),
+            "l_extendedprice": np.array([r[5] for r in li_rows]),
+            "l_discount": np.array([r[6] for r in li_rows]),
+            "l_tax": np.array([r[7] for r in li_rows]),
+            "l_returnflag": [r[8] for r in li_rows],
+            "l_linestatus": [r[9] for r in li_rows],
+            "l_shipdate": [r[10] for r in li_rows],
+        }
+    )
+    for name, df in {
+        "region": region,
+        "nation": nation,
+        "customer": customer,
+        "supplier": supplier,
+        "part": part,
+        "orders": orders,
+        "lineitem": lineitem,
+    }.items():
+        # microsecond timestamps like the real tables — pandas defaults to
+        # ns, which Spark would read as BIGINT under the nanosAsLong conf
+        # that load_table sets for the events table
+        df.to_parquet(
+            d / f"{name}.parquet",
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", REL_QUERIES)
+def test_adversarial_relational_parity(name, spark, adv_rel_dir):
+    spec = all_queries()[name]
+    spark_pdf = spec.fn(spark, adv_rel_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        for t in REL_TABLES:
+            con.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{adv_rel_dir}/{t}.parquet')"
+            )
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, f"adv:{name}")
