@@ -47,6 +47,13 @@ DOC_QUERIES = [
     "sample_token_budget",
     "pipeline_clean_corpus",
     "decontaminate_overlap",
+    "agg_histogram",
+    "wordcount",
+    "incr_dedup_clusters",
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
@@ -57,6 +64,11 @@ EMB_QUERIES = [
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "embedding_top_pairs",
+    "array_battery",
+    "kmeans_assign",
+    "kmeans_bounded2",
+    "incr_kmeans_delta2",
 ]
 
 
