@@ -203,6 +203,19 @@ def adv_events_dir(tmp_path_factory):
         }
     )
     ev.to_parquet(d / "events.parquet")
+    # minimal customer dim for the stream-static enrich: users 3 and 4 have
+    # NO customer row (inner join must drop them identically), custkey 5
+    # matches no events
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.array([1, 2, 5], dtype=np.int64),
+            "c_name": ["Customer#1", "Customer#2", "Customer#5"],
+            "c_nationkey": np.array([0, 0, 1], dtype=np.int32),
+            "c_acctbal": np.array([0.0, -5.0, 9.9]),
+            "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY"],
+        }
+    )
+    cust.to_parquet(d / "customer.parquet")
     return str(d)
 
 
@@ -226,6 +239,24 @@ STREAMING_EVENT_QUERIES = [
     "events_running_totals_streamed",
     "streaming_dedup_events",
 ]
+
+
+def test_adversarial_enriched_stream_parity(spark, adv_events_dir):
+    """Stream-static enrich on the tie-heavy events with a partial dim:
+    events whose user has no customer row must drop on both sides."""
+    spec = all_queries()["events_enriched_streamed"]
+    spark_pdf = spec.fn(spark, adv_events_dir).toPandas()
+    con = duckdb.connect()
+    try:
+        for t in ("events", "customer"):
+            con.sql(
+                f"CREATE VIEW {t} AS "
+                f"SELECT * FROM read_parquet('{adv_events_dir}/{t}.parquet')"
+            )
+        oracle_pdf = con.sql(spec.oracle).df()
+    finally:
+        con.close()
+    assert_frames_match(spark_pdf, oracle_pdf, "adv:events_enriched_streamed")
 
 
 @pytest.mark.parametrize("name", STREAMING_EVENT_QUERIES)
