@@ -663,3 +663,185 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_members").cast("bigint").alias("n_members"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplicate spans (the suffix-array training-data dedup of
+# Lee et al., "Deduplicating Training Data Makes Language Models Better",
+# re-expressed as a distributed fingerprint join). The reference has no
+# substring surface at all; this is north-star LLM-pipeline coverage.
+
+SPAN_K = 32  # gram length (chars): spans shorter than this are invisible
+# content-defined sampling gate: a gram is FINGERPRINTED iff the md5 hex
+# prefix of the gram ITSELF falls under this threshold (~1/8 of grams).
+# Sampling by content — not by position stride — is the load-bearing choice:
+# two documents sharing a run sample the SAME grams inside it regardless of
+# where the run sits in each document, so cross-doc matches never need
+# positional alignment (the winnowing insight, Schleimer et al. 2003).
+# A positional stride would only match runs that happen to share alignment
+# with the stride grid — near-zero recall on real shifted duplicates.
+SPAN_KEEP_HEX = "20"
+
+
+def duplicate_substring_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """Per-document merged spans of text duplicated verbatim in ANOTHER
+    document: (id, n_dup_spans, dup_chars).
+
+    Pipeline (all DataFrame ops, no Python row path):
+      1. fingerprint: per doc, keep the char-k-gram start positions whose
+         gram content passes the md5 gate — computed INSIDE an array
+         ``filter`` over ``sequence(1, len-k+1)``, so unkept grams are
+         never exploded into rows (no k× row amplification at the scan);
+      2. one groupBy(gram) marks grams seen in ≥2 distinct docs;
+      3. a semi-join pulls each doc's positions of shared grams — note
+         this is LINEAR in hits (never a doc-pair join: a boilerplate gram
+         in f docs costs f rows here, not f², so hot grams can't blow up
+         the plan — the failure mode the pair-generating schemes above
+         need df-caps for);
+      4. per-doc interval merge of [pos, pos+k-1] via the classic
+         gaps-and-islands windows — partitioned by doc id (max-cardinality
+         key: no skew, no global sort).
+
+    Detection contract: a shared run of length L ≥ k contains L-k+1 grams,
+    each fingerprinted w.p. ~keep_hex/256 by content — deterministic given
+    the text, identical for every copy of the run, so recall is the same
+    on every run/cluster size and the whole operator is exactly
+    SQL-oracle-checkable. Spans whose every gram misses the gate are
+    missed (P ≈ (1-1/8)^(L-31)); raise ``keep_hex`` to trade scan cost
+    for short-span recall."""
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.length(text) - (k - 1)),
+        lambda i: F.substring(F.md5(text.substr(i, F.lit(k))), 1, 2)
+        < F.lit(keep_hex),
+    )
+    g = (
+        docs.where(F.length(text) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            text.alias("_t"),
+            F.explode(kept_pos).alias("pos"),
+        )
+        .select("id", "pos", F.expr(f"substring(_t, pos, {k})").alias("gram"))
+    )
+    shared = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    hits = g.join(shared, "gram", "left_semi").select("id", "pos")
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + (k - 1)).over(w_prev)
+    runs = hits.withColumn(
+        "new_span",
+        (prev_end.isNull() | (F.col("pos") > prev_end)).cast("int"),
+    ).withColumn("span_id", F.sum("new_span").over(w_run))
+    spans = runs.groupBy("id", "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (k - 1)).alias("e")
+    )
+    return spans.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+
+
+_SUBSTRING_SPANS_ORACLE = f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                 range(1, length(text) - {SPAN_K - 2}),
+                 i -> substr(md5(substr(text, CAST(i AS INTEGER), {SPAN_K})),
+                             1, 2) < '{SPAN_KEEP_HEX}')) AS pos
+        FROM documents WHERE length(text) >= {SPAN_K}
+      )
+    ), shared AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ), h AS (
+      SELECT g.doc_id, g.pos FROM g JOIN shared USING (gram)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + {SPAN_K - 1}) OVER w IS NULL
+                    OR pos > MAX(pos + {SPAN_K - 1}) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), runs AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+      FROM runs GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+    FROM spans GROUP BY doc_id
+"""
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_SUBSTRING_SPANS_ORACLE,
+    doc="exact-substring duplicate spans (Lee et al. suffix-array dedup, "
+    "re-expressed distributed): content-defined char-32-gram fingerprints "
+    "(md5 gate on the gram itself — alignment-independent, the winnowing "
+    "trick), one groupBy marks grams in >= 2 docs, a LINEAR semi-join "
+    "(never doc-pair quadratic) pulls hit positions, per-doc "
+    "gaps-and-islands windows merge them into maximal spans. Output: "
+    "per-doc span count + duplicated char mass.",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    spans = duplicate_substring_spans(d, "doc_id", "text")
+    return spans.select(
+        F.col("id").alias("doc_id"),
+        "n_dup_spans",
+        F.col("dup_chars").cast("bigint").alias("dup_chars"),
+    )
+
+
+@register(
+    "dedup_cc_star",
+    oracle=_CC_ORACLE,
+    doc="same near-dup clustering contract as dedup_cc_clusters, computed "
+    "by the alternating large-star/small-star edge-rewrite algorithm "
+    "(Kiveris et al. Two-Phase) instead of min-label propagation: O(log n) "
+    "rounds regardless of component diameter — the right variant when "
+    "components are long chains/meshes rather than near-cliques. Exact "
+    "same recursive-CTE oracle (identical fixpoint).",
+)
+def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .iterative import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst"))
+    res = connected_components_star(
+        edges, nodes=d.select(F.col("doc_id").alias("node"))
+    )
+    return res.state.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("cluster")
+    )

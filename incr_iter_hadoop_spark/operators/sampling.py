@@ -237,3 +237,78 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").cast("bigint").alias("tok"),
         cum.cast("bigint").alias("cum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shuffle-and-shard: the WRITE side of a training-data
+# pipeline. A 100 TB corpus is consumed as fixed shards in a fixed order;
+# both must be reproducible across runs and cluster sizes, with no global
+# sort and no coordination — so shard assignment AND intra-shard order are
+# pure functions of the key (md5), like the hash gates above.
+
+N_SHARDS = 8
+
+
+def shard_assignment(key: Column, n_shards: int = N_SHARDS) -> Column:
+    """Stable shard id in [0, n_shards): integer value of the md5 hex
+    prefix mod n_shards. Uniform, deterministic, computable per-row at the
+    scan (a shard writer is `df.where(shard == i)` — pushdown-friendly,
+    or one `partitionBy(shard)` write for all shards)."""
+    prefix = F.substring(F.md5(key.cast("string")), 1, 4)
+    return (F.conv(prefix, 16, 10).cast("bigint") % n_shards).alias("shard")
+
+
+@register(
+    "shard_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % {N_SHARDS} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY okey))
+             AS manifest_md5
+    FROM t GROUP BY shard
+    """,
+    doc="deterministic shuffle-and-shard manifest: every doc lands in a "
+    f"stable shard (md5-prefix mod {N_SHARDS}) with a stable intra-shard "
+    "position (md5 order — the 'global shuffle' of training-data prep, "
+    "reproducible on any cluster size with ONE shuffle and no global "
+    "sort); output is each shard's doc count, token mass, and an md5 "
+    "fingerprint of the ordered doc-id sequence, so two runs — or two "
+    "engines — writing the same corpus can be byte-audited against each "
+    "other. Oracle replicates assignment, order, and fingerprint exactly.",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        shard_assignment(F.col("doc_id")),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        F.size(ws_tokens(F.col("text"))).alias("tok"),
+    )
+    # intra-shard order is carried as (okey, doc_id) structs: collect,
+    # sort by okey JVM-side, fingerprint the joined id sequence — the
+    # aggregation is a single hash-agg on shard, never a global orderBy
+    return t.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("okey", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+            )
+        ).alias("manifest_md5"),
+    )

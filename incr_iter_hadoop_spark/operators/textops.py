@@ -599,3 +599,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT unnest([substr(t, CAST(i AS INTEGER), 2)
+                     for i in range(1, length(t))]) AS pair
+      FROM tok WHERE length(t) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+    doc="BPE merge-step statistics: counts of ADJACENT SYMBOL PAIRS within "
+    "pre-tokenizer units (the quantity byte-pair-encoding training "
+    "maximizes at each merge), top-50 by count. Pair generation is a "
+    "map-side array comprehension over each token (no Python, no extra "
+    "shuffle); the count is one partial-agg shuffle on the pair key and "
+    "the top-50 compiles to TakeOrderedAndProject. Ordering (count DESC, "
+    "pair ASC) is integer-deterministic.",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+            )
+        ).alias("t")
+    ).where(F.length("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 1),
+                lambda i: F.col("t").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(50)
+    )

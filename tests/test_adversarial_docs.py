@@ -41,7 +41,11 @@ DOC_QUERIES = [
     "dedup_simhash_pairs",
     "dedup_ngram_pairs",
     "dedup_cc_clusters",
+    "dedup_cc_star",
+    "dedup_substring_spans",
     "dedup_keep_best",
+    "shard_manifest",
+    "bpe_pair_counts",
     "incr_dedup_minhash_pairs",
     "sample_documents_10pct",
     "sample_token_budget",
