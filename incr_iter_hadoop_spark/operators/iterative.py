@@ -1413,14 +1413,17 @@ def connected_components_star(
         e.unpersist()
         e = small
         prev_cnt = cnt
-    # fixpoint edge set is a star forest: u (non-root) → v (component min)
-    labels = (
-        all_nodes.join(
-            e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
-            "node",
-            "left",
-        )
-        .select("node", F.coalesce("comp", F.col("node")).alias("comp"))
+    # fixpoint edge set is a star forest: u (non-root) → v (component min).
+    # The min-agg guards the not-converged exit (max_iterations hit before
+    # the fixpoint): a node may then still carry several parent edges, and
+    # the readout must stay one row per node.
+    parents = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    labels = all_nodes.join(parents, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
     return IterationResult(
         state=labels,

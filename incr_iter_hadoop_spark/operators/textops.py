@@ -647,3 +647,146 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(50)
     )
+
+
+@register(
+    "tokenize_to_ids",
+    oracle="""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ), tokx AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), vocab AS (
+      SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC)
+                       AS BIGINT) AS id
+      FROM tokx GROUP BY tok ORDER BY COUNT(*) DESC, tok ASC LIMIT 100
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS p, toks
+      FROM t WHERE len(toks) > 0
+    ), enc AS (
+      SELECT pos.doc_id, pos.p, COALESCE(vocab.id, 0) AS id
+      FROM pos LEFT JOIN vocab ON vocab.tok = pos.toks[CAST(pos.p AS INTEGER)]
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY p)) AS ids_md5
+    FROM enc GROUP BY doc_id
+    """,
+    doc="dictionary-encode text to token ids — the text→ids step of "
+    "training-data prep: vocab = top-100 corpus tokens (id = rank, "
+    "integer-deterministic order), every doc token mapped via a BROADCAST "
+    "dictionary join (the 100 TB shape: the vocab is small and ships to "
+    "every executor; the corpus never reshuffles), OOV → id 0. Output "
+    "keeps the result bounded: per-doc token/OOV counts + an md5 "
+    "fingerprint of the exact id sequence, so the full encoding is "
+    "value-checked without materializing it.",
+)
+def tokenize_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    tokx = t.select(F.explode("toks").alias("tok"))
+    vocab = (
+        tokx.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+    from pyspark.sql.window import Window
+
+    vocab = vocab.select(
+        "tok",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("tok").asc()))
+        .cast("bigint")
+        .alias("id"),
+    )
+    pos = t.where(F.size("toks") > 0).select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    )
+    enc = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id", "p", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum((F.col("id") == 0).cast("bigint")).alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "id"))),
+                    lambda s: s["id"].cast("string"),
+                ),
+            )
+        ).alias("ids_md5"),
+    )
+
+
+_PACK_LEN = 512  # tokens per packed training example
+_PACK_STREAMS = 16  # parallel packing streams (per-stream order is the
+# inherently sequential part of concat-and-split packing; streams scale out)
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % {_PACK_STREAMS} AS stream,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok
+      FROM documents
+    ), c AS (
+      SELECT stream, doc_id, tok,
+             SUM(tok) OVER (PARTITION BY stream ORDER BY okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok
+               AS start_off
+      FROM t
+    )
+    SELECT stream,
+           CAST(start_off // {_PACK_LEN} AS BIGINT) AS example_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    doc="sequence packing (concat-and-split): docs are concatenated in a "
+    f"deterministic md5 order within {_PACK_STREAMS} parallel packing "
+    f"streams and cut into {_PACK_LEN}-token training examples; each doc "
+    "is assigned to the example containing its first token. The only "
+    "sequential dependency — the running token offset — is confined to "
+    "one window per stream, and streams scale with the cluster; "
+    "assignment is reproducible on any executor count (pure function of "
+    "doc_id + token counts). Output: per-example doc and token tallies.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .sampling import shard_assignment
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        shard_assignment(F.col("doc_id"), _PACK_STREAMS).alias("stream"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        F.size(ws_tokens(F.col("text"))).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("tok").over(w) - F.col("tok"))
+    return (
+        c.groupBy(
+            "stream",
+            F.floor(F.col("start_off") / _PACK_LEN).alias("example_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -290,9 +290,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_session",
-    oracle="""
+_SESSION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, ts, event_id,
              CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
@@ -311,7 +309,12 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM sessions GROUP BY user_id, sess_id
-    """,
+    """
+
+
+@register(
+    "events_session",
+    oracle=_SESSION_ORACLE,
     doc="session window, 10-minute gap: F.session_window in Spark vs "
     "gaps-and-islands SQL in the oracle. Also the streaming session demo.",
 )
@@ -678,4 +681,60 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     if not drained:
         raise TimeoutError("streaming_dedup_events: stream did not drain within 300s")
+    return spark.table(sink)
+
+
+@register(
+    "events_session_streamed",
+    oracle=_SESSION_ORACLE,
+    doc="the session-window aggregation executed as a real Structured "
+    "Streaming query (file source, availableNow drain, complete-mode "
+    "memory sink): Spark's streaming state manager MERGES sessions as "
+    "micro-batches arrive — the custom-stateful analogue of the "
+    "incremental micro-batch mode (SURVEY §2.9) — and the result is "
+    "hash-identical to the batch twin events_session and its "
+    "gaps-and-islands SQL oracle.",
+)
+def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
+    stream = spark.readStream.schema(raw.schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    stream = stream.withColumn(
+        "ts",
+        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+        if ts_is_nanos
+        else F.col("ts").cast("timestamp_ntz"),
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+        )
+    )
+    _STREAM_SEQ[0] += 1
+    sink = f"events_session_streamed_{_STREAM_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not drained:
+        raise TimeoutError(
+            "events_session_streamed: stream did not drain within 300s"
+        )
     return spark.table(sink)

@@ -91,7 +91,9 @@ def _load_all() -> None:
 # tfidf_top_terms, inverted_index_trigrams, streaming_dedup_events,
 # profile_orders, skew_report_suppkey, embedding_label_centroids,
 # text_pii_redact, text_unigram_logprob, embedding_dedup_clusters,
-# sample_token_budget, dedup_keep_best.
+# sample_token_budget, dedup_keep_best, dedup_substring_spans,
+# dedup_cc_star, shard_manifest, bpe_pair_counts, tokenize_to_ids,
+# pack_sequences, events_session_streamed.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)

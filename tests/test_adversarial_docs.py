@@ -46,6 +46,9 @@ DOC_QUERIES = [
     "dedup_keep_best",
     "shard_manifest",
     "bpe_pair_counts",
+    "tokenize_to_ids",
+    "pack_sequences",
+    "incr_dedup_substring",
     "incr_dedup_minhash_pairs",
     "sample_documents_10pct",
     "sample_token_budget",
@@ -240,6 +243,7 @@ def test_adversarial_events_parity(name, spark, adv_events_dir):
 # identical timestamps are exactly what watermark dedup state must collapse)
 STREAMING_EVENT_QUERIES = [
     "events_tumbling_streamed",
+    "events_session_streamed",
     "events_running_totals_streamed",
     "streaming_dedup_events",
 ]

@@ -221,3 +221,43 @@ def test_corpus_top_tokens_is_take_ordered_with_partial_agg(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "corpus_top_tokens")
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_tokenize_vocab_join_is_broadcast(spark, sf_dir):
+    # the dictionary must ship to executors; the corpus side never
+    # reshuffles for the encode join
+    plan = _executed_plan(spark, sf_dir, "tokenize_to_ids")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pair_counts_is_take_ordered_with_partial_agg(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "bpe_pair_counts")
+    assert "TakeOrderedAndProject" in plan
+    # map-side partial aggregation bounds the shuffle at |pair vocab|
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_substring_spans_single_scan_no_pair_product(spark, sf_dir):
+    # the shared-gram test is a window on the gram key, so the fingerprint
+    # pass scans the corpus exactly ONCE, and nothing may be a doc-pair
+    # product (that would be the quadratic blowup the design avoids)
+    plan = _executed_plan(spark, sf_dir, "dedup_substring_spans")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shard_manifest_single_agg_no_global_sort(spark, sf_dir):
+    # one hash-agg on shard; intra-shard order lives in the sorted-struct
+    # aggregation, never a global orderBy
+    plan = _executed_plan(spark, sf_dir, "shard_manifest")
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_incr_substring_probe_is_equi_join_not_product(spark, sf_dir):
+    # the delta scans once (window, not groupBy+semi-join); the base-index
+    # probe must stay an equi-join on the gram key — linear in delta hits
+    plan = _executed_plan(spark, sf_dir, "incr_dedup_substring")
+    assert plan.count("Scan parquet") == 2  # one delta pass + one base pass
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
