@@ -304,6 +304,42 @@ def main() -> None:
     )
     shutil.rmtree(store_root, ignore_errors=True)
 
+    # non-headline extras: the substring-span dedup pair (new in r4) —
+    # tracked as separate keys so the headline total stays comparable
+    # across rounds. The incremental side is timed STEADY-STATE (same
+    # protocol as the disk store): the base gram index is materialized
+    # once as preserved state, and only the delta pass — fingerprint the
+    # held-out tenth, probe the index, merge spans — is on the clock.
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _doc_split,
+        substring_gram_index,
+        substring_spans_against_index,
+    )
+
+    full_runs_s: list[float] = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        specs["dedup_substring_spans"].fn(spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        full_runs_s.append(round(time.perf_counter() - t0, 3))
+    substring_sec = _median(full_runs_s)
+    _, sub_base, sub_new = _doc_split(spark, SF_DIR)
+    idx_path = os.path.join(
+        tempfile.mkdtemp(prefix="bench_gram_idx_"), "base_idx"
+    )
+    substring_gram_index(sub_base, "doc_id", "text").write.parquet(idx_path)
+    base_idx = spark.read.parquet(idx_path)
+    incr_runs_s: list[float] = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        substring_spans_against_index(
+            sub_new, base_idx, "doc_id", "text"
+        ).write.format("noop").mode("overwrite").save()
+        incr_runs_s.append(round(time.perf_counter() - t0, 3))
+    incr_substring_sec = _median(incr_runs_s)
+    shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -332,6 +368,15 @@ def main() -> None:
         # contribution reads (updateResKV analogue)
         "incr_mem_linear_refresh_sec": linear_refresh_sec,
         "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
+        # substring-span dedup (non-headline, new r4): full corpus vs
+        # delta-restricted incremental
+        "substring_dedup_sec": substring_sec,
+        "incr_substring_dedup_sec": incr_substring_sec,
+        "incr_substring_vs_full": (
+            round(incr_substring_sec / substring_sec, 3)
+            if substring_sec
+            else None
+        ),
     }
     print(json.dumps(result))
     # BASELINE.md protocol: record runs for regression tracking + trend table

@@ -893,14 +893,46 @@ def dedup_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def incr_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, base, new = _doc_split(spark, sf_dir)
-    base_idx = (
-        _fingerprint_grams(base, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX)
+    return substring_spans_against_index(
+        new, substring_gram_index(base, "doc_id", "text"), "doc_id", "text"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_dup_spans",
+        F.col("dup_chars").cast("bigint").alias("dup_chars"),
+    )
+
+
+def substring_gram_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """(gram, n_base): the preserved gram→distinct-doc-count index — the
+    state a deployed pipeline materializes once and refreshes linearly
+    (disjoint corpus batches sum)."""
+    return (
+        _fingerprint_grams(docs, id_col, text_col, k, keep_hex)
         .groupBy("gram")
         .agg(F.count_distinct("id").alias("n_base"))
     )
+
+
+def substring_spans_against_index(
+    new_docs: DataFrame,
+    base_idx: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """Duplicate spans of ``new_docs`` against (new_docs ∪ the corpus the
+    index summarizes): the steady-state delta pass — O(|delta|) fingerprint
+    + probe + merge, never re-reading the base corpus."""
     from pyspark.sql.window import Window
 
-    new_g = _fingerprint_grams(new, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX)
+    new_g = _fingerprint_grams(new_docs, id_col, text_col, k, keep_hex)
     # duplicated ⟺ ≥2 distinct docs among (delta ∪ base) hold the gram:
     # within-delta via the gram-partition window (single delta scan — see
     # duplicate_substring_spans), or any preserved base occurrence via the
@@ -914,8 +946,4 @@ def incr_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dup_new") | F.col("n_base").isNotNull())
         .select("id", "pos")
     )
-    return _merge_spans(hits, SPAN_K).select(
-        F.col("id").alias("doc_id"),
-        "n_dup_spans",
-        F.col("dup_chars").cast("bigint").alias("dup_chars"),
-    )
+    return _merge_spans(hits, k)
