@@ -440,3 +440,47 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_value", 6).alias("purchase_value"),
         F.round("click_value", 6).alias("click_value"),
     )
+
+
+@register(
+    "er_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS a, b.c_custkey AS b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND length(a.c_name) = length(b.c_name)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="entity-resolution fuzzy match: near-identical customer names "
+    "(levenshtein ≤ 1) found by BLOCKED self-join — candidates only form "
+    "within a (nationkey, name-length) block, so the pair space is "
+    "Σ block² instead of N² (the standard ER blocking discipline; at "
+    "100 TB the block key grows a name-prefix component to keep blocks "
+    "bounded), then each candidate is verified map-side with the exact "
+    "edit distance. Oracle: identical blocked join in DuckDB — "
+    "levenshtein has identical semantics in both engines.",
+)
+def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("a"),
+            F.col("b.c_custkey").alias("b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+            .cast("bigint")
+            .alias("dist"),
+        )
+        .where(F.col("dist") <= 1)
+    )

@@ -719,3 +719,44 @@ def scan_multi_path_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.groupBy(
         F.col("n_nationkey").cast("bigint").alias("nationkey"), "n_name"
     ).agg(F.count(F.lit(1)).alias("n_copies"))
+
+
+@register(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang, source,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="JSONL round-trip, driver-checkable: the documents table is "
+    "written as JSON Lines — THE interchange format of training-data "
+    "pipelines — and read back with an explicit schema (schema-on-read, "
+    "no inference pass at scale), proving the serialize→parse cycle is "
+    "lossless including non-ASCII text (the md5 of the round-tripped "
+    "text is the witness). Oracle computes the same projection from the "
+    "parquet table directly, so any JSON encoding/escaping drift breaks "
+    "the hash.",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .incremental import _cleanup_at_exit
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="scan_jsonl_roundtrip_")
+    _cleanup_at_exit(tmp, "")
+    path = os.path.join(tmp, "docs_jsonl")
+    d.select("doc_id", "text", "lang", "source").write.mode(
+        "overwrite"
+    ).json(path)
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string"
+    ).json(path)
+    return back.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )

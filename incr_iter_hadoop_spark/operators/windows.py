@@ -738,3 +738,62 @@ def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_session_streamed: stream did not drain within 300s"
         )
     return spark.table(sink)
+
+
+@register(
+    "events_resample_gaps",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_trunc('hour', MIN(ts)) AS h0,
+             date_trunc('hour', MAX(ts)) AS h1
+      FROM events GROUP BY user_id
+    ), hours AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM spans
+    ), active AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hours.user_id,
+           CAST(COUNT(*) AS BIGINT) AS span_hours,
+           CAST(SUM(CASE WHEN active.n IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS active_hours,
+           CAST(SUM(CASE WHEN active.n IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS gap_hours
+    FROM hours LEFT JOIN active USING (user_id, h)
+    GROUP BY hours.user_id
+    """,
+    doc="time-series resampling with gap detection: each user's event "
+    "stream is resampled onto a dense hourly grid between their first and "
+    "last event (sequence + explode — generated PER USER, so the grid "
+    "never materializes globally), left-joined against the actual hourly "
+    "counts, and the zero-filled gaps tallied. The grid explode and both "
+    "aggregations key on user_id — max-cardinality, no skew; output is "
+    "one row per user.",
+)
+def events_resample_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    active = e.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    joined = hours.join(active, ["user_id", "h"], "left")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("span_hours"),
+        F.sum(F.col("n").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("active_hours"),
+        F.sum(F.col("n").isNull().cast("int"))
+        .cast("bigint")
+        .alias("gap_hours"),
+    )

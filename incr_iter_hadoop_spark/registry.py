@@ -93,7 +93,8 @@ def _load_all() -> None:
 # text_pii_redact, text_unigram_logprob, embedding_dedup_clusters,
 # sample_token_budget, dedup_keep_best, dedup_substring_spans,
 # dedup_cc_star, shard_manifest, bpe_pair_counts, tokenize_to_ids,
-# pack_sequences, events_session_streamed.
+# pack_sequences, events_session_streamed, incr_dedup_substring,
+# er_fuzzy_name_pairs, events_resample_gaps, scan_jsonl_roundtrip.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)

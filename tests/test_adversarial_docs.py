@@ -49,6 +49,7 @@ DOC_QUERIES = [
     "tokenize_to_ids",
     "pack_sequences",
     "incr_dedup_substring",
+    "scan_jsonl_roundtrip",
     "incr_dedup_minhash_pairs",
     "sample_documents_10pct",
     "sample_token_budget",
@@ -168,6 +169,7 @@ EVENT_QUERIES = [
     "events_session",
     "events_funnel",
     "sample_stratified_events",
+    "events_resample_gaps",
     "json_extract",
     "join_asof",
 ]

@@ -261,3 +261,12 @@ def test_incr_substring_probe_is_equi_join_not_product(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # one delta pass + one base pass
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_er_fuzzy_join_is_blocked_equi_not_product(spark, sf_dir):
+    # the ER self-join must key on the (nationkey, name-length) block — a
+    # hash equi-join with the custkey ordering + edit distance as residual
+    # filters; an unblocked pair product would be N² levenshtein calls
+    plan = _executed_plan(spark, sf_dir, "er_fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
