@@ -1361,9 +1361,12 @@ def connected_components_star(
         .repartition(n, "u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # endpoint universe from the RAW edges (before the self-loop filter):
+    # a node appearing only in self-loops is still a singleton component
+    # and must be labeled — same contract as connected_components
     endpoint_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
     )
     all_nodes = (
         endpoint_nodes.union(nodes.select("node")) if nodes is not None

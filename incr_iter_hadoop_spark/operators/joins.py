@@ -449,38 +449,54 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
     FROM customer a JOIN customer b
       ON a.c_nationkey = b.c_nationkey
-     AND length(a.c_name) = length(b.c_name)
+     AND abs(length(a.c_name) - length(b.c_name)) <= 1
      AND a.c_custkey < b.c_custkey
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
     doc="entity-resolution fuzzy match: near-identical customer names "
-    "(levenshtein ≤ 1) found by BLOCKED self-join — candidates only form "
-    "within a (nationkey, name-length) block, so the pair space is "
-    "Σ block² instead of N² (the standard ER blocking discipline; at "
-    "100 TB the block key grows a name-prefix component to keep blocks "
-    "bounded), then each candidate is verified map-side with the exact "
-    "edit distance. Oracle: identical blocked join in DuckDB — "
-    "levenshtein has identical semantics in both engines.",
+    "(levenshtein ≤ 1) found by BLOCKED self-join. The length block is "
+    "BANDED — each record emits keys (len, len+1), so any pair with "
+    "|Δlen| ≤ 1 collides on a key and insertions/deletions stay in "
+    "recall (an exact-length block would silently drop every distance-1 "
+    "indel pair). Pair space is Σ block² instead of N² (the standard ER "
+    "blocking discipline; at 100 TB the block key grows a name-prefix "
+    "component to keep blocks bounded), then each candidate is verified "
+    "map-side with the exact edit distance. Oracle: the result-equivalent "
+    "|Δlen| ≤ 1 join — levenshtein has identical semantics in both "
+    "engines.",
 )
 def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey", F.length("c_name").alias("ln")
     )
-    a = c.alias("a")
-    b = c.alias("b")
-    return (
+    # banded block keys: records at lengths L and L+1 share key L+1
+    keys = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.explode(F.array(F.col("ln"), F.col("ln") + 1)).alias("blk"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-            & (F.col("a.ln") == F.col("b.ln"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
         .select(
             F.col("a.c_custkey").alias("a"),
             F.col("b.c_custkey").alias("b"),
-            F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-            .cast("bigint")
-            .alias("dist"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
         )
-        .where(F.col("dist") <= 1)
+        # equal-length pairs collide on BOTH band keys — dedupe before the
+        # edit-distance verification so each pair is scored once
+        .distinct()
     )
+    return cand.select(
+        "a",
+        "b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+    ).where(F.col("dist") <= 1)

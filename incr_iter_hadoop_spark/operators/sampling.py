@@ -258,6 +258,11 @@ def shard_assignment(key: Column, n_shards: int = N_SHARDS) -> Column:
     return (F.conv(prefix, 16, 10).cast("bigint") % n_shards).alias("shard")
 
 
+# combinable-fingerprint modulus: per-row hashes are < 1e9, so a shard of
+# up to ~9e9 rows sums below 2^63 — no overflow at any realistic shard size
+_FP_MOD = 1_000_000_007
+
+
 @register(
     "shard_manifest",
     oracle=f"""
@@ -265,7 +270,8 @@ def shard_assignment(key: Column, n_shards: int = N_SHARDS) -> Column:
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                % {N_SHARDS} AS shard,
-             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             ('0x' || substr(md5('fp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_FP_MOD} AS fp,
              len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
                AS tok
       FROM documents
@@ -273,42 +279,44 @@ def shard_assignment(key: Column, n_shards: int = N_SHARDS) -> Column:
     SELECT shard,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(tok) AS BIGINT) AS n_tokens,
-           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY okey))
-             AS manifest_md5
+           CAST(SUM(fp) AS BIGINT) AS manifest_fp
     FROM t GROUP BY shard
     """,
     doc="deterministic shuffle-and-shard manifest: every doc lands in a "
     f"stable shard (md5-prefix mod {N_SHARDS}) with a stable intra-shard "
     "position (md5 order — the 'global shuffle' of training-data prep, "
     "reproducible on any cluster size with ONE shuffle and no global "
-    "sort); output is each shard's doc count, token mass, and an md5 "
-    "fingerprint of the ordered doc-id sequence, so two runs — or two "
-    "engines — writing the same corpus can be byte-audited against each "
-    "other. Oracle replicates assignment, order, and fingerprint exactly.",
+    "sort); output is each shard's doc count, token mass, and an "
+    "order-independent COMBINABLE fingerprint (sum of per-id md5-derived "
+    "hashes — the intra-shard order is itself a pure function of the id "
+    "multiset, so the multiset fingerprint witnesses the ordered "
+    "manifest while the aggregation state stays O(1) per shard; a "
+    "collect-and-concatenate md5 chain would hold the whole shard's ids "
+    "in one agg buffer). Two runs — or two engines — writing the same "
+    "corpus audit against each other on the fingerprint.",
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fp|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _FP_MOD
+    )
     t = d.select(
         "doc_id",
         shard_assignment(F.col("doc_id")),
-        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        fp.alias("fp"),
         F.size(ws_tokens(F.col("text"))).alias("tok"),
     )
-    # intra-shard order is carried as (okey, doc_id) structs: collect,
-    # sort by okey JVM-side, fingerprint the joined id sequence — the
-    # aggregation is a single hash-agg on shard, never a global orderBy
     return t.groupBy("shard").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("tok").cast("bigint").alias("n_tokens"),
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("okey", "doc_id"))
-                    ),
-                    lambda s: s["doc_id"].cast("string"),
-                ),
-            )
-        ).alias("manifest_md5"),
+        F.sum("fp").cast("bigint").alias("manifest_fp"),
     )

@@ -334,6 +334,58 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = [0]
 
 
+def _events_stream(spark: SparkSession, sf_dir: str, normalize_ts: bool = True):
+    """File-source stream over the events table (the file stream source
+    requires a directory, so the path glob-filters to the one table file).
+    ``normalize_ts`` applies the SAME ts contract as catalog.load_table —
+    nanos-encoded bigint or native timestamp, both normalized to NTZ. This
+    is the single copy of a correctness-sensitive invariant every streamed
+    events query shares (review finding r4: five drifting copies)."""
+    import os
+
+    # batch read first: sets the nanosAsLong conf and yields the raw schema
+    load_table(spark, sf_dir, "events")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if normalize_ts:
+        ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
+        stream = stream.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
+            if ts_is_nanos
+            else F.col("ts").cast("timestamp_ntz"),
+        )
+    return stream
+
+
+def _drain_to_memory_sink(df, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow trigger) into
+    a uniquely-named memory sink and return the drained table. Raises on
+    timeout: a force-stopped sink would silently return a partially-filled
+    table and fail the value-hash gate confusingly."""
+    _STREAM_SEQ[0] += 1
+    sink = f"{name}_{_STREAM_SEQ[0]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        drained = q.awaitTermination(300)
+    finally:
+        if q.isActive:
+            q.stop()
+    if not drained:
+        raise TimeoutError(f"{name}: stream did not drain within 300s")
+    return df.sparkSession.table(sink)
+
+
 @register(
     "events_tumbling_streamed",
     oracle=f"""
@@ -351,23 +403,7 @@ _STREAM_SEQ = [0]
     "incremental mode's micro-batch expression, SURVEY §2.9).",
 )
 def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    # batch read first: sets the nanosAsLong conf and yields the raw schema
-    load_table(spark, sf_dir, "events")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
-    # the file stream source requires a directory; glob-filter to the table
-    stream = spark.readStream.schema(raw.schema).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir)
-    stream = stream.withColumn(
-        "ts",
-        # both branches normalized to NTZ — same contract as catalog.load_table
-        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        if ts_is_nanos
-        else F.col("ts").cast("timestamp_ntz"),
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value").alias("total"))
@@ -378,27 +414,7 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
-    _STREAM_SEQ[0] += 1
-    sink = f"events_tumbling_streamed_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not drained:
-        # a force-stopped complete-mode sink would silently return a
-        # partially-filled table and fail the value-hash gate confusingly
-        raise TimeoutError(
-            "events_tumbling_streamed: stream did not drain within 300s"
-        )
-    return spark.table(sink)
+    return _drain_to_memory_sink(agg, "events_tumbling_streamed", "complete")
 
 
 @register(
@@ -418,40 +434,14 @@ def events_tumbling_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stateful path is hash-checked against a plain GROUP BY oracle.",
 )
 def events_running_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..streaming.incremental_stream import stateful_running_totals
 
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong for the schema read
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir, normalize_ts=False)
     totals = stateful_running_totals(stream)
-    _STREAM_SEQ[0] += 1
-    sink = f"events_running_totals_{_STREAM_SEQ[0]}"
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not drained:
-        raise TimeoutError(
-            "events_running_totals_streamed: stream did not drain within 300s"
-        )
     # update-mode memory sink: one row per key per batch; the LAST emission
     # per key is the final running total (single-file source -> one batch,
     # but group-max keeps this correct under any batching)
-    out = spark.table(sink)
+    out = _drain_to_memory_sink(totals, "events_running_totals", "update")
     return (
         out.groupBy("key")
         .agg(
@@ -479,17 +469,9 @@ def events_running_totals_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     "contract, so slowly-changing dims pick up updates at any stream rate.",
 )
 def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from ..streaming.incremental_stream import stream_static_enrich
 
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong for the schema read
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir, normalize_ts=False)
     dim = load_table(spark, sf_dir, "customer").withColumnRenamed(
         "c_custkey", "user_id"
     )
@@ -497,25 +479,7 @@ def events_enriched_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total")
     )
-    _STREAM_SEQ[0] += 1
-    sink = f"events_enriched_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not drained:
-        raise TimeoutError(
-            "events_enriched_streamed: stream did not drain within 300s"
-        )
-    return spark.table(sink)
+    return _drain_to_memory_sink(agg, "events_enriched", "complete")
 
 
 @register(
@@ -637,27 +601,12 @@ def window_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "horizon instead of growing with the stream.",
 )
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    load_table(spark, sf_dir, "events")  # sets nanosAsLong when needed
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
-
-    def source():
-        s = spark.readStream.schema(raw.schema).option(
-            "pathGlobFilter", "events.parquet"
-        ).parquet(sf_dir)
-        return s.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-            if ts_is_nanos
-            else F.col("ts").cast("timestamp_ntz"),
-        )
-
     # watermarks require TIMESTAMP (tz-aware); the NTZ reading stays the
     # table contract elsewhere — here ts only gates dedup-state eviction
     doubled = (
-        source().unionByName(source()).withColumn("ts", F.col("ts").cast("timestamp"))
+        _events_stream(spark, sf_dir)
+        .unionByName(_events_stream(spark, sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
@@ -665,23 +614,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
     )
-    _STREAM_SEQ[0] += 1
-    sink = f"streaming_dedup_events_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not drained:
-        raise TimeoutError("streaming_dedup_events: stream did not drain within 300s")
-    return spark.table(sink)
+    return _drain_to_memory_sink(agg, "streaming_dedup_events", "complete")
 
 
 @register(
@@ -696,20 +629,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gaps-and-islands SQL oracle.",
 )
 def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    load_table(spark, sf_dir, "events")
-    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    ts_is_nanos = raw.schema["ts"].dataType.simpleString() == "bigint"
-    stream = spark.readStream.schema(raw.schema).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir)
-    stream = stream.withColumn(
-        "ts",
-        F.timestamp_micros(F.expr("ts DIV 1000")).cast("timestamp_ntz")
-        if ts_is_nanos
-        else F.col("ts").cast("timestamp_ntz"),
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
@@ -719,25 +639,7 @@ def events_session_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    _STREAM_SEQ[0] += 1
-    sink = f"events_session_streamed_{_STREAM_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        drained = q.awaitTermination(300)
-    finally:
-        if q.isActive:
-            q.stop()
-    if not drained:
-        raise TimeoutError(
-            "events_session_streamed: stream did not drain within 300s"
-        )
-    return spark.table(sink)
+    return _drain_to_memory_sink(agg, "events_session_streamed", "complete")
 
 
 @register(

@@ -67,3 +67,12 @@ def test_star_already_converged_input(spark):
     res = connected_components_star(e)
     assert res.converged
     assert res.iterations == 1
+
+
+def test_star_self_loop_only_node_is_labeled(spark):
+    # a node appearing ONLY in self-loop edges must still be labeled as its
+    # own singleton component — same contract as connected_components
+    e = spark.createDataFrame([(5, 5), (1, 2)], "src long, dst long")
+    a = connected_components(e)
+    b = connected_components_star(e)
+    assert _labels(a) == _labels(b) == {1: 1, 2: 1, 5: 5}
