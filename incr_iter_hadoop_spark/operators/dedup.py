@@ -947,3 +947,38 @@ def substring_spans_against_index(
         .select("id", "pos")
     )
     return _merge_spans(hits, k)
+
+
+_DEL_DOC_MOD = 7  # deletion delta: every 7th doc leaves the corpus
+
+
+@register(
+    "incr_dedup_minhash_delete",
+    oracle=f"""
+    WITH full_pairs AS ({_JACCARD_ORACLE})
+    SELECT * FROM full_pairs
+    WHERE i % {_DEL_DOC_MOD} != 0 AND j % {_DEL_DOC_MOD} != 0
+    """,
+    doc="incremental dedup under DELETIONS (the retraction side of I7, "
+    "UpdatePageRankGraph.java:47-52's removal fixture applied to the "
+    "dedup domain): pair similarity is a pure function of the two "
+    "documents — no corpus statistics — so removing docs retracts "
+    "exactly the preserved pairs touching them, a single anti-join "
+    "against the deleted-id set, zero recomputation (contrast the "
+    "CC clusters, which can SPLIT under deletion and need a recompute, "
+    "and substring spans, whose df counts shift). Oracle: the exact "
+    "all-pairs Jaccard restricted to the surviving corpus.",
+)
+def incr_dedup_minhash_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # preserved state: the full-corpus verified pair set
+    base_pairs = minhash_lsh_pairs(d, "doc_id", "text")
+    deleted = d.where(F.col("doc_id") % _DEL_DOC_MOD == 0).select(
+        F.col("doc_id").alias("del_id")
+    )
+    return (
+        base_pairs.join(
+            deleted, base_pairs.i == deleted.del_id, "left_anti"
+        )
+        .join(deleted, base_pairs.j == deleted.del_id, "left_anti")
+    )

@@ -29,9 +29,7 @@ from .dedup import _JACCARD_ORACLE
 from .textops import _STOPS_SQL, EN_STOPWORDS
 
 
-@register(
-    "pipeline_clean_corpus",
-    oracle=f"""
+_CLEAN_ORACLE = f"""
     WITH RECURSIVE pairs AS MATERIALIZED ({_JACCARD_ORACLE}),
     edges AS MATERIALIZED (
       SELECT i AS src, j AS dst FROM pairs
@@ -71,7 +69,12 @@ from .textops import _STOPS_SQL, EN_STOPWORDS
     JOIN clusters c ON c.doc_id = q.doc_id AND c.cluster = q.doc_id
     JOIN exact_keep ek ON ek.doc_id = q.doc_id
     WHERE q.quality >= 0.5 AND q.stop_ratio >= 0.08
-    """,
+    """
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=_CLEAN_ORACLE,
     doc="the whole cleaning pipeline as one query: exact-dedup keepers ∩ "
     "near-dup cluster keepers (MinHash-LSH pairs -> frontier-pruned "
     "connected components, keeper = component min) ∩ quality >= 0.5 ∩ "
@@ -183,4 +186,85 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_id").alias("n_bench_docs"),
             F.countDistinct("s").alias("n_shared_shingles"),
         )
+    )
+
+
+_PACK_LEN = 512  # tokens per packed training example
+_PACK_STREAMS = 8  # parallel packing streams
+_FP_MOD = 1_000_000_007  # combinable-fingerprint modulus (see shard_manifest)
+
+
+@register(
+    "pipeline_build_training_set",
+    oracle=f"""
+    WITH clean AS ({_CLEAN_ORACLE}),
+    t AS (
+      SELECT doc_id, tok_cnt,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               % {_PACK_STREAMS} AS stream,
+             md5(CAST(doc_id AS VARCHAR)) AS okey,
+             ('0x' || substr(md5('fp|' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT % {_FP_MOD} AS fp
+      FROM clean
+    ), c AS (
+      SELECT stream, doc_id, tok_cnt, fp,
+             SUM(tok_cnt) OVER (PARTITION BY stream ORDER BY okey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok_cnt
+               AS start_off
+      FROM t
+    )
+    SELECT stream,
+           CAST(start_off // {_PACK_LEN} AS BIGINT) AS example_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok_cnt) AS BIGINT) AS n_tokens,
+           CAST(SUM(fp) AS BIGINT) AS manifest_fp
+    FROM c GROUP BY 1, 2
+    """,
+    doc="the END-TO-END training-set build as one declarative plan: the "
+    "full cleaning pipeline (exact + near-dup keepers ∩ quality ∩ lang) "
+    "feeds deterministic sharding (md5 mod 8 streams), md5-ordered "
+    f"concat-and-split packing into {_PACK_LEN}-token examples, and an "
+    "order-independent combinable manifest fingerprint — what a user "
+    "runs to turn a raw corpus into audited training shards. Catalyst "
+    "sees the whole pipeline as one plan (keeper semi-joins fuse into "
+    "the scans); every stage reuses the exact operator the standalone "
+    "queries check, so the composition is hash-checked end to end.",
+)
+def pipeline_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .sampling import shard_assignment
+
+    clean = pipeline_clean_corpus(spark, sf_dir)
+    fp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fp|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _FP_MOD
+    )
+    t = clean.select(
+        "doc_id",
+        "tok_cnt",
+        shard_assignment(F.col("doc_id"), _PACK_STREAMS).alias("stream"),
+        F.md5(F.col("doc_id").cast("string")).alias("okey"),
+        fp.alias("fp"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("okey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_off", F.sum("tok_cnt").over(w) - F.col("tok_cnt"))
+    return c.groupBy(
+        "stream", F.floor(F.col("start_off") / _PACK_LEN).alias("example_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok_cnt").cast("bigint").alias("n_tokens"),
+        F.sum("fp").cast("bigint").alias("manifest_fp"),
     )

@@ -790,3 +790,113 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+# fixed query workload (terms exist in the synthetic corpus vocabulary)
+_BM25_QUERIES = [
+    (0, ("table", "scan")),
+    (1, ("window", "batch")),
+    (2, ("vector", "hash", "join")),
+]
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+    WITH q(query_id, term) AS (VALUES {", ".join(
+        f"({qid}, '{t}')" for qid, ts in _BM25_QUERIES for t in ts)}),
+    t AS MATERIALIZED (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT COUNT(*) AS n, AVG(len(toks)) AS avgdl FROM t),
+    tok AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok
+      WHERE term IN (SELECT term FROM q) GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+      FROM q JOIN tf USING (term)
+      JOIN df ON df.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+    )
+    SELECT query_id, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(SUM(s), 6) AS bm25
+    FROM scored GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    doc="BM25 retrieval scoring (Lucene's +1-idf variant, k1=1.2 b=0.75) "
+    "for a fixed query workload — the corpus-search primitive of "
+    "training-data curation. The query-term relation broadcasts (tiny); "
+    "tf is computed ONLY for query terms (the IN filter prunes the "
+    "explode before the shuffle); df/avgdl are corpus statistics from "
+    "the same pass. Row SELECTION is integer-only (docs matching ≥ 2 "
+    "distinct query terms) so float rounding can never change the result "
+    "set — the BM25 score itself is a tolerance-compared value column.",
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in _BM25_QUERIES for t in ts],
+        "query_id int, term string",
+    )
+    t = d.select("doc_id", ws_tokens(F.col("text")).alias("toks"))
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = t.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("toks")).alias("avgdl")
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("term"))
+    all_terms = sorted({t_ for _, ts in _BM25_QUERIES for t_ in ts})
+    tf = (
+        tok.where(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        F.broadcast(q)
+        .join(tf, "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1
+                        - _BM25_B
+                        + _BM25_B * F.col("dl") / F.col("avgdl")
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("s"), 6).alias("bm25"),
+        )
+        .where(F.col("n_terms") >= 2)
+    )

@@ -167,3 +167,57 @@ def udtf_explode_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def _cogroup_balance(key, orders_pdf, cust_pdf):
+    import pandas as pd
+
+    n = len(orders_pdf)
+    spend = float(orders_pdf["o_totalprice"].sum()) if n else 0.0
+    acct = float(cust_pdf["c_acctbal"].iloc[0]) if len(cust_pdf) else None
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(key[0])],
+            "n_orders": [n],
+            "spend": [round(spend, 6)],
+            "acctbal": [round(acct, 6) if acct is not None else None],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_stats",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 6) AS spend,
+           ROUND(c.c_acctbal, 6) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_acctbal
+    """,
+    doc="U3's COGROUP variant (applyInPandas over groupBy().cogroup()): "
+    "orders and customer are co-partitioned on the customer key and each "
+    "key's two Arrow batches land in one Python function — the "
+    "reduce-side multi-input contract (J4's tagged-join mechanics) "
+    "exposed as a user hook. Customers with no orders still emit (the "
+    "cogroup sees an empty left frame), pinned by the oracle's LEFT "
+    "JOIN. Float sums rounded on both sides.",
+)
+def udf_cogrouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    out = (
+        o.groupBy("c_custkey")
+        .cogroup(c.groupBy("c_custkey"))
+        .applyInPandas(
+            _cogroup_balance,
+            "c_custkey bigint, n_orders bigint, spend double, acctbal double",
+        )
+    )
+    # cogroup emits one row per key present in EITHER side; customers are
+    # the contract (oracle's LEFT JOIN base) — keys with orders but no
+    # customer row would have NULL acctbal AND no customer: none exist in
+    # the fixture universe, but the semi-join pins the contract anyway
+    return out.join(c.select("c_custkey"), "c_custkey", "left_semi")

@@ -94,7 +94,9 @@ def _load_all() -> None:
 # sample_token_budget, dedup_keep_best, dedup_substring_spans,
 # dedup_cc_star, shard_manifest, bpe_pair_counts, tokenize_to_ids,
 # pack_sequences, events_session_streamed, incr_dedup_substring,
-# er_fuzzy_name_pairs, events_resample_gaps, scan_jsonl_roundtrip.
+# er_fuzzy_name_pairs, events_resample_gaps, scan_jsonl_roundtrip,
+# bm25_scores, incr_dedup_minhash_delete, udf_cogrouped_stats,
+# pipeline_build_training_set.
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)

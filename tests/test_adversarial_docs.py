@@ -50,10 +50,13 @@ DOC_QUERIES = [
     "pack_sequences",
     "incr_dedup_substring",
     "scan_jsonl_roundtrip",
+    "bm25_scores",
+    "incr_dedup_minhash_delete",
     "incr_dedup_minhash_pairs",
     "sample_documents_10pct",
     "sample_token_budget",
     "pipeline_clean_corpus",
+    "pipeline_build_training_set",
     "decontaminate_overlap",
     "agg_histogram",
     "wordcount",
