@@ -366,3 +366,34 @@ def test_refresh_linear_rejects_non_linear_aggregates(spark, tmp_path):
         refresh_linear(
             state, delta, linear_exprs={"total": F.sum(F.col("_sign") * F.col("v"))}
         ).collect()
+
+
+def test_stray_uncommitted_layer_is_invisible(spark, tmp_path):
+    # crash consistency: a refresh that wrote its layer files but died
+    # BEFORE the meta commit must be invisible — readers see the last
+    # committed version, and the next refresh proceeds normally.
+    import shutil
+
+    store = _fresh_store(
+        spark, tmp_path, [(1, 1, 1.0), (1, 2, 2.0), (2, 1, 5.0)]
+    )
+    store.refresh(_delta(spark, [(1, 3, 7.0, "+")]))
+    committed = _results_dict(store)
+    v = store.version
+    # simulate the torn refresh: copy the v-th layer dirs to v+1 without
+    # touching meta (layer files on disk, no commit record)
+    era = store.meta.get("era", 0)
+    for which in ("contribs", "results"):
+        src = store._layer_path(v, which, era)
+        dst = store._layer_path(v + 1, which, era)
+        shutil.copytree(src, dst)
+    # a fresh handle (cold meta) must report the committed version and state
+    reread = PreserveStore(spark, store.path)
+    assert reread.version == v
+    assert _results_dict(reread) == committed
+    # and the next real refresh commits OVER the stray files without damage
+    reread.refresh(_delta(spark, [(2, 9, 1.0, "+")]))
+    assert reread.version == v + 1
+    after = _results_dict(reread)
+    assert after[2] == (6.0, 2, 5.0)
+    assert after[1] == committed[1]
