@@ -1350,6 +1350,10 @@ def connected_components_star(
     row per non-root node); lineage is cut every round with a
     localCheckpoint materialized by the convergence count."""
     n = negotiate_partitions(edges)
+    # the caller's edge plan can be expensive (e.g. a verified near-dup
+    # pair join) and is referenced by BOTH the oriented edge set and the
+    # node universe — persist it so each downstream evaluation reads cache
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     # orient (u > v), drop self-loops; distinct because the rewrite rules
     # are set-semantics (the convergence probe relies on it)
     e = (
@@ -1363,16 +1367,22 @@ def connected_components_star(
     )
     # endpoint universe from the RAW edges (before the self-loop filter):
     # a node appearing only in self-loops is still a singleton component
-    # and must be labeled — same contract as connected_components
-    endpoint_nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+    # and must be labeled — same contract as connected_components. One
+    # explode pass, materialized so the raw edges can be released.
+    endpoint_nodes = edges.select(
+        F.explode(F.array("src", "dst")).alias("node")
     )
     all_nodes = (
-        endpoint_nodes.union(nodes.select("node")) if nodes is not None
-        else endpoint_nodes
-    ).distinct()
+        (
+            endpoint_nodes.union(nodes.select("node")) if nodes is not None
+            else endpoint_nodes
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    all_nodes.count()
     prev_cnt = e.count()
+    edges.unpersist()
     edge_counts: list[float] = []
     converged = False
     i = 0

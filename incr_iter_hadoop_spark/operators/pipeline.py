@@ -189,9 +189,10 @@ def decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .sampling import fingerprint_hash, fingerprint_hash_sql
+
 _PACK_LEN = 512  # tokens per packed training example
 _PACK_STREAMS = 8  # parallel packing streams
-_FP_MOD = 1_000_000_007  # combinable-fingerprint modulus (see shard_manifest)
 
 
 @register(
@@ -203,8 +204,7 @@ _FP_MOD = 1_000_000_007  # combinable-fingerprint modulus (see shard_manifest)
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                % {_PACK_STREAMS} AS stream,
              md5(CAST(doc_id AS VARCHAR)) AS okey,
-             ('0x' || substr(md5('fp|' || CAST(doc_id AS VARCHAR)), 1, 8))
-               ::BIGINT % {_FP_MOD} AS fp
+             {fingerprint_hash_sql('doc_id')} AS fp
       FROM clean
     ), c AS (
       SELECT stream, doc_id, tok_cnt, fp,
@@ -236,24 +236,12 @@ def pipeline_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sampling import shard_assignment
 
     clean = pipeline_clean_corpus(spark, sf_dir)
-    fp = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("fp|"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _FP_MOD
-    )
     t = clean.select(
         "doc_id",
         "tok_cnt",
         shard_assignment(F.col("doc_id"), _PACK_STREAMS).alias("stream"),
         F.md5(F.col("doc_id").cast("string")).alias("okey"),
-        fp.alias("fp"),
+        fingerprint_hash(F.col("doc_id")).alias("fp"),
     )
     w = (
         Window.partitionBy("stream")

@@ -260,7 +260,38 @@ def shard_assignment(key: Column, n_shards: int = N_SHARDS) -> Column:
 
 # combinable-fingerprint modulus: per-row hashes are < 1e9, so a shard of
 # up to ~9e9 rows sums below 2^63 — no overflow at any realistic shard size
-_FP_MOD = 1_000_000_007
+FP_MOD = 1_000_000_007
+_FP_MOD = FP_MOD  # back-compat alias
+
+
+def fingerprint_hash(key: Column) -> Column:
+    """Per-row combinable fingerprint term: md5-derived 32-bit value mod
+    FP_MOD. SUM over a group is the group's manifest fingerprint —
+    order-independent, O(1) aggregation state, identical in DuckDB via
+    ``fingerprint_hash_sql``. Strength note: this is a CHECKSUM for
+    detecting accidental drift (re-runs, engine divergence, dropped or
+    duplicated rows — random collision ~1e-9 per comparison), not a
+    cryptographic commitment: the sum is linearly malleable, so an
+    adversarial substitution of id sets with equal fp sums passes. Audits
+    that must resist adversaries need an ordered hash chain instead."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fp|"), key.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % FP_MOD
+    )
+
+
+def fingerprint_hash_sql(key_sql: str) -> str:
+    """DuckDB twin of ``fingerprint_hash`` for oracle strings."""
+    return (
+        f"('0x' || substr(md5('fp|' || CAST({key_sql} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % {FP_MOD}"
+    )
 
 
 @register(
@@ -270,8 +301,7 @@ _FP_MOD = 1_000_000_007
       SELECT doc_id,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
                % {N_SHARDS} AS shard,
-             ('0x' || substr(md5('fp|' || CAST(doc_id AS VARCHAR)), 1, 8))
-               ::BIGINT % {_FP_MOD} AS fp,
+             {fingerprint_hash_sql('doc_id')} AS fp,
              len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
                AS tok
       FROM documents
@@ -293,22 +323,12 @@ _FP_MOD = 1_000_000_007
     "manifest while the aggregation state stays O(1) per shard; a "
     "collect-and-concatenate md5 chain would hold the whole shard's ids "
     "in one agg buffer). Two runs — or two engines — writing the same "
-    "corpus audit against each other on the fingerprint.",
+    "corpus audit against each other on the fingerprint (a drift "
+    "CHECKSUM, not a cryptographic commitment — see fingerprint_hash).",
 )
 def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    fp = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("fp|"), F.col("doc_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _FP_MOD
-    )
+    fp = fingerprint_hash(F.col("doc_id"))
     t = d.select(
         "doc_id",
         shard_assignment(F.col("doc_id")),

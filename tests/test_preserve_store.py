@@ -382,7 +382,7 @@ def test_stray_uncommitted_layer_is_invisible(spark, tmp_path):
     v = store.version
     # simulate the torn refresh: copy the v-th layer dirs to v+1 without
     # touching meta (layer files on disk, no commit record)
-    era = store.meta.get("era", 0)
+    era = store.meta["base_version"]
     for which in ("contribs", "results"):
         src = store._layer_path(v, which, era)
         dst = store._layer_path(v + 1, which, era)
