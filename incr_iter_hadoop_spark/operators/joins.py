@@ -500,3 +500,46 @@ def er_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
     ).where(F.col("dist") <= 1)
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT NULLIF(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7, 0)
+               AS kn
+      FROM events
+    ), r AS (
+      SELECT kn, COALESCE(kn, -1) * 10 AS weight
+      FROM (SELECT DISTINCT kn FROM l)
+    )
+    SELECT l.kn, CAST(COUNT(*) AS BIGINT) AS n, r.weight
+    FROM l JOIN r ON l.kn IS NOT DISTINCT FROM r.kn
+    GROUP BY l.kn, r.weight
+    """,
+    doc="null-safe equality join (Spark `<=>` / eqNullSafe vs SQL IS NOT "
+    "DISTINCT FROM): a nullable derived key joins a dimension that "
+    "carries an explicit NULL member — plain equi-join semantics would "
+    "silently DROP every NULL-keyed fact row (NULL = NULL is UNKNOWN); "
+    "the null-safe operator keeps them matched to the NULL dimension "
+    "row. Still compiles to a hash equi-join on the null-safe key, so "
+    "the 100 TB shape is identical to a plain join.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select(
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("bigint") % 7, F.lit(0)
+        ).alias("kn")
+    )
+    right = left.select("kn").distinct().select(
+        "kn", (F.coalesce(F.col("kn"), F.lit(-1)) * 10).alias("weight")
+    )
+    a = left.alias("a")
+    b = right.alias("b")
+    return (
+        a.join(b, F.col("a.kn").eqNullSafe(F.col("b.kn")))
+        .groupBy(F.col("a.kn").alias("kn"), "weight")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("kn", "n", "weight")
+    )

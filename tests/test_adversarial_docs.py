@@ -174,6 +174,7 @@ EVENT_QUERIES = [
     "sample_stratified_events",
     "events_resample_gaps",
     "json_extract",
+    "join_null_safe",
     "join_asof",
 ]
 
