@@ -760,3 +760,49 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "scan_jdbc_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+           n_name,
+           CAST(n_regionkey AS BIGINT) AS regionkey
+    FROM nation
+    """,
+    doc="S7 JDBC scan + sink, driver-checkable against a REAL database: "
+    "Spark ships the embedded Derby engine, so nation is written through "
+    "the partitioned JDBC sink (DBOutputFormat analogue — executors "
+    "insert their partitions concurrently with batched statements) and "
+    "read back through the partitioned JDBC scan (DBInputFormat "
+    "analogue — partitionColumn range predicates split the table across "
+    "parallel connections). Oracle recomputes from the parquet table, so "
+    "any type/row drift through the SQL round-trip breaks the hash.",
+)
+def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.readers import read_jdbc, write_jdbc
+    from .incremental import _cleanup_at_exit
+
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("nationkey"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("regionkey"),
+    )
+    tmp = tempfile.mkdtemp(prefix="scan_jdbc_roundtrip_")
+    _cleanup_at_exit(tmp, "")
+    url = f"jdbc:derby:{os.path.join(tmp, 'db')};create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_jdbc(n, url, "NATION_RT", mode="overwrite", driver=driver)
+    return read_jdbc(
+        spark,
+        url,
+        "NATION_RT",
+        driver=driver,
+        partitionColumn="nationkey",
+        lowerBound="0",
+        upperBound="25",
+        numPartitions="2",
+    )

@@ -95,10 +95,9 @@ def write_jdbc(
     write their partitions concurrently with ``batchsize``-row batched
     inserts — parallelism is the DataFrame's partitioning, so repartition
     first to match what the target database can absorb (the reference's
-    #reduces knob). No database ships in this environment, so coverage is
-    the sqlite-over-JDBC-free contract test in tests/test_engine.py gated on
-    driver availability; the passthrough itself is Spark's battle-tested
-    JDBC sink."""
+    #reduces knob). Verified end-to-end against the embedded Derby engine
+    Spark ships (tests/test_jdbc_sink.py round-trip; the oracle-checked
+    ``scan_jdbc_roundtrip`` query drives both halves)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
