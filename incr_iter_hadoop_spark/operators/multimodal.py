@@ -5,11 +5,13 @@ Design for image/audio/video at 100 TB: the payload is a ``binary`` column
 feature-extract / resize run as Arrow-batched ``mapInPandas`` stages so bytes
 stream through executors in columnar batches and never visit the driver.
 
-The decode step itself is STUBBED (no image/audio libraries in this
-environment): ``decode_stub`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-level feature vector —
-the Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
-is real and tested either way.
+Decode status: PNG is decoded FOR REAL (``multimodal_png_decode`` —
+stdlib-zlib inflate + full scanline-filter reconstruction,
+functions/png.py; integer-exact oracle). Formats that genuinely require
+external libraries (JPEG, audio codecs) remain behind ``decode_stub``,
+which raises NotImplementedError unless ``fake=True`` substitutes a
+deterministic byte-level feature vector — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -254,3 +256,125 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_binary(d, "doc_id", "text")
     return frame_sample(media, frame_bytes=16, every_n=4)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (PNG): the stub's caveat was "no image libraries in this
+# environment" — but PNG needs only stdlib zlib, so this stage performs an
+# actual format decode (DEFLATE inflate + scanline filter reconstruction,
+# functions/png.py) on executors, Arrow-batched. JPEG/audio stay stubbed.
+
+_IMG_W, _IMG_H = 8, 8
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 7 + x * 3 + y * 5 + c * 11) % 256
+
+
+def attach_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a deterministic 8×8 RGB PNG per row (pixel values a pure
+    function of the id — so an oracle can recompute the decoded statistics
+    arithmetically) and attach it as a real binary payload column."""
+    from ..functions.png import encode_png_rgb
+
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = [
+                    [
+                        (
+                            _pixel(d, x, y, 0),
+                            _pixel(d, x, y, 1),
+                            _pixel(d, x, y, 2),
+                        )
+                        for x in range(_IMG_W)
+                    ]
+                    for y in range(_IMG_H)
+                ]
+                payloads.append(encode_png_rgb(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids.mapInPandas(
+        gen,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("payload", BinaryType()),
+            ]
+        ),
+    )
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """REAL decode stage: inflate + filter-reconstruct each PNG payload on
+    the executors and emit integer pixel statistics (exactly checkable)."""
+    from ..functions.png import decode_png_rgb
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_png_rgb(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "sum_r": sum(raw[0::3]),
+                        "sum_g": sum(raw[1::3]),
+                        "sum_b": sum(raw[2::3]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_png_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y, c.c,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_IMG_W})) AS x) x
+      CROSS JOIN (SELECT unnest(range({_IMG_H})) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({_IMG_W} AS BIGINT) AS width,
+           CAST({_IMG_H} AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="REAL image decode end-to-end (no stub): a deterministic 8×8 RGB "
+    "PNG is synthesized per document (pixel = f(doc_id, x, y, c)), "
+    "written as actual PNG bytes (stdlib-zlib DEFLATE, per-scanline "
+    "filters cycling None/Sub/Up), then DECODED on executors — inflate + "
+    "filter reconstruction per the PNG spec — into integer pixel sums "
+    "per channel. The oracle recomputes the sums from the generating "
+    "formula, so any codec defect (filter math, stride, channel order) "
+    "breaks the hash exactly. Both stages are Arrow-batched mapInPandas; "
+    "payload bytes never visit the driver.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_png(d, "doc_id")
+    return decode_png_stats(media)

@@ -65,6 +65,7 @@ DOC_QUERIES = [
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frames",
+    "multimodal_png_decode",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
