@@ -378,3 +378,75 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_png(d, "doc_id")
     return decode_png_stats(media)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bx", LongType()),
+        StructField("by", LongType()),
+        StructField("block_r", LongType()),
+        StructField("block_g", LongType()),
+        StructField("block_b", LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_png_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y, c.c,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_IMG_W})) AS x) x
+      CROSS JOIN (SELECT unnest(range({_IMG_H})) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST(x // 2 AS BIGINT) AS bx,
+           CAST(y // 2 AS BIGINT) AS by,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS block_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS block_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS block_b
+    FROM px GROUP BY doc_id, x // 2, y // 2
+    """,
+    doc="REAL image resize (2×2 box downsample) on decoded PNG pixels: the "
+    "8×8 image decoded on executors collapses to a 4×4 grid of per-block "
+    "channel sums — the per-block spatial grouping catches stride, "
+    "row-major-order, and channel-interleave defects that whole-image "
+    "totals cannot (a transposed decode has identical total sums but "
+    "different blocks). Integer-exact oracle from the generating formula.",
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.png import decode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_png(d, "doc_id")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_png_rgb(bytes(payload))
+                for by in range(h // 2):
+                    for bx in range(w // 2):
+                        sums = [0, 0, 0]
+                        for dy in range(2):
+                            for dx in range(2):
+                                base = ((by * 2 + dy) * w + (bx * 2 + dx)) * 3
+                                for c in range(3):
+                                    sums[c] += raw[base + c]
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "bx": bx,
+                                "by": by,
+                                "block_r": sums[0],
+                                "block_g": sums[1],
+                                "block_b": sums[2],
+                            }
+                        )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)

@@ -98,7 +98,8 @@ def _load_all() -> None:
 # bm25_scores, incr_dedup_minhash_delete, udf_cogrouped_stats,
 # pipeline_build_training_set, join_null_safe, scan_jdbc_roundtrip
 # (S7 against the embedded Derby engine — a strong round-5 window pick),
-# multimodal_png_decode (REAL image decode, integer-exact oracle).
+# multimodal_png_decode + multimodal_png_resize (REAL image decode and
+# box-downsample, integer-exact oracles).
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)

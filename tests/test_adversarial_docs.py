@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "multimodal_resize",
     "multimodal_frames",
     "multimodal_png_decode",
+    "multimodal_png_resize",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
