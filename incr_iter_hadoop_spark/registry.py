@@ -99,7 +99,8 @@ def _load_all() -> None:
 # pipeline_build_training_set, join_null_safe, scan_jdbc_roundtrip
 # (S7 against the embedded Derby engine — a strong round-5 window pick),
 # multimodal_png_decode + multimodal_png_resize (REAL image decode and
-# box-downsample, integer-exact oracles).
+# box-downsample, integer-exact oracles), multimodal_wav_decode (REAL
+# RIFF/PCM audio decode).
 
 FIRST_WINDOW: list[str] = [
     # scans / projection / scalar battery (S1-S4, P2, P6-P7)

@@ -67,6 +67,7 @@ DOC_QUERIES = [
     "multimodal_frames",
     "multimodal_png_decode",
     "multimodal_png_resize",
+    "multimodal_wav_decode",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
