@@ -698,12 +698,13 @@ def duplicate_substring_spans(
          gram content passes the md5 gate — computed INSIDE an array
          ``filter`` over ``sequence(1, len-k+1)``, so unkept grams are
          never exploded into rows (no k× row amplification at the scan);
-      2. one groupBy(gram) marks grams seen in ≥2 distinct docs;
-      3. a semi-join pulls each doc's positions of shared grams — note
-         this is LINEAR in hits (never a doc-pair join: a boilerplate gram
-         in f docs costs f rows here, not f², so hot grams can't blow up
-         the plan — the failure mode the pair-generating schemes above
-         need df-caps for);
+      2.+3. a single window over the gram key (``min(id) != max(id)``)
+         marks each position whose gram appears in ≥2 distinct docs — one
+         scan of the fingerprints, no groupBy + semi-join back (see the
+         inline note), and LINEAR in hits (never a doc-pair join: a
+         boilerplate gram in f docs costs f rows here, not f², so hot
+         grams can't blow up the plan — the failure mode the
+         pair-generating schemes above need df-caps for);
       4. per-doc interval merge of [pos, pos+k-1] via the classic
          gaps-and-islands windows — partitioned by doc id (max-cardinality
          key: no skew, no global sort).
@@ -834,8 +835,9 @@ _SUBSTRING_SPANS_ORACLE = f"""
     doc="exact-substring duplicate spans (Lee et al. suffix-array dedup, "
     "re-expressed distributed): content-defined char-32-gram fingerprints "
     "(md5 gate on the gram itself — alignment-independent, the winnowing "
-    "trick), one groupBy marks grams in >= 2 docs, a LINEAR semi-join "
-    "(never doc-pair quadratic) pulls hit positions, per-doc "
+    "trick), a single window over the gram key (min(id) != max(id)) marks "
+    "positions of grams in >= 2 docs — LINEAR in hits (never doc-pair "
+    "quadratic), per-doc "
     "gaps-and-islands windows merge them into maximal spans. Output: "
     "per-doc span count + duplicated char mass.",
 )

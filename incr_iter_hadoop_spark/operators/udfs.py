@@ -175,12 +175,15 @@ def _cogroup_balance(key, orders_pdf, cust_pdf):
     n = len(orders_pdf)
     spend = float(orders_pdf["o_totalprice"].sum()) if n else 0.0
     acct = float(cust_pdf["c_acctbal"].iloc[0]) if len(cust_pdf) else None
+    # raw values only: rounding happens in the Spark plan via F.round
+    # (half-away-from-zero, the repo/oracle convention) — Python's round()
+    # is banker's rounding and diverges on .5 ties at the 6th decimal
     return pd.DataFrame(
         {
             "c_custkey": [int(key[0])],
             "n_orders": [n],
-            "spend": [round(spend, 6)],
-            "acctbal": [round(acct, 6) if acct is not None else None],
+            "spend": [spend],
+            "acctbal": [acct],
         }
     )
 
@@ -215,6 +218,8 @@ def udf_cogrouped_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cogroup_balance,
             "c_custkey bigint, n_orders bigint, spend double, acctbal double",
         )
+        .withColumn("spend", F.round("spend", 6))
+        .withColumn("acctbal", F.round("acctbal", 6))
     )
     # cogroup emits one row per key present in EITHER side; customers are
     # the contract (oracle's LEFT JOIN base) — keys with orders but no
