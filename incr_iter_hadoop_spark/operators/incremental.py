@@ -1067,16 +1067,146 @@ def _converged_base_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _reconverge_sql(
+    base_rounds: int = 12,
+    pruned_rounds: int = 10,
+    base_theta: float = 1.0,
+    theta: float = 1e-3,
+) -> str:
+    """Exact oracle for the DOUBLY convergence-driven incremental loop:
+    both stop rounds are data-dependent and both are picked in SQL by the
+    loop's own rules (the pagerank_converged pattern applied twice).
+
+    Phase 1 — base fixpoint: unroll ``base_rounds`` power iterations on the
+    pre-cutoff graph; per-round L1-delta scalars pick the first round ≤
+    ``base_theta`` (the θ=1.0 termination the preserved snapshot was built
+    with). Phase 2 — pruned re-convergence: warm-start the delta-applied
+    graph from that state, one full refresh step, then ``pruned_rounds``
+    θ-pruned delta-propagation rounds with per-round frontier-size scalars;
+    the loop ends at the first EMPTY frontier (I4 reference-style: the
+    frontier count IS the convergence signal), keeping the state of the
+    round before it. Either phase failing to stop inside its unroll poisons
+    every rank to −1 — a COALESCE-only formulation would silently
+    cold-start from 1.0 instead, which is exactly the bug class the poison
+    exists to surface. Fixture stop rounds: base 4 / 8, frontier empties
+    at round 5 / 6 (sf0.001 / sf0.01), margins ≥ 2.5% of θ."""
+    parts = [
+        f"WITH bedges AS MATERIALIZED ({_EDGES_BASE_SQL}),",
+        "bnodes AS MATERIALIZED (SELECT src AS node FROM bedges"
+        " UNION SELECT dst FROM bedges),",
+        "bdeg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d"
+        " FROM bedges GROUP BY src),",
+        "b0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM bnodes)",
+    ]
+    for i in range(1, base_rounds + 1):
+        parts.append(
+            f""", b{i} AS MATERIALIZED (
+  SELECT n.node, 0.2 + 0.8 * COALESCE(c.mass, 0.0) AS rank
+  FROM bnodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / bdeg.d) AS mass
+    FROM b{i-1} r JOIN bedges e ON r.node = e.src
+    JOIN bdeg ON bdeg.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    bdeltas = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, SUM(ABS(a.rank - b.rank)) AS d"
+        f" FROM b{i} a JOIN b{i-1} b ON a.node = b.node"
+        for i in range(1, base_rounds + 1)
+    )
+    ballr = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, node, rank FROM b{i}"
+        for i in range(1, base_rounds + 1)
+    )
+    parts.append(
+        f""", bdeltas AS MATERIALIZED (
+{bdeltas}
+), bstop AS (SELECT MIN(rnd) AS rnd FROM bdeltas WHERE d <= {base_theta!r}),
+ballr AS (
+{ballr}
+), bstate AS MATERIALIZED (
+  SELECT a.node, a.rank FROM ballr a CROSS JOIN bstop bs
+  WHERE a.rnd = COALESCE(bs.rnd, {base_rounds})
+), edges AS MATERIALIZED ({_UPDATED_EDGES_SQL}),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+warm AS MATERIALIZED (
+  SELECT n.node, COALESCE(b.rank, 1.0) AS rank
+  FROM nodes n LEFT JOIN bstate b ON n.node = b.node
+),
+m0 AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(w.rank / d.d) AS mass
+  FROM warm w JOIN edges e ON w.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+s0 AS MATERIALIZED (
+  SELECT n.node, COALESCE(m.mass, 0.0) AS mass,
+         0.2 + 0.8 * COALESCE(m.mass, 0.0) AS rank,
+         0.2 + 0.8 * COALESCE(m.mass, 0.0) - w.rank AS delta
+  FROM nodes n LEFT JOIN m0 m ON n.node = m.node
+  JOIN warm w ON w.node = n.node
+)"""
+    )
+    for i in range(1, pruned_rounds + 1):
+        parts.append(
+            f""", c{i} AS MATERIALIZED (
+  SELECT node, delta FROM s{i-1} WHERE ABS(delta) >= {theta!r}
+), p{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(c.delta / d.d) AS corr
+  FROM c{i} c JOIN edges e ON c.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+), s{i} AS MATERIALIZED (
+  SELECT s.node, s.mass + COALESCE(p.corr, 0.0) AS mass,
+         0.2 + 0.8 * (s.mass + COALESCE(p.corr, 0.0)) AS rank,
+         0.8 * COALESCE(p.corr, 0.0) AS delta
+  FROM s{i-1} s LEFT JOIN p{i} p ON s.node = p.node
+)"""
+        )
+    # frontier c_{pruned_rounds+1} checks the LAST state too, so a loop
+    # that empties exactly at the unroll boundary is still in range
+    parts.append(
+        f""", c{pruned_rounds + 1} AS MATERIALIZED (
+  SELECT node, delta FROM s{pruned_rounds} WHERE ABS(delta) >= {theta!r}
+)"""
+    )
+    fcs = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, COUNT(*) AS fc FROM c{i}"
+        for i in range(1, pruned_rounds + 2)
+    )
+    alls = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, node, rank FROM s{i}"
+        for i in range(0, pruned_rounds + 1)
+    )
+    parts.append(
+        f""", fcs AS MATERIALIZED (
+{fcs}
+), pstop AS (SELECT MIN(rnd) AS rnd FROM fcs WHERE fc = 0),
+alls AS (
+{alls}
+)
+SELECT a.node,
+       CASE WHEN bs.rnd IS NOT NULL AND ps.rnd IS NOT NULL
+            THEN ROUND(a.rank, 6) ELSE -1.0 END AS rank
+FROM alls a CROSS JOIN pstop ps CROSS JOIN bstop bs
+WHERE a.rnd = COALESCE(ps.rnd, {pruned_rounds + 1}) - 1"""
+    )
+    return "\n".join(parts)
+
+
 @register(
     "incr_pagerank_reconverge",
-    oracle=None,  # convergence-driven (SURVEY §3.3); naive-twin in tests
+    oracle=_reconverge_sql(),
     doc="incremental iterative re-convergence (IncrPageRank.java:227-267): "
     "warm-start from the PRESERVED converged base ranks (parquet snapshot, "
     "computed once per dataset) after the delta, then I9 frontier-pruned "
     "iterations until the frontier empties (every remaining delta < theta "
     "— the reference's filter-threshold termination). The query times "
     "delta-apply + pruned re-convergence only, like the reference's "
-    "incremental job.",
+    "incremental job. EXACT oracle despite BOTH round counts being "
+    "data-dependent: unrolled chains pick the base stop by L1 delta and "
+    "the pruned stop by first-empty-frontier, poisoning if either unroll "
+    "is too short.",
 )
 def incr_pagerank_reconverge(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, delta = _pagerank_delta_edges(spark, sf_dir)

@@ -186,6 +186,71 @@ def _pagerank_sql(n_iter: int, edges_sql: str = _PR_EDGES_SQL) -> str:
     return "\n".join(parts)
 
 
+def _pagerank_converged_sql(
+    max_rounds: int, threshold: float = 1.0, edges_sql: str = _PR_EDGES_SQL
+) -> str:
+    """Exact oracle for THRESHOLD-terminated PageRank (the sssp_converged
+    unrolled-chain pattern extended to a data-dependent stop round): unroll
+    ``max_rounds`` power iterations, compute each round's L1 delta
+    Σ|rankᵢ − rankᵢ₋₁| as a scalar CTE, and select the state of the FIRST
+    round whose delta ≤ θ — exactly the loop's termination rule
+    (JobClient.runIterativeJob, JobClient.java:1366-1381; distance summed
+    master-side like JobTracker.java:5586-5595). The stop round is thereby
+    chosen by the DATA on both engines, so one oracle string is correct at
+    every scale whose loop terminates within the unroll. An insufficient
+    unroll poisons (rank = −1 on every node) instead of silently returning
+    a pre-threshold state, so it hash-MISMATCHES loudly.
+
+    MATERIALIZED everywhere: each rᵢ is referenced three times (next
+    round, its delta, the all-rounds union) — without the hint DuckDB
+    inlines CTEs and the plan grows 3^rounds. Tie-margin note: the fixture
+    traces are nowhere near θ (sf0.001: 4.22 → 0.04 around θ=1.0; sf0.01:
+    2.91 → 0.39), so float summation-order noise (~1e-10) cannot flip the
+    stop round."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql}),",
+        "nodes AS MATERIALIZED "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges),",
+        "deg AS MATERIALIZED "
+        "(SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes)",
+    ]
+    for i in range(1, max_rounds + 1):
+        parts.append(
+            f""", r{i} AS MATERIALIZED (
+  SELECT n.node, 0.2 + 0.8 * COALESCE(c.mass, 0.0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank / deg.d) AS mass
+    FROM r{i-1} r JOIN edges e ON r.node = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) c ON n.node = c.node
+)"""
+        )
+    deltas = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, SUM(ABS(a.rank - b.rank)) AS d"
+        f" FROM r{i} a JOIN r{i-1} b ON a.node = b.node"
+        for i in range(1, max_rounds + 1)
+    )
+    allr = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, node, rank FROM r{i}"
+        for i in range(1, max_rounds + 1)
+    )
+    parts.append(
+        f""", deltas AS MATERIALIZED (
+{deltas}
+), stop AS (SELECT MIN(rnd) AS rnd FROM deltas WHERE d <= {threshold!r}),
+allr AS (
+{allr}
+)
+SELECT a.node,
+       CASE WHEN s.rnd IS NOT NULL THEN ROUND(a.rank, 6)
+            ELSE -1.0 END AS rank
+FROM allr a CROSS JOIN stop s
+WHERE a.rnd = COALESCE(s.rnd, {max_rounds})"""
+    )
+    return "\n".join(parts)
+
+
 @register(
     "pagerank_bounded5",
     oracle=_pagerank_sql(5),
@@ -199,9 +264,13 @@ def pagerank_bounded5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_converged",
-    oracle=None,  # convergence-driven: not SQL-expressible; naive twin in tests
+    oracle=_pagerank_converged_sql(8, 1.0),
     doc="I4 distance-threshold termination (θ=1.0 L1 — the reference default, "
-    "IterPageRank.java:367 + JobTracker.java:5586-5595 semantics).",
+    "IterPageRank.java:367 + JobTracker.java:5586-5595 semantics). EXACT "
+    "oracle despite the data-dependent round count: the unrolled CTE chain "
+    "computes every round's L1 delta and picks the first round under θ — "
+    "the same rule the loop applies — poisoning (-1) if 8 rounds don't "
+    "reach it (fixtures terminate at 3 / 5 rounds).",
 )
 def pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pagerank(
@@ -1170,10 +1239,106 @@ def incr_kmeans_delta2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_converged_sql(max_rounds: int = 15, k: int = 10, tol: float = 1e-4) -> str:
+    """Exact oracle for the MOVEMENT-terminated Lloyd loop (the
+    pagerank_converged pattern on k-means): unroll ``max_rounds`` rounds,
+    compute each round's max-Euclidean center movement as a scalar, stop at
+    the FIRST round with movement ≤ tol — or at the ``max_rounds`` cap,
+    which mirrors ``kmeans(max_iterations=max_rounds)`` exactly, so the
+    oracle is TOTAL (no poison needed: both sides cap identically). The
+    final answer is one extra assignment step under the stop round's
+    centers, matching the loop's post-break ``_assign``. Round 16's a-CTE
+    exists only for the stop-at-cap case. Tie margins on the fixtures are
+    ≥ 1.7e-2 vs tol=1e-4, and both scales land on an exact-0.0 movement
+    round, so float noise cannot flip the stop round.
+
+    MATERIALIZED everywhere: each mᵢ is referenced by round i+1 (twice),
+    its movement, and nothing else — still enough for exponential inlining
+    without the hint."""
+    parts = [
+        """WITH p_exp AS MATERIALIZED (
+  SELECT vec_id AS id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings
+),
+p_norm AS MATERIALIZED (
+  SELECT id, sqrt(SUM(val*val)) AS pn FROM p_exp GROUP BY id
+),
+m0 AS MATERIALIZED (
+  SELECT k.cluster, e.pos, e.val AS m
+  FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS cluster
+    FROM (SELECT DISTINCT id FROM p_exp) ORDER BY id LIMIT """
+        + str(k)
+        + """
+  ) k JOIN p_exp e ON e.id = k.id
+)"""
+    ]
+    for i in range(1, max_rounds + 2):  # +1 extra assignment-only round
+        parts.append(
+            f""", cn{i} AS MATERIALIZED (
+  SELECT cluster, sqrt(SUM(m*m)) AS cn FROM m{i-1} GROUP BY cluster
+), dp{i} AS MATERIALIZED (
+  SELECT e.id, c.cluster, SUM(e.val * c.m) AS dp
+  FROM p_exp e JOIN m{i-1} c ON e.pos = c.pos
+  GROUP BY e.id, c.cluster
+), a{i} AS MATERIALIZED (
+  SELECT id, cluster FROM (
+    SELECT d.id, d.cluster, ROW_NUMBER() OVER (
+      PARTITION BY d.id ORDER BY
+        CASE WHEN p.pn * c.cn > 0 THEN d.dp / (p.pn * c.cn)
+             ELSE 0.0 END DESC,
+        d.cluster) AS rn
+    FROM dp{i} d
+    JOIN p_norm p ON d.id = p.id
+    JOIN cn{i} c ON d.cluster = c.cluster
+  ) WHERE rn = 1
+)"""
+        )
+        if i <= max_rounds:
+            parts.append(
+                f""", m{i} AS MATERIALIZED (
+  SELECT a.cluster, e.pos, AVG(e.val) AS m
+  FROM a{i} a JOIN p_exp e ON a.id = e.id
+  GROUP BY a.cluster, e.pos
+)"""
+            )
+    movs = "\nUNION ALL\n".join(
+        f"""  SELECT {i} AS rnd, COALESCE(MAX(dist), 0.0) AS mov FROM (
+    SELECT n.cluster, sqrt(SUM((n.m - o.m) * (n.m - o.m))) AS dist
+    FROM m{i} n JOIN m{i-1} o ON n.cluster = o.cluster AND n.pos = o.pos
+    GROUP BY n.cluster)"""
+        for i in range(1, max_rounds + 1)
+    )
+    alla = "\nUNION ALL\n".join(
+        f"  SELECT {i} AS rnd, id, cluster FROM a{i}"
+        for i in range(2, max_rounds + 2)
+    )
+    parts.append(
+        f""", movs AS MATERIALIZED (
+{movs}
+), stop AS (
+  SELECT COALESCE(MIN(rnd), {max_rounds}) AS rnd FROM movs WHERE mov <= {tol!r}
+), alla AS (
+{alla}
+)
+SELECT CAST(a.cluster AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n
+FROM alla a CROSS JOIN stop s
+WHERE a.rnd = s.rnd + 1
+GROUP BY a.cluster"""
+    )
+    return "\n".join(parts)
+
+
 @register(
     "kmeans_converged",
-    oracle=None,
-    doc="full Lloyd loop to Euclidean-movement convergence; cluster sizes.",
+    oracle=_kmeans_converged_sql(15, 10, 1e-4),
+    doc="full Lloyd loop to Euclidean-movement convergence (tol=1e-4, cap "
+    "15 — IterKmeans.java:460-483 termination); cluster sizes. EXACT "
+    "oracle: unrolled rounds + per-round movement scalars pick the stop "
+    "round by the loop's own rule, with the cap mirrored so the oracle "
+    "is total even on a non-converging fixture.",
 )
 def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -138,10 +138,10 @@ FIRST_WINDOW: list[str] = [
     "events_session_streamed",
     "streaming_dedup_events",
     "streaming_incr_pagerank",
-    # placeholders: swap for pagerank_converged / kmeans_converged once
-    # their exact unrolled-with-termination oracles land this round
-    "graph_kcore_bounded3",
-    "events_funnel",
+    # newly exact-oracled converged loops (unrolled CTE chain + in-SQL
+    # termination-round pick; previously no_oracle)
+    "pagerank_converged",
+    "kmeans_converged",
     # remaining incremental variants
     "incr_spmv_delta1",
     "incr_kmeans_delta2",

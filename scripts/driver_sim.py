@@ -78,7 +78,8 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     window = list(qs)[:50]
     if only:
-        window = [n for n in window if n in only]
+        # explicit names may target any registered query, windowed or not
+        window = [n for n in qs if n in only]
     bad = 0
     for i, name in enumerate(window):
         t0 = time.time()

@@ -83,6 +83,7 @@ EMB_QUERIES = [
     "kmeans_assign",
     "kmeans_bounded2",
     "incr_kmeans_delta2",
+    "kmeans_converged",
 ]
 
 
