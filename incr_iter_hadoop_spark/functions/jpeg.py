@@ -1,0 +1,351 @@
+"""Minimal baseline-JPEG codec (8-bit grayscale, no chroma subsampling).
+
+Public-knowledge implementation of ITU-T T.81 baseline sequential mode —
+marker parsing (SOI/DQT/SOF0/DHT/SOS/EOI), canonical Huffman tables built
+from the file's own DHT segments, 0xFF00 byte-unstuffing, DC prediction
+with category/extend magnitude coding, AC run/size coding with EOB and ZRL,
+zigzag descan, dequantization, and a float 8×8 IDCT (separable cosine
+matrix, numpy) with level shift and clamping. The encoder is the matching
+forward path and emits the Annex-K luminance Huffman tables, so its output
+is a conventional JPEG any decoder can read.
+
+Exactness contract used by the multimodal oracle: images that are CONSTANT
+per 8×8 tile compress to DC-only blocks; with a DC quantizer step of 8 the
+coefficient 8·(v−128) quantizes with zero error, so decode(encode(img)) ==
+img EXACTLY despite JPEG being lossy in general — which is what makes the
+decoded statistics SQL-recomputable from the generating formula (the same
+trick PNG gets for free from being lossless; see functions/png.py). The
+codec itself is general: nonzero ACs, runs, ZRL, and multi-table DHTs all
+round-trip at the entropy layer (property-tested), they just aren't
+pixel-exact after quantization, as in any JPEG.
+
+Mirrors the reference's multimodal gap: the reference engine has no image
+path at all — this is the builder's-brief LLM-pipeline ask, not a port.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# tables
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The 64 (row, col) positions in JPEG zigzag order, generated from the
+    diagonal rule (T.81 Figure 5) rather than transcribed."""
+    order = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(max(0, s - 7), min(8, s + 1))]
+        order.extend(diag if s % 2 else reversed(diag))
+    return order
+
+
+ZIGZAG = _zigzag()
+
+# Annex K.3.3.1 luminance DC table: category symbols 0..11
+DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+DC_SYMBOLS = tuple(range(12))
+
+# Annex K.3.3.2 luminance AC table (162 run/size symbols)
+AC_COUNTS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+AC_SYMBOLS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+# DC step 8 makes 8·(v−128) quantize exactly (see module docstring); the AC
+# step is conventional and irrelevant for DC-only fixtures.
+DEFAULT_QTABLE = np.full((8, 8), 16, dtype=np.int64)
+DEFAULT_QTABLE[0, 0] = 8
+
+# separable DCT-II basis: A[u, x] = 0.5·c(u)·cos((2x+1)uπ/16);
+# DCT(P) = A P Aᵀ, IDCT(F) = Aᵀ F A
+_A = np.array(
+    [
+        [
+            0.5
+            * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _build_codes(counts, symbols) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 Annex C): symbol → (code, len)."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(counts, symbols) -> dict[tuple[int, int], int]:
+    return {v: s for s, v in _build_codes(counts, symbols).items()}
+
+
+# ---------------------------------------------------------------------------
+# bit I/O with 0xFF00 stuffing
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.buf.append(self._acc)
+                if self._acc == 0xFF:
+                    self.buf.append(0x00)  # byte stuffing
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> None:
+        while self._n:
+            self.write(1, 1)  # pad with 1-bits (T.81 F.1.2.3)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy-coded segment")
+                self.pos += 1  # skip the stuffed zero
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, s: int) -> int:
+    """Magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+
+def _category(value: int) -> int:
+    return abs(value).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def encode_jpeg_gray(pixels, qtable: np.ndarray | None = None) -> bytes:
+    """Encode an 8-bit grayscale image (2-D array-like, dims multiples of
+    8) as a baseline JPEG with the Annex-K luminance Huffman tables."""
+    img = np.asarray(pixels, dtype=np.int64)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    q = DEFAULT_QTABLE if qtable is None else np.asarray(qtable, dtype=np.int64)
+
+    dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
+    ac_codes = _build_codes(AC_COUNTS, AC_SYMBOLS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
+            coeffs = _A @ block @ _A.T
+            quant = np.rint(coeffs / q).astype(np.int64)
+            zz = [int(quant[r, c]) for r, c in ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _category(diff)
+            code, length = dc_codes[s]
+            bw.write(code, length)
+            if s:
+                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for coeff in zz[1:]:
+                if coeff == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                s = _category(coeff)
+                code, length = ac_codes[(run << 4) | s]
+                bw.write(code, length)
+                bw.write(coeff if coeff > 0 else coeff + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(q[r, c]) for r, c in ZIGZAG))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(DC_COUNTS) + bytes(DC_SYMBOLS)) + seg(
+        0xC4, bytes([0x10]) + bytes(AC_COUNTS) + bytes(AC_SYMBOLS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(bw.buf) + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG → (width, height, row-major pixel
+    bytes). Raises on progressive/multi-component/restart-interval inputs —
+    honest scope, not silent garbage."""
+    if data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_maps: dict[int, dict] = {}
+    ac_maps: dict[int, dict] = {}
+    w = h = None
+    comp_q = 0
+    scan_dc = scan_ac = 0
+    scan_start = None
+    while pos < len(data) - 1:
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RSTn
+            continue
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.zeros((8, 8), dtype=np.int64)
+                for i, (r, c) in enumerate(ZIGZAG):
+                    tbl[r, c] = seg[o + 1 + i]
+                qtables[tq] = tbl
+                o += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if ncomp != 1:
+                raise ValueError("only single-component (grayscale) JPEGs")
+            if seg[7] != 0x11:
+                raise ValueError("subsampling not supported")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("not baseline sequential (SOF0)")
+        elif marker == 0xC4:  # DHT — possibly several tables per segment
+            o = 0
+            while o < len(seg):
+                cls, tid = seg[o] >> 4, seg[o] & 0xF
+                counts = seg[o + 1 : o + 17]
+                n = sum(counts)
+                symbols = seg[o + 17 : o + 17 + n]
+                m = _build_decode_map(tuple(counts), tuple(symbols))
+                (ac_maps if cls else dc_maps)[tid] = m
+                o += 17 + n
+        elif marker == 0xDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xDA:  # SOS
+            if seg[0] != 1:
+                raise ValueError("interleaved scans not supported")
+            scan_dc, scan_ac = seg[2] >> 4, seg[2] & 0xF
+            scan_start = pos + seglen
+            break  # entropy-coded data follows
+        # else: APPn / COM — skip
+        pos += seglen
+    if w is None or scan_start is None:
+        raise ValueError("missing SOF0 or SOS")
+    q = qtables[comp_q]
+    dc_map, ac_map = dc_maps[scan_dc], ac_maps[scan_ac]
+
+    br = _BitReader(data, scan_start)
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(bh_):
+        for bx in range(bw_):
+            zz = [0] * 64
+            s = br.read_symbol(dc_map)
+            prev_dc += _extend(br.read_bits(s), s)
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = br.read_symbol(ac_map)
+                run, s = sym >> 4, sym & 0xF
+                if s == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = _extend(br.read_bits(s), s)
+                k += 1
+            coeffs = np.zeros((8, 8), dtype=np.float64)
+            for i, (r, c) in enumerate(ZIGZAG):
+                coeffs[r, c] = zz[i] * q[r, c]
+            block = _A.T @ coeffs @ _A + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return w, h, out[:h, :w].tobytes()

@@ -7,8 +7,11 @@ stream through executors in columnar batches and never visit the driver.
 
 Decode status: PNG is decoded FOR REAL (``multimodal_png_decode`` —
 stdlib-zlib inflate + full scanline-filter reconstruction,
-functions/png.py; integer-exact oracle). Formats that genuinely require
-external libraries (JPEG, audio codecs) remain behind ``decode_stub``,
+functions/png.py; integer-exact oracle), and so is baseline grayscale
+JPEG (``multimodal_jpeg_decode`` — Huffman + dequant + IDCT,
+functions/jpeg.py; exact via DC-only fixtures). Formats that genuinely
+require external libraries (compressed audio, video, and JPEG beyond
+baseline grayscale) remain behind ``decode_stub``,
 which raises NotImplementedError unless ``fake=True`` substitutes a
 deterministic byte-level feature vector — the Spark-side plumbing (schema,
 partitioning, UDF signature, batch shape) is real and tested either way.
@@ -520,3 +523,130 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(roundtrip, AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (JPEG): baseline grayscale, pure stdlib+numpy
+# (functions/jpeg.py — marker parse, canonical Huffman from the file's own
+# DHT, dequant, float IDCT). The synthesized images are CONSTANT per 8×8
+# tile, so every block is DC-only and, with the codec's DC quantizer step
+# of 8, decode(encode(img)) == img EXACTLY — the decoded statistics stay
+# SQL-recomputable from the generating formula even though JPEG is lossy
+# in general (the codec's general AC path is exercised by pytest instead).
+
+_JPEG_W, _JPEG_H = 32, 32  # 4×4 grid of 8×8 tiles
+
+JPEG_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+JPEG_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("min_px", LongType()),
+        StructField("max_px", LongType()),
+    ]
+)
+
+
+def _jpeg_tile_value(doc_id: int, bx: int, by: int) -> int:
+    return (doc_id * 7 + bx * 3 + by * 5) % 256
+
+
+def attach_jpeg(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a deterministic 32×32 grayscale JPEG per row (one value
+    per 8×8 tile = f(doc_id, bx, by)) and attach it as real baseline-JPEG
+    bytes — full forward path: DCT, quantize, zigzag, Huffman, stuffing."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg_gray
+
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                tiles = np.array(
+                    [
+                        [_jpeg_tile_value(d, bx, by) for bx in range(_JPEG_W // 8)]
+                        for by in range(_JPEG_H // 8)
+                    ],
+                    dtype=np.int64,
+                )
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+                payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids.mapInPandas(gen, JPEG_MEDIA_SCHEMA)
+
+
+def decode_jpeg_stats(media: DataFrame) -> DataFrame:
+    """REAL decode stage: Huffman-decode + dequantize + IDCT each JPEG
+    payload on the executors and emit integer pixel statistics."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg_gray
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_jpeg_gray(bytes(payload))
+                px = np.frombuffer(raw, dtype=np.uint8)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": w,
+                        "height": h,
+                        "sum_px": int(px.sum()),
+                        "min_px": int(px.min()),
+                        "max_px": int(px.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(decode, JPEG_DECODE_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_decode",
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, bx.bx, by.by,
+             (d.doc_id * 7 + bx.bx * 3 + by.by * 5) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_JPEG_W // 8})) AS bx) bx
+      CROSS JOIN (SELECT unnest(range({_JPEG_H // 8})) AS by) by
+    )
+    SELECT doc_id,
+           CAST({_JPEG_W} AS BIGINT) AS width,
+           CAST({_JPEG_H} AS BIGINT) AS height,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_px,
+           CAST(MIN(v) AS BIGINT) AS min_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM tiles GROUP BY doc_id
+    """,
+    doc="REAL JPEG decode end-to-end (no stub): a deterministic 32×32 "
+    "grayscale baseline JPEG is synthesized per document (constant value "
+    "per 8×8 tile = f(doc_id, bx, by), run through the full forward path "
+    "— DCT, quantize, zigzag, Annex-K Huffman, byte stuffing), then "
+    "DECODED on executors — marker parse, canonical Huffman from the "
+    "file's own DHT, dequant, float IDCT, level shift — into integer "
+    "pixel stats. Constant tiles are DC-only and the DC step is 8, so "
+    "the lossy format round-trips EXACTLY here and the oracle recomputes "
+    "the stats from the generating formula; any defect in the entropy "
+    "layer, DC prediction, dequant, or IDCT breaks the hash. Both stages "
+    "Arrow-batched mapInPandas; payload bytes never visit the driver.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg(d, "doc_id")
+    return decode_jpeg_stats(media)

@@ -119,7 +119,7 @@ FIRST_WINDOW: list[str] = [
     "multimodal_png_decode",
     "multimodal_png_resize",
     "multimodal_wav_decode",
-    "window_battery2",  # placeholder: swaps for multimodal_jpeg_decode
+    "multimodal_jpeg_decode",
     # substring-span dedup (full + incremental) and O(log n) star CC
     "dedup_substring_spans",
     "incr_dedup_substring",

@@ -68,6 +68,7 @@ DOC_QUERIES = [
     "multimodal_png_decode",
     "multimodal_png_resize",
     "multimodal_wav_decode",
+    "multimodal_jpeg_decode",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
