@@ -79,7 +79,11 @@ def pagerank(
     n = num_partitions or negotiate_partitions(edges)
     # static side: adjacency + out-degree in ONE exchange — the repartition
     # provides the hash distribution the degree window needs, so deg comes
-    # from a within-partition sort instead of a groupBy shuffle + join
+    # from a within-partition sort instead of a groupBy shuffle + join.
+    # Skew: a hot src key costs one task O(f) — linear, and the same row
+    # placement the co-partitioned loop join needs anyway; see
+    # bench/PLANS.md "pagerank degree computation" for the salted-fallback
+    # criterion before trading away the shared exchange
     from pyspark.sql.window import Window
 
     static = (
@@ -1694,32 +1698,6 @@ def power_bounded3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NMF (generator type ``nmf``, utils/genGraphReduce.java:52-64)
 
 
-def _nmf_init_w(v: DataFrame, rank: int) -> DataFrame:
-    fs = F.explode(F.sequence(F.lit(0), F.lit(rank - 1))).alias("f")
-    return (
-        v.select("r")
-        .distinct()
-        .select("r", fs)
-        .select(
-            "r", "f",
-            (1.0 + ((F.col("r") * 7 + F.col("f") * 3) % 5) * 0.1).alias("w"),
-        )
-    )
-
-
-def _nmf_init_h(v: DataFrame, rank: int) -> DataFrame:
-    fs = F.explode(F.sequence(F.lit(0), F.lit(rank - 1))).alias("f")
-    return (
-        v.select("c")
-        .distinct()
-        .select("c", fs)
-        .select(
-            "f", "c",
-            (1.0 + ((F.col("c") * 11 + F.col("f") * 5) % 7) * 0.1).alias("h"),
-        )
-    )
-
-
 def nmf(
     ratings: DataFrame,
     rank: int = 2,
@@ -1728,82 +1706,180 @@ def nmf(
 ) -> tuple[DataFrame, DataFrame]:
     """Non-negative matrix factorization V ≈ W·H by Lee-Seung multiplicative
     updates — the reference's ``nmf`` generator workload
-    (genGraphReduce.java:52-64) run on its iterative contract. Spark-first
-    shape: the V⋈W / V⋈H products are the two big shuffles per iteration;
-    the Gram matrices WᵀW and HHᵀ are rank² rows (rank ≤ a few dozen), kept
-    as broadcast-joined DataFrames — never a driver round-trip.
+    (genGraphReduce.java:52-64) run on its iterative contract.
+
+    Spark-first shape (r5 plan pass, bench/PLANS.md): factors are held
+    RANK-WIDE — W:(r, w0..w{k-1}), H:(c, h0..h{k-1}) — because rank is a
+    plan-time constant, which collapses each update to exactly ONE shuffle:
+
+    - WᵀV: V ⋈ W on r (V's cached r-partitioned copy ⋈ the r-keyed factor —
+      no exchange on V) → groupBy(c) with k partial-aggregated sum columns.
+      The old long format shuffled this as (f, c) keys, k× the rows.
+    - WᵀW: a SINGLE-ROW aggregate (k² sum columns) over the factor,
+      broadcast into the elementwise update — the old shape was a factor
+      self-join + two more (f,c)-keyed shuffles (wtwh + double join).
+    - H ∘ num/den: numerators arrive partitioned by c, H is already
+      partitioned by c from its own previous update — exchange reuse, and
+      den_f = Σ_j G_fj·h_j folds into a scalar expression per row.
+    - V ⋈ H on c uses a SECOND cached copy of V partitioned by c: the old
+      plan re-exchanged all of V every iteration to meet H's key. Paying
+      the exchange once and caching both layouts is the loop-invariant
+      hoisting the reference's co-location scheduler existed for (I10).
+
+    Per iteration: 2 shuffles (the two groupBys) + 2 one-row broadcasts,
+    down from ~8 exchanges. 100 TB note: nothing here assumes small
+    factors — W/H stay distributed, only the k×k Grams are broadcast; the
+    dual V cache doubles storage, the standard trade for iterating both
+    orientations (spill-safe: MEMORY_AND_DISK).
 
     ``ratings``: coordinate (r, c, v), v ≥ 0. Deterministic positive init so
-    a fixed-iteration run is reproducible cross-engine. Returns (W, H).
+    a fixed-iteration run is reproducible cross-engine. Returns (W, H) in
+    the long formats (r, f, w) / (f, c, h).
 
-    Each update references the previous factors five times, so the logical
-    plan would grow ~5× per iteration; factors are therefore
+    Each update references the previous factor, so factors are
     ``localCheckpoint(eager=True)`` every iteration (SURVEY §7 hard-part 1 —
     persist alone caches data but not the analyzed plan)."""
+    import operator
+    from functools import reduce
+
     ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(ratings)
-    v = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
-    v.count()
-    ratings.unpersist()
-    w = _nmf_init_w(v, rank).localCheckpoint(eager=True)
-    h = _nmf_init_h(v, rank).localCheckpoint(eager=True)
+    # lazy persists: the init-factor / first-iteration jobs materialize each
+    # layout on first use — no dedicated warm-up pass per copy
+    v_r = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
+    v_c = v_r.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    ks = list(range(rank))
+    w = (
+        v_r.select("r")
+        .distinct()
+        .select(
+            "r",
+            *[
+                (1.0 + ((F.col("r") * 7 + F.lit(f) * 3) % 5) * 0.1).alias(f"w{f}")
+                for f in ks
+            ],
+        )
+        .repartition(n, "r")
+        .localCheckpoint(eager=True)
+    )
+    h = (
+        v_c.select("c")
+        .distinct()
+        .select(
+            "c",
+            *[
+                (1.0 + ((F.col("c") * 11 + F.lit(f) * 5) % 7) * 0.1).alias(f"h{f}")
+                for f in ks
+            ],
+        )
+        .repartition(n, "c")
+        .localCheckpoint(eager=True)
+    )
+
+    def _gram(fac: DataFrame, p: str):
+        return fac.agg(
+            *[
+                F.sum(F.col(f"{p}{a}") * F.col(f"{p}{b}")).alias(f"g{a}_{b}")
+                for a in ks
+                for b in ks
+            ]
+        )
+
+    def _den(p: str):
+        # den_f = Σ_j G_fj · fac_j as one scalar expression per output col
+        return {
+            f: reduce(
+                operator.add,
+                [F.col(f"g{f}_{j}") * F.col(f"{p}{j}") for j in ks],
+            )
+            for f in ks
+        }
+
     for _it in range(1, iterations + 1):
         # H ← H ∘ (WᵀV) / (WᵀW·H)
-        wtv = (
-            v.join(w, "r")
-            .groupBy("f", "c")
-            .agg(F.sum(F.col("w") * F.col("v")).alias("num"))
+        num_h = (
+            v_r.join(w, "r")
+            .groupBy("c")
+            .agg(
+                *[
+                    F.sum(F.col(f"w{f}") * F.col("v")).alias(f"num{f}")
+                    for f in ks
+                ]
+            )
         )
-        wtw = (
-            w.alias("a")
-            .join(w.alias("b"), F.col("a.r") == F.col("b.r"))
-            .groupBy(F.col("a.f").alias("f1"), F.col("b.f").alias("f2"))
-            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("g"))
-        )
-        wtwh = (
-            h.join(F.broadcast(wtw), h.f == wtw.f2)
-            .groupBy(F.col("f1").alias("f"), "c")
-            .agg(F.sum(F.col("g") * F.col("h")).alias("den"))
-        )
+        den_h = _den("h")
         h_new = (
-            h.join(wtv, ["f", "c"])
-            .join(wtwh, ["f", "c"])
+            h.join(num_h, "c")
+            .crossJoin(F.broadcast(_gram(w, "w")))
             .select(
-                "f", "c",
-                (F.col("h") * F.col("num") / F.col("den")).alias("h"),
+                "c",
+                *[
+                    (F.col(f"h{f}") * F.col(f"num{f}") / den_h[f]).alias(
+                        f"h{f}"
+                    )
+                    for f in ks
+                ],
             )
         ).localCheckpoint(eager=True)
         h.unpersist()
         h = h_new
         # W ← W ∘ (V·Hᵀ) / (W·H·Hᵀ)
-        vht = (
-            v.join(h, "c")
-            .groupBy("r", "f")
-            .agg(F.sum(F.col("v") * F.col("h")).alias("num"))
+        num_w = (
+            v_c.join(h, "c")
+            .groupBy("r")
+            .agg(
+                *[
+                    F.sum(F.col("v") * F.col(f"h{f}")).alias(f"num{f}")
+                    for f in ks
+                ]
+            )
         )
-        hht = (
-            h.alias("a")
-            .join(h.alias("b"), F.col("a.c") == F.col("b.c"))
-            .groupBy(F.col("a.f").alias("f1"), F.col("b.f").alias("f2"))
-            .agg(F.sum(F.col("a.h") * F.col("b.h")).alias("g"))
-        )
-        whht = (
-            w.join(F.broadcast(hht), w.f == hht.f1)
-            .groupBy("r", F.col("f2").alias("f"))
-            .agg(F.sum(F.col("w") * F.col("g")).alias("den"))
-        )
+        den_w = _den("w")
         w_new = (
-            w.join(vht, ["r", "f"])
-            .join(whht, ["r", "f"])
+            w.join(num_w, "r")
+            .crossJoin(F.broadcast(_gram(h, "h")))
             .select(
-                "r", "f",
-                (F.col("w") * F.col("num") / F.col("den")).alias("w"),
+                "r",
+                *[
+                    (F.col(f"w{f}") * F.col(f"num{f}") / den_w[f]).alias(
+                        f"w{f}"
+                    )
+                    for f in ks
+                ],
             )
         ).localCheckpoint(eager=True)
         w.unpersist()
         w = w_new
-    v.unpersist()
-    return w, h
+    ratings.unpersist()
+    v_r.unpersist()
+    v_c.unpersist()
+    w_long = w.select(
+        "r",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"), F.col(f"w{f}").alias("w")
+                    )
+                    for f in ks
+                ]
+            )
+        ).alias("s"),
+    ).select("r", "s.f", "s.w")
+    h_long = h.select(
+        "c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"), F.col(f"h{f}").alias("h")
+                    )
+                    for f in ks
+                ]
+            )
+        ).alias("s"),
+    ).select("s.f", "c", "s.h")
+    return w_long, h_long
 
 
 def nmf_loss(ratings: DataFrame, w: DataFrame, h: DataFrame) -> float:
