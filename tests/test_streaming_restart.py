@@ -93,3 +93,139 @@ def test_streaming_refresh_restart_is_exactly_once(spark, tmp_path):
         .collect()
     }
     assert _results_dict(v2) == full
+
+
+def test_stateful_running_totals_restart_recovers_state(spark, tmp_path):
+    """applyInPandasWithState across a stop/restart: batch e1 drains, the
+    query STOPS, e2 lands, a new query restarts from the SAME checkpoint.
+    The recovered per-key (n, sum) state must carry e1's contribution —
+    re-reading e1 would double it, losing the state would reset it — and
+    update-mode output after restart must emit ONLY e2-touched keys."""
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        stateful_running_totals,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+    ).coalesce(1).write.parquet(str(src / "e1"))
+
+    captured = []
+
+    def sink(df, _bid):
+        pdf = df.toPandas()
+        if len(pdf):
+            captured.append(pdf)
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stateful_running_totals(stream, key_col="user_id")
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+
+    run()
+    import pandas as pd
+
+    first = pd.concat(captured).set_index("key")
+    assert (int(first.loc[1, "n_events"]), float(first.loc[1, "total"])) == (2, 15.0)
+    assert (int(first.loc[2, "n_events"]), float(first.loc[2, "total"])) == (1, 1.0)
+
+    captured.clear()
+    spark.createDataFrame(
+        [(1, 2.0), (3, 7.0)], "user_id long, value double"
+    ).coalesce(1).write.parquet(str(src / "e2"))
+    run()
+    second = pd.concat(captured).set_index("key")
+    # cumulative across the restart: state recovered, e1 not re-applied
+    assert (int(second.loc[1, "n_events"]), float(second.loc[1, "total"])) == (3, 17.0)
+    assert (int(second.loc[3, "n_events"]), float(second.loc[3, "total"])) == (1, 7.0)
+    # update mode: untouched key 2 must NOT re-emit after restart
+    assert 2 not in second.index
+
+
+def test_session_window_merge_survives_restart(spark, tmp_path):
+    """Session-window merge across a stop/restart: user 1's session is open
+    at the stop; the restarted query must MERGE the new in-gap event into
+    the RECOVERED session (start unchanged, n grows), keep the other user's
+    finished session (its rows are NOT re-read — only recovered state can
+    supply them in the complete-mode output), and never double-count."""
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        sessionized_stream,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _df(rows):
+        return spark.createDataFrame(
+            [(u, f"2024-01-01 {t}") for u, t in rows], "user_id long, raw string"
+        ).select("user_id", F.col("raw").cast("timestamp").alias("ts"))
+
+    _df([(1, "10:00:00"), (1, "10:05:00"), (2, "09:00:00")]).coalesce(
+        1
+    ).write.parquet(str(src / "e1"))
+
+    captured = []
+
+    def sink(df, _bid):
+        pdf = df.toPandas()
+        if len(pdf):
+            captured.append(pdf)
+
+    def run():
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            sessionized_stream(stream, gap="10 minutes")
+            .writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+
+    run()
+    v1 = {
+        (int(r.user_id), str(r.session_start)): int(r.n_events)
+        for r in captured[-1].itertuples()
+    }
+    assert v1 == {
+        (1, "2024-01-01 10:00:00"): 2,
+        (2, "2024-01-01 09:00:00"): 1,
+    }
+
+    captured.clear()
+    # 10:08 is inside user 1's gap -> must merge into the 10:00 session
+    _df([(1, "10:08:00"), (3, "12:00:00")]).coalesce(1).write.parquet(
+        str(src / "e2")
+    )
+    run()
+    v2 = {
+        (int(r.user_id), str(r.session_start)): int(r.n_events)
+        for r in captured[-1].itertuples()
+    }
+    assert v2 == {
+        # merged (lost state would restart a session at 10:08 with n=1;
+        # re-reading e1 would inflate n to 5)
+        (1, "2024-01-01 10:00:00"): 3,
+        # carried purely by recovered state — e1 files are checkpoint-skipped
+        (2, "2024-01-01 09:00:00"): 1,
+        (3, "2024-01-01 12:00:00"): 1,
+    }
