@@ -9,9 +9,13 @@ Decode status: PNG is decoded FOR REAL (``multimodal_png_decode`` —
 stdlib-zlib inflate + full scanline-filter reconstruction,
 functions/png.py; integer-exact oracle), and so is baseline grayscale
 JPEG (``multimodal_jpeg_decode`` — Huffman + dequant + IDCT,
-functions/jpeg.py; exact via DC-only fixtures). Formats that genuinely
-require external libraries (compressed audio, video, and JPEG beyond
-baseline grayscale) remain behind ``decode_stub``,
+functions/jpeg.py; exact via DC-only fixtures), COMPRESSED audio
+(``multimodal_adpcm_decode`` — 4-bit IMA ADPCM state machine,
+functions/adpcm.py), and VIDEO (``multimodal_video_frames`` — MJPEG/AVI
+container walk + per-frame JPEG decode with every-Nth frame sampling,
+functions/avi.py). Formats that genuinely require external libraries
+(perceptual codecs: MP3/AAC, inter-frame video, chroma-subsampled or
+progressive JPEG) remain behind ``decode_stub``,
 which raises NotImplementedError unless ``fake=True`` substitutes a
 deterministic byte-level feature vector — the Spark-side plumbing (schema,
 partitioning, UDF signature, batch shape) is real and tested either way.
@@ -650,3 +654,185 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = attach_jpeg(d, "doc_id")
     return decode_jpeg_stats(media)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path (compressed audio + video): IMA ADPCM in WAV
+# (functions/adpcm.py — 4-bit compression, integer state machine) and
+# MJPEG in AVI (functions/avi.py — RIFF container walk over per-frame
+# baseline JPEGs). Same exactness discipline: fixtures chosen so the lossy
+# codecs round-trip EXACTLY (per-block-constant audio encodes to all-zero
+# nibbles at step 7; constant-tile frames are DC-only JPEGs), general
+# codec paths pinned by pytest instead.
+
+_ADPCM_BLOCKS, _ADPCM_BLOCK_SAMPLES = 8, 65
+
+ADPCM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_abs", LongType()),
+        StructField("peak", LongType()),
+    ]
+)
+
+
+def _adpcm_block_value(doc_id: int, b: int) -> int:
+    return ((doc_id * 37 + b * 101) % 65536) - 32768
+
+
+@register(
+    "multimodal_adpcm_decode",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT d.doc_id, b.b,
+             ((d.doc_id * 37 + b.b * 101) % 65536) - 32768 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_ADPCM_BLOCKS})) AS b) b
+    )
+    SELECT doc_id,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           CAST({_ADPCM_BLOCKS * _ADPCM_BLOCK_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(SUM({_ADPCM_BLOCK_SAMPLES} * ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="REAL compressed-audio decode end-to-end (no stub): a deterministic "
+    "8-block IMA-ADPCM WAV is synthesized per document (per-block constant "
+    "amplitude = f(doc_id, block), run through the real 4-bit quantizer "
+    "state machine; constant blocks encode to all-zero nibbles at step 7, "
+    "so the LOSSY codec round-trips exactly), then DECODED on executors — "
+    "RIFF walk, block headers, nibble unpack, predictor/step-index state "
+    "machine — into integer amplitude stats the oracle recomputes from the "
+    "generating formula. General magnitude/adaptation path pinned by "
+    "pytest (decode == encoder-tracked reconstruction, bit-for-bit).",
+)
+def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.adpcm import decode_wav_adpcm, encode_wav_adpcm
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                samples = [
+                    _adpcm_block_value(d, b)
+                    for b in range(_ADPCM_BLOCKS)
+                    for _ in range(_ADPCM_BLOCK_SAMPLES)
+                ]
+                payload, _recon = encode_wav_adpcm(samples, 16000)
+                sr, back = decode_wav_adpcm(payload)
+                rows.append(
+                    {
+                        "doc_id": d,
+                        "sample_rate": sr,
+                        "n_samples": len(back),
+                        "sum_abs": sum(abs(v) for v in back),
+                        "peak": max(abs(v) for v in back),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(roundtrip, ADPCM_SCHEMA)
+
+
+_VID_FRAMES, _VID_SAMPLE_EVERY = 6, 2
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_px", LongType()),
+    ]
+)
+
+
+def _video_tile_value(doc_id: int, frame: int, bx: int, by: int) -> int:
+    return (doc_id * 7 + frame * 17 + bx * 3 + by * 5) % 256
+
+
+@register(
+    "multimodal_video_frames",
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, fr.fr, bx.bx, by.by,
+             (d.doc_id * 7 + fr.fr * 17 + bx.bx * 3 + by.by * 5) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {_VID_FRAMES}, {_VID_SAMPLE_EVERY}))
+                  AS fr) fr
+      CROSS JOIN (SELECT unnest(range({_JPEG_W // 8})) AS bx) bx
+      CROSS JOIN (SELECT unnest(range({_JPEG_H // 8})) AS by) by
+    )
+    SELECT doc_id,
+           fr AS frame_idx,
+           CAST({_JPEG_W} AS BIGINT) AS width,
+           CAST({_JPEG_H} AS BIGINT) AS height,
+           CAST({_VID_FRAMES} AS BIGINT) AS n_frames,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_px
+    FROM tiles GROUP BY doc_id, fr
+    """,
+    doc="REAL video decode end-to-end (no stub): a deterministic 6-frame "
+    "32×32 MJPEG/AVI is synthesized per document (each frame a constant-"
+    "tile baseline JPEG = f(doc_id, frame, bx, by)), then on executors the "
+    "RIFF/AVI container is walked (nested LISTs, stream headers, word-"
+    "aligned 00dc chunks) and every {_VID_SAMPLE_EVERY}nd frame is FRAME-"
+    "SAMPLED and JPEG-decoded — the decode-only-what-you-need shape a "
+    "100 TB video pipeline runs (unsampled frames' bytes are skipped, "
+    "never IDCT'd). Constant tiles make the whole path integer-exact; the "
+    "oracle recomputes per-sampled-frame pixel sums from the formula.",
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from ..functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for fr in range(_VID_FRAMES):
+                    tiles = np.array(
+                        [
+                            [
+                                _video_tile_value(d, fr, bx, by)
+                                for bx in range(_JPEG_W // 8)
+                            ]
+                            for by in range(_JPEG_H // 8)
+                        ],
+                        dtype=np.int64,
+                    )
+                    img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+                    frames.append(encode_jpeg_gray(img))
+                payload = encode_avi_mjpeg(frames, _JPEG_W, _JPEG_H, fps=5)
+                w, h, total, fr_bytes = decode_avi_mjpeg(payload)
+                for idx in range(0, total, _VID_SAMPLE_EVERY):
+                    fw, fh, raw = decode_jpeg_gray(fr_bytes[idx])
+                    px = np.frombuffer(raw, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "frame_idx": idx,
+                            "width": fw,
+                            "height": fh,
+                            "n_frames": total,
+                            "sum_px": int(px.sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(roundtrip, VIDEO_SCHEMA)

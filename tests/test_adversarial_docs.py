@@ -69,6 +69,8 @@ DOC_QUERIES = [
     "multimodal_png_resize",
     "multimodal_wav_decode",
     "multimodal_jpeg_decode",
+    "multimodal_adpcm_decode",
+    "multimodal_video_frames",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
