@@ -1703,6 +1703,8 @@ def nmf(
     rank: int = 2,
     *,
     iterations: int = 5,
+    init_w: DataFrame | None = None,
+    init_h: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Non-negative matrix factorization V ≈ W·H by Lee-Seung multiplicative
     updates — the reference's ``nmf`` generator workload
@@ -1749,32 +1751,43 @@ def nmf(
     v_r = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
     v_c = v_r.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
     ks = list(range(rank))
-    w = (
-        v_r.select("r")
-        .distinct()
-        .select(
+    # ``init_w`` (r, f, w) / ``init_h`` (f, c, h) warm-start the loop — the
+    # incremental iterative mode (SURVEY §3.3): after a ratings delta,
+    # re-running a couple of rounds from the preserved factors replaces a
+    # cold re-factorization. Keys NEW in this matrix (rows/cols the delta
+    # introduced) fall back to the deterministic cold-init formula.
+    w_cold = {
+        f: (1.0 + ((F.col("r") * 7 + F.lit(f) * 3) % 5) * 0.1) for f in ks
+    }
+    w = v_r.select("r").distinct()
+    if init_w is not None:
+        wide = init_w.groupBy("r").pivot("f", ks).agg(F.first("w"))
+        wide = wide.select(
+            "r", *[F.col(str(f)).alias(f"_iw{f}") for f in ks]
+        )
+        w = w.join(wide, "r", "left").select(
             "r",
-            *[
-                (1.0 + ((F.col("r") * 7 + F.lit(f) * 3) % 5) * 0.1).alias(f"w{f}")
-                for f in ks
-            ],
+            *[F.coalesce(F.col(f"_iw{f}"), w_cold[f]).alias(f"w{f}") for f in ks],
         )
-        .repartition(n, "r")
-        .localCheckpoint(eager=True)
-    )
-    h = (
-        v_c.select("c")
-        .distinct()
-        .select(
+    else:
+        w = w.select("r", *[w_cold[f].alias(f"w{f}") for f in ks])
+    w = w.repartition(n, "r").localCheckpoint(eager=True)
+    h_cold = {
+        f: (1.0 + ((F.col("c") * 11 + F.lit(f) * 5) % 7) * 0.1) for f in ks
+    }
+    h = v_c.select("c").distinct()
+    if init_h is not None:
+        wide = init_h.groupBy("c").pivot("f", ks).agg(F.first("h"))
+        wide = wide.select(
+            "c", *[F.col(str(f)).alias(f"_ih{f}") for f in ks]
+        )
+        h = h.join(wide, "c", "left").select(
             "c",
-            *[
-                (1.0 + ((F.col("c") * 11 + F.lit(f) * 5) % 7) * 0.1).alias(f"h{f}")
-                for f in ks
-            ],
+            *[F.coalesce(F.col(f"_ih{f}"), h_cold[f]).alias(f"h{f}") for f in ks],
         )
-        .repartition(n, "c")
-        .localCheckpoint(eager=True)
-    )
+    else:
+        h = h.select("c", *[h_cold[f].alias(f"h{f}") for f in ks])
+    h = h.repartition(n, "c").localCheckpoint(eager=True)
 
     def _gram(fac: DataFrame, p: str):
         return fac.agg(
@@ -1952,6 +1965,132 @@ h0 AS (
         f"SELECT r, CAST(f AS INT) AS f, ROUND(w, 6) AS w FROM w{n_iter}"
     )
     return "\n".join(parts)
+
+
+def _nmf_rounds_sql(v_cte: str, w_start: str, h_start: str, rounds: int, pre: str) -> str:
+    """CTE fragment: ``rounds`` Lee-Seung updates over matrix CTE ``v_cte``
+    from factor CTEs ``w_start``/``h_start`` (long (r,f,w)/(f,c,h) shapes).
+    Emits MATERIALIZED CTEs ``{pre}w{rounds}`` / ``{pre}h{rounds}`` —
+    without the hint the 4-reference-per-round chain inlines
+    exponentially once base + warm chains stack."""
+    parts = []
+    wp, hp = w_start, h_start
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", {pre}wtv{i} AS MATERIALIZED (
+  SELECT w.f, v.c, SUM(w.w * v.v) AS num
+  FROM {v_cte} v JOIN {wp} w ON v.r = w.r GROUP BY w.f, v.c
+), {pre}wtw{i} AS MATERIALIZED (
+  SELECT a.f AS f1, b.f AS f2, SUM(a.w * b.w) AS g
+  FROM {wp} a JOIN {wp} b ON a.r = b.r GROUP BY a.f, b.f
+), {pre}wtwh{i} AS MATERIALIZED (
+  SELECT g.f1 AS f, h.c, SUM(g.g * h.h) AS den
+  FROM {hp} h JOIN {pre}wtw{i} g ON h.f = g.f2 GROUP BY g.f1, h.c
+), {pre}h{i} AS MATERIALIZED (
+  SELECT h.f, h.c, h.h * n.num / d.den AS h
+  FROM {hp} h JOIN {pre}wtv{i} n ON h.f = n.f AND h.c = n.c
+  JOIN {pre}wtwh{i} d ON h.f = d.f AND h.c = d.c
+), {pre}vht{i} AS MATERIALIZED (
+  SELECT v.r, h.f, SUM(v.v * h.h) AS num
+  FROM {v_cte} v JOIN {pre}h{i} h ON v.c = h.c GROUP BY v.r, h.f
+), {pre}hht{i} AS MATERIALIZED (
+  SELECT a.f AS f1, b.f AS f2, SUM(a.h * b.h) AS g
+  FROM {pre}h{i} a JOIN {pre}h{i} b ON a.c = b.c GROUP BY a.f, b.f
+), {pre}whht{i} AS MATERIALIZED (
+  SELECT w.r, g.f2 AS f, SUM(w.w * g.g) AS den
+  FROM {wp} w JOIN {pre}hht{i} g ON w.f = g.f1 GROUP BY w.r, g.f2
+), {pre}w{i} AS MATERIALIZED (
+  SELECT w.r, w.f, w.w * n.num / d.den AS w
+  FROM {wp} w JOIN {pre}vht{i} n ON w.r = n.r AND w.f = n.f
+  JOIN {pre}whht{i} d ON w.r = d.r AND w.f = d.f
+)"""
+        )
+        wp, hp = f"{pre}w{i}", f"{pre}h{i}"
+    return "".join(parts)
+
+
+def _nmf_incr_sql(base_rounds: int = 2, incr_rounds: int = 2, rank: int = 2) -> str:
+    """Incremental-NMF oracle: base factorization on the full matrix, a
+    cell-level (+/−) delta (the incr_spmv_delta1 shape), then warm-started
+    rounds on the delta-applied matrix from the preserved factors —
+    new rows/cols falling back to the cold-init formula."""
+    return (
+        f"WITH m AS ({_SPMV_MATRIX_SQL}),\n"
+        f"fs AS (SELECT unnest(range({rank})) AS f),\n"
+        """bw0 AS (
+  SELECT r, f, 1.0 + ((r * 7 + f * 3) % 5) * 0.1 AS w
+  FROM (SELECT DISTINCT r FROM m) CROSS JOIN fs
+),
+bh0 AS (
+  SELECT f, c, 1.0 + ((c * 11 + f * 5) % 7) * 0.1 AS h
+  FROM (SELECT DISTINCT c FROM m) CROSS JOIN fs
+)"""
+        + _nmf_rounds_sql("m", "bw0", "bh0", base_rounds, "b")
+        + f""", p AS (
+  SELECT (r * 7 + 3) % 500 AS r, (c * 3 + 1) % 500 AS c,
+         CAST(1.5 AS DOUBLE) AS v
+  FROM m WHERE (r + c) % 13 = 0
+),
+m2 AS MATERIALIZED (
+  SELECT r, c, v FROM m WHERE (r + c) % 11 <> 0
+  UNION ALL SELECT r, c, v FROM p
+),
+uw0 AS (
+  SELECT rv.r, fs.f,
+         COALESCE(b.w, 1.0 + ((rv.r * 7 + fs.f * 3) % 5) * 0.1) AS w
+  FROM (SELECT DISTINCT r FROM m2) rv CROSS JOIN fs
+  LEFT JOIN bw{base_rounds} b ON b.r = rv.r AND b.f = fs.f
+),
+uh0 AS (
+  SELECT fs.f, cv.c,
+         COALESCE(b.h, 1.0 + ((cv.c * 11 + fs.f * 5) % 7) * 0.1) AS h
+  FROM (SELECT DISTINCT c FROM m2) cv CROSS JOIN fs
+  LEFT JOIN bh{base_rounds} b ON b.c = cv.c AND b.f = fs.f
+)"""
+        + _nmf_rounds_sql("m2", "uw0", "uh0", incr_rounds, "u")
+        + f"\nSELECT r, CAST(f AS INT) AS f, ROUND(w, 6) AS w FROM uw{incr_rounds}"
+    )
+
+
+@register(
+    "incr_nmf_delta2",
+    oracle=_nmf_incr_sql(2, 2),
+    doc="incremental NMF (SURVEY §3.3 warm-start semantics applied to the "
+    "nmf generator workload): 2 Lee-Seung rounds factorize the base "
+    "matrix and the factors are PRESERVED; a cell-level (+/-) delta "
+    "lands (retract (r+c)%11 cells, insert transformed 1.5-valued cells "
+    "— the incr_spmv_delta1 shape); 2 warm-started rounds re-factorize "
+    "the updated matrix from the preserved factors, rows/cols introduced "
+    "by the delta cold-initializing from the deterministic formula. "
+    "Re-convergence from preserved state replaces the cold "
+    "re-factorization — the engine's core thesis on its matrix workload. "
+    "Output = final W (r, f, w).",
+)
+def incr_nmf_delta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _spmv_matrix(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    warm_w, warm_h = nmf(m, rank=2, iterations=2)
+    warm_w = warm_w.localCheckpoint(eager=True)
+    warm_h = warm_h.localCheckpoint(eager=True)
+    removals = m.where((F.col("r") + F.col("c")) % 11 == 0).withColumn(
+        "op", F.lit("-")
+    )
+    additions = (
+        m.where((F.col("r") + F.col("c")) % 13 == 0)
+        .select(
+            ((F.col("r") * 7 + 3) % 500).alias("r"),
+            ((F.col("c") * 3 + 1) % 500).alias("c"),
+            F.lit(1.5).alias("v"),
+        )
+        .withColumn("op", F.lit("+"))
+    )
+    delta = removals.unionByName(additions)
+    minus = delta.where(F.col("op") == "-").select("r", "c")
+    plus = delta.where(F.col("op") == "+").drop("op")
+    updated = m.join(minus, ["r", "c"], "left_anti").unionByName(plus)
+    w, _h = nmf(updated, rank=2, iterations=2, init_w=warm_w, init_h=warm_h)
+    m.unpersist()
+    return w.select("r", F.col("f").cast("int").alias("f"),
+                    F.round("w", 6).alias("w"))
 
 
 @register(
