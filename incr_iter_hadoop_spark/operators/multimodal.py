@@ -836,3 +836,110 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(roundtrip, VIDEO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Media-file INGESTION: Spark's binaryFile source — the scan a real
+# multimodal pipeline starts from (a directory/bucket of image files),
+# previously unexercised: every other media query synthesizes payloads
+# in-flight. Fixture files are materialized once per dataset (the
+# scan_jdbc_roundtrip / iteration-snapshot discipline: building the
+# external source is setup, reading it is the operator under test) into a
+# doc-count-keyed cache dir; the QUERY is format("binaryFile") -> id from
+# the file path -> the real PNG decode -> integer stats.
+
+
+def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
+    """Write doc_id % every == 0 documents as real PNG files (pixel formula
+    = attach_png's) under a tempdir keyed by (dataset path, doc count) —
+    regenerated only when missing, torn down with the tempdir."""
+    import os
+    import re
+    import tempfile
+
+    from ..functions.png import encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = [
+        int(r[0])
+        for r in d.where(F.col("doc_id") % every == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_media",
+        f"png_{slug}_{len(ids)}",
+    )
+    marker = os.path.join(root, "_SUCCESS")
+    if not os.path.isfile(marker):
+        staging = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        for doc_id in ids:
+            px = [
+                [
+                    (
+                        _pixel(doc_id, x, y, 0),
+                        _pixel(doc_id, x, y, 1),
+                        _pixel(doc_id, x, y, 2),
+                    )
+                    for x in range(_IMG_W)
+                ]
+                for y in range(_IMG_H)
+            ]
+            with open(os.path.join(staging, f"doc_{doc_id}.png"), "wb") as fh:
+                fh.write(encode_png_rgb(px))
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        try:
+            os.rename(staging, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return root
+
+
+@register(
+    "scan_binaryfile_media",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y, c.c,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      CROSS JOIN (SELECT unnest(range({_IMG_W})) AS x) x
+      CROSS JOIN (SELECT unnest(range({_IMG_H})) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({_IMG_W} AS BIGINT) AS width,
+           CAST({_IMG_H} AS BIGINT) AS height,
+           CAST(SUM(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id
+    """,
+    doc="media-file ingestion via Spark's binaryFile source: every 10th "
+    "document is materialized ONCE as a real on-disk PNG file (setup, like "
+    "the JDBC/Derby fixture), then the query reads the DIRECTORY with "
+    "format('binaryFile') — path/length/content rows, the actual entry "
+    "point of a 100 TB image-bucket pipeline — parses the doc id from the "
+    "file path, and runs the real PNG decode on the content column. "
+    "Oracle recomputes the pixel sums from the generating formula. At "
+    "scale this scan parallelizes over files and pushes a pathGlobFilter; "
+    "driver holds only paths, never bytes.",
+)
+def scan_binaryfile_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _png_fixture_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(root)
+    )
+    media = files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.png$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    return decode_png_stats(media)

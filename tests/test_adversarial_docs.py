@@ -71,6 +71,7 @@ DOC_QUERIES = [
     "multimodal_jpeg_decode",
     "multimodal_adpcm_decode",
     "multimodal_video_frames",
+    "scan_binaryfile_media",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
