@@ -109,7 +109,8 @@ def _load_all() -> None:
 # graph_kcore_bounded3, multimodal_adpcm_decode (REAL compressed-audio
 # decode, new in r5), multimodal_video_frames (REAL MJPEG/AVI video decode
 # + frame sampling, new in r5), incr_nmf_delta2 (warm-started incremental
-# NMF, new in r5), scan_binaryfile_media (format('binaryFile') directory
+# NMF, new in r5), multimodal_gif_decode (REAL LZW+palette GIF decode,
+# new in r5), scan_binaryfile_media (format("binaryFile") directory
 # ingestion + real PNG decode, new in r5) (embedding_top_pairs stays out
 # by design — all-pairs exactness baseline, LSH primary shipped).
 

@@ -72,6 +72,7 @@ DOC_QUERIES = [
     "multimodal_adpcm_decode",
     "multimodal_video_frames",
     "scan_binaryfile_media",
+    "multimodal_gif_decode",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
