@@ -340,6 +340,19 @@ def main() -> None:
     incr_substring_sec = _median(incr_runs_s)
     shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
+    # non-headline extra (r5): the REAL multimodal decode path — synthesize
+    # + full JPEG decode per document, Arrow-batched on executors. Tracked
+    # so codec-cost regressions surface in the trend without perturbing the
+    # headline total.
+    jpeg_runs_s: list[float] = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        specs["multimodal_jpeg_decode"].fn(spark, SF_DIR).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        jpeg_runs_s.append(round(time.perf_counter() - t0, 3))
+    jpeg_decode_sec = _median(jpeg_runs_s)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -377,6 +390,7 @@ def main() -> None:
             if substring_sec
             else None
         ),
+        "multimodal_jpeg_decode_sec": jpeg_decode_sec,
     }
     print(json.dumps(result))
     # BASELINE.md protocol: record runs for regression tracking + trend table
