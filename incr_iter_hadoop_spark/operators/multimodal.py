@@ -1022,3 +1022,35 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(roundtrip, GIF_DECODE_SCHEMA)
+
+
+@register(
+    "media_dedup_exact",
+    oracle="""
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keeper,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY doc_id % 256
+    """,
+    doc="exact IMAGE dedup by content hash — the media analogue of the "
+    "text pipeline's dedup_exact, a first-class training-data op: every "
+    "document's (real, byte-stable) JPEG payload is md5-fingerprinted on "
+    "the executors and identical images collapse to one keeper (min id) "
+    "with a copy count. One hash-groupBy shuffle; payload bytes never "
+    "leave the executors, only 16-byte digests shuffle — the 100 TB "
+    "shape. The fixture's tile formula depends on doc_id mod 256 alone, "
+    "so the oracle derives the duplicate classes arithmetically while "
+    "the engine must find them from the BYTES (synthesis determinism, "
+    "encoder byte-stability, and hash-grouping all under test).",
+)
+def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_jpeg(d, "doc_id")
+    return (
+        media.select("doc_id", F.md5(F.col("payload")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .drop("fp")
+    )

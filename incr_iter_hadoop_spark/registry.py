@@ -111,8 +111,10 @@ def _load_all() -> None:
 # + frame sampling, new in r5), incr_nmf_delta2 (warm-started incremental
 # NMF, new in r5), multimodal_gif_decode (REAL LZW+palette GIF decode,
 # new in r5), scan_binaryfile_media (format("binaryFile") directory
-# ingestion + real PNG decode, new in r5) (embedding_top_pairs stays out
-# by design — all-pairs exactness baseline, LSH primary shipped).
+# ingestion + real PNG decode, new in r5), media_dedup_exact (image
+# content-hash dedup over real JPEG payloads, new in r5)
+# (embedding_top_pairs stays out by design — all-pairs exactness
+# baseline, LSH primary shipped).
 
 FIRST_WINDOW: list[str] = [
     # S6/S7/S9 scans — the three SURVEY §2 rows with no driver row ever

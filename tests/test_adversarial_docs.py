@@ -73,6 +73,7 @@ DOC_QUERIES = [
     "multimodal_video_frames",
     "scan_binaryfile_media",
     "multimodal_gif_decode",
+    "media_dedup_exact",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
