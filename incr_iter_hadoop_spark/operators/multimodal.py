@@ -1054,3 +1054,205 @@ def media_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual near-dup image dedup: aHash (average hash) over DECODED
+# pixels + SimHash-style banded LSH on the 64-bit fingerprint. The image
+# analogue of dedup_simhash_pairs — near-duplicate images (identical or
+# slightly-edited) collide on >= 1 of the 4 sixteen-bit bands and are
+# verified by exact Hamming distance; never an all-pairs product.
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("hi", LongType()),
+        StructField("lo", LongType()),
+    ]
+)
+
+_PHASH_MAX_HAMMING = 6
+
+
+def ahash_media(media: DataFrame) -> DataFrame:
+    """(doc_id, hi, lo): 64-bit average-hash of each decoded JPEG — resize
+    to 8×8 by exact integer box sums, bit i = box i brighter than the
+    global mean (integer cross-multiplied: sum_box·64 > total, no float
+    division anywhere), packed into two non-negative 32-bit halves so
+    cross-engine bit arithmetic never touches the sign bit."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg_gray
+
+    def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_jpeg_gray(bytes(payload))
+                px = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                by, bx = h // 8, w // 8
+                boxes = px.reshape(8, by, 8, bx).sum(axis=(1, 3))
+                total = int(px.sum())
+                bits = boxes * 64 > total  # (oy, ox), integer-exact
+                lo = hi = 0
+                for oy in range(8):
+                    for ox in range(8):
+                        if bits[oy, ox]:
+                            i = oy * 8 + ox
+                            if i < 32:
+                                lo |= 1 << i
+                            else:
+                                hi |= 1 << (i - 32)
+                rows.append({"doc_id": int(doc_id), "hi": hi, "lo": lo})
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(hash_batch, PHASH_SCHEMA)
+
+
+_PHASH_W = 64  # 8x8 grid of 8x8-pixel constant tiles: JPEG-exact AND each
+#              aHash box maps to exactly ONE tile -> 64 independent bits
+
+
+def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
+    """64x64 grayscale JPEG per row for the perceptual-dedup fixture:
+    md5-derived tile values (uniform, uncorrelated across docs — an
+    arithmetic formula would correlate every hash and make the output
+    quadratic), with an engineered near-pair per 50 docs: doc_id % 50 == 1
+    reuses doc_id-1's tiles with tile (0,0) replaced."""
+    import hashlib
+
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg_gray
+
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def tile(base: int, bx: int, by: int) -> int:
+        return int(
+            hashlib.md5(f"{base}_{bx}_{by}".encode()).hexdigest()[:4], 16
+        ) % 256
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d - 1 if d % 50 == 1 else d
+                tiles = np.array(
+                    [[tile(base, bx, by) for bx in range(8)] for by in range(8)],
+                    dtype=np.int64,
+                )
+                if d % 50 == 1:
+                    tiles[0, 0] = int(
+                        hashlib.md5(f"m_{d}".encode()).hexdigest()[:4], 16
+                    ) % 256
+                img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+                payloads.append(encode_jpeg_gray(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return ids.mapInPandas(gen, JPEG_MEDIA_SCHEMA)
+
+
+@register(
+    "media_dedup_phash",
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, bx.bx, by.by,
+             CASE WHEN d.doc_id % 50 = 1 AND bx.bx = 0 AND by.by = 0
+                  THEN ('0x' || substring(md5('m_' || d.doc_id), 1, 4))::BIGINT % 256
+                  ELSE ('0x' || substring(md5(
+                         (CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1
+                               ELSE d.doc_id END)
+                         || '_' || bx.bx || '_' || by.by), 1, 4))::BIGINT % 256
+             END AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(8)) AS bx) bx
+      CROSS JOIN (SELECT unnest(range(8)) AS by) by
+    ),
+    totals AS (SELECT doc_id, SUM(v) AS s FROM tiles GROUP BY doc_id),
+    hashes AS (
+      SELECT t.doc_id,
+             SUM(CASE WHEN t.by * 8 + t.bx < 32 AND 64 * t.v > tt.s
+                      THEN 1::BIGINT << (t.by * 8 + t.bx) ELSE 0 END) AS lo,
+             SUM(CASE WHEN t.by * 8 + t.bx >= 32 AND 64 * t.v > tt.s
+                      THEN 1::BIGINT << (t.by * 8 + t.bx - 32) ELSE 0 END) AS hi
+      FROM tiles t JOIN totals tt ON tt.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, lo % 65536 AS bv FROM hashes
+      UNION ALL SELECT doc_id, 1, lo // 65536 FROM hashes
+      UNION ALL SELECT doc_id, 2, hi % 65536 FROM hashes
+      UNION ALL SELECT doc_id, 3, hi // 65536 FROM hashes
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.i, c.j,
+           CAST(bit_count(xor(ha.lo, hb.lo))
+                + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+    FROM cands c
+    JOIN hashes ha ON ha.doc_id = c.i
+    JOIN hashes hb ON hb.doc_id = c.j
+    WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+          <= {_PHASH_MAX_HAMMING}
+    """,
+    doc="perceptual near-dup IMAGE dedup: aHash (8x8 average hash, exact "
+    "integer arithmetic — box-sum x 64 > total, no float division) "
+    "computed from each document's DECODED 64x64 JPEG on executors, then "
+    "SimHash-style banded LSH — 4 sixteen-bit bands as equi-join keys "
+    "(identical images always collide; a mutated-tile near-pair keeps 3 "
+    "clean bands), verified by exact Hamming distance over the two "
+    "32-bit halves. Never all-pairs; only 16-byte hashes shuffle. The "
+    "md5-derived fixture keeps hashes uncorrelated (output stays linear) "
+    "and plants one single-tile-mutation near-pair per 50 docs; the "
+    "oracle recomputes hash, banding, and verification from the tile "
+    "formula, so decode -> downsample -> threshold -> pack must be "
+    "bit-identical from real bytes.",
+)
+def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).persist()
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("lo") % 65536).alias("bv")),
+                F.struct(F.lit(1).alias("band"), F.floor(F.col("lo") / 65536).cast("long").alias("bv")),
+                F.struct(F.lit(2).alias("band"), (F.col("hi") % 65536).alias("bv")),
+                F.struct(F.lit(3).alias("band"), F.floor(F.col("hi") / 65536).cast("long").alias("bv")),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.band", "s.bv")
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("i"),
+        F.col("lo").alias("lo_i"),
+        F.col("hi").alias("hi_i"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("j"),
+        F.col("lo").alias("lo_j"),
+        F.col("hi").alias("hi_j"),
+    )
+    hamming = F.bit_count(
+        F.col("lo_i").bitwiseXOR(F.col("lo_j"))
+    ) + F.bit_count(F.col("hi_i").bitwiseXOR(F.col("hi_j")))
+    return (
+        cands.join(ha, "i")
+        .join(hb, "j")
+        .select("i", "j", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )

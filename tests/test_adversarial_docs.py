@@ -74,6 +74,7 @@ DOC_QUERIES = [
     "scan_binaryfile_media",
     "multimodal_gif_decode",
     "media_dedup_exact",
+    "media_dedup_phash",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
