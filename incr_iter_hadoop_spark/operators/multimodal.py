@@ -1256,3 +1256,108 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+@register(
+    "incr_media_dedup_phash",
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, bx.bx, by.by,
+             CASE WHEN d.doc_id % 50 = 1 AND bx.bx = 0 AND by.by = 0
+                  THEN ('0x' || substring(md5('m_' || d.doc_id), 1, 4))::BIGINT % 256
+                  ELSE ('0x' || substring(md5(
+                         (CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1
+                               ELSE d.doc_id END)
+                         || '_' || bx.bx || '_' || by.by), 1, 4))::BIGINT % 256
+             END AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(8)) AS bx) bx
+      CROSS JOIN (SELECT unnest(range(8)) AS by) by
+    ),
+    totals AS (SELECT doc_id, SUM(v) AS s FROM tiles GROUP BY doc_id),
+    hashes AS (
+      SELECT t.doc_id,
+             SUM(CASE WHEN t.by * 8 + t.bx < 32 AND 64 * t.v > tt.s
+                      THEN 1::BIGINT << (t.by * 8 + t.bx) ELSE 0 END) AS lo,
+             SUM(CASE WHEN t.by * 8 + t.bx >= 32 AND 64 * t.v > tt.s
+                      THEN 1::BIGINT << (t.by * 8 + t.bx - 32) ELSE 0 END) AS hi
+      FROM tiles t JOIN totals tt ON tt.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, lo % 65536 AS bv FROM hashes
+      UNION ALL SELECT doc_id, 1, lo // 65536 FROM hashes
+      UNION ALL SELECT doc_id, 2, hi % 65536 FROM hashes
+      UNION ALL SELECT doc_id, 3, hi // 65536 FROM hashes
+    ),
+    cands AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
+                      GREATEST(a.doc_id, b.doc_id) AS j
+      FROM (SELECT * FROM bands WHERE doc_id % 10 = 3) a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id <> b.doc_id
+    )
+    SELECT c.i, c.j,
+           CAST(bit_count(xor(ha.lo, hb.lo))
+                + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
+    FROM cands c
+    JOIN hashes ha ON ha.doc_id = c.i
+    JOIN hashes hb ON hb.doc_id = c.j
+    WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+          <= {_PHASH_MAX_HAMMING}
+    """,
+    doc="INCREMENTAL perceptual image dedup (I7 x media): the base corpus "
+    "(doc_id % 10 != 3) already holds its aHash index and its verified "
+    "pair set; when the delta docs land, ONLY their hashes are computed "
+    "fresh and banded against the full band index — candidates touch a "
+    "delta doc by construction, so the increment costs O(|delta| x "
+    "band-collisions), never a base re-scan (pair-locality: a pair's "
+    "hamming is a function of its two hashes alone, the same property "
+    "incr_dedup_minhash_delete exploits). Output = the pair increment; "
+    "base-pairs union increment == the full media_dedup_phash result "
+    "(pinned by pytest).",
+)
+def incr_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).persist()
+
+    def band_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), (F.col("lo") % 65536).alias("bv")),
+                    F.struct(F.lit(1).alias("band"), F.floor(F.col("lo") / 65536).cast("long").alias("bv")),
+                    F.struct(F.lit(2).alias("band"), (F.col("hi") % 65536).alias("bv")),
+                    F.struct(F.lit(3).alias("band"), F.floor(F.col("hi") / 65536).cast("long").alias("bv")),
+                )
+            ).alias("s"),
+        ).select("doc_id", "s.band", "s.bv")
+
+    bands_all = band_of(hashes)
+    bands_delta = band_of(hashes.where(F.col("doc_id") % 10 == 3))
+    cands = (
+        bands_delta.alias("a")
+        .join(bands_all.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("i"),
+            F.greatest("a.doc_id", "b.doc_id").alias("j"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("i"), F.col("lo").alias("lo_i"), F.col("hi").alias("hi_i")
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("j"), F.col("lo").alias("lo_j"), F.col("hi").alias("hi_j")
+    )
+    hamming = F.bit_count(
+        F.col("lo_i").bitwiseXOR(F.col("lo_j"))
+    ) + F.bit_count(F.col("hi_i").bitwiseXOR(F.col("hi_j")))
+    return (
+        cands.join(ha, "i")
+        .join(hb, "j")
+        .select("i", "j", hamming.cast("long").alias("hamming"))
+        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
+    )

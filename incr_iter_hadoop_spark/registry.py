@@ -113,8 +113,9 @@ def _load_all() -> None:
 # new in r5), scan_binaryfile_media (format("binaryFile") directory
 # ingestion + real PNG decode, new in r5), media_dedup_exact (image
 # content-hash dedup over real JPEG payloads, new in r5),
-# media_dedup_phash (aHash + banded-LSH perceptual image near-dup over
-# decoded pixels, new in r5)
+# media_dedup_phash + incr_media_dedup_phash (aHash + banded-LSH
+# perceptual image near-dup over decoded pixels, full + delta-restricted
+# increment, new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 

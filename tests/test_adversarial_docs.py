@@ -75,6 +75,7 @@ DOC_QUERIES = [
     "multimodal_gif_decode",
     "media_dedup_exact",
     "media_dedup_phash",
+    "incr_media_dedup_phash",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
