@@ -1361,3 +1361,154 @@ def incr_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("i", "j", hamming.cast("long").alias("hamming"))
         .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style shard ingestion: the de-facto layout for large-scale
+# multimodal training data is TAR shards whose members pair every sample's
+# components by basename ("000123.jpg" + "000123.txt"). Shards are the
+# unit of parallelism — one task streams one shard — so a 100 TB corpus
+# is just a directory of .tar files and a binaryFile scan.
+
+
+WDS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("caption_len", LongType()),
+    ]
+)
+
+_WDS_SHARDS = 8
+
+
+def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus as ``_WDS_SHARDS`` TAR shards (stdlib
+    tarfile, USTAR): member {doc_id}.jpg = the real baseline JPEG of the
+    doc's tile image, member {doc_id}.txt = its caption. Same
+    content-keyed cache-dir discipline as the binaryFile PNG fixture."""
+    import io
+    import os
+    import re
+    import tarfile
+    import tempfile
+
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg_gray
+
+    d = load_table(spark, sf_dir, "documents")
+    ids = sorted(int(r[0]) for r in d.select("doc_id").collect())
+    slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_media", f"wds_{slug}_{len(ids)}"
+    )
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        staging = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        shards = [
+            tarfile.open(
+                os.path.join(staging, f"shard-{s:05d}.tar"), "w",
+                format=tarfile.USTAR_FORMAT,
+            )
+            for s in range(_WDS_SHARDS)
+        ]
+
+        def add(tf, name: str, payload: bytes) -> None:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0  # deterministic shards
+            tf.addfile(info, io.BytesIO(payload))
+
+        for doc_id in ids:
+            tiles = np.array(
+                [
+                    [_jpeg_tile_value(doc_id, bx, by) for bx in range(_JPEG_W // 8)]
+                    for by in range(_JPEG_H // 8)
+                ],
+                dtype=np.int64,
+            )
+            img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+            tf = shards[doc_id % _WDS_SHARDS]
+            add(tf, f"{doc_id}.jpg", encode_jpeg_gray(img))
+            add(tf, f"{doc_id}.txt", f"caption for document {doc_id}".encode())
+        for tf in shards:
+            tf.close()
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        try:
+            os.rename(staging, root)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return root
+
+
+@register(
+    "scan_webdataset_shards",
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, bx.bx, by.by,
+             (d.doc_id * 7 + bx.bx * 3 + by.by * 5) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_JPEG_W // 8})) AS bx) bx
+      CROSS JOIN (SELECT unnest(range({_JPEG_H // 8})) AS by) by
+    )
+    SELECT doc_id,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_px,
+           CAST(length('caption for document ' || doc_id) AS BIGINT)
+             AS caption_len
+    FROM tiles GROUP BY doc_id
+    """,
+    doc="WebDataset-style multimodal shard ingestion: the corpus is "
+    "materialized once as TAR shards ({doc_id}.jpg + {doc_id}.txt members "
+    "paired by basename — the de-facto layout for 100 TB multimodal "
+    "training data), the query scans the directory with "
+    "format('binaryFile'), and each task untars ITS shard in memory "
+    "(stdlib tarfile over the content bytes — shard = unit of "
+    "parallelism, no shared state), pairs every sample's components, "
+    "REALLY decodes the JPEG member, and emits per-sample stats. Oracle "
+    "recomputes from the generating formulas; a component-pairing bug, "
+    "TAR-offset bug, or decode defect all break the hash.",
+)
+def scan_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg_gray
+
+    root = _wds_fixture_dir(spark, sf_dir)
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(root)
+        .select("content")
+    )
+
+    def untar(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                samples: dict[int, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tf:
+                    for m in tf.getmembers():
+                        stem, _, ext = m.name.rpartition(".")
+                        samples.setdefault(int(stem), {})[ext] = tf.extractfile(
+                            m
+                        ).read()
+                for doc_id, comp in samples.items():
+                    _w, _h, raw = decode_jpeg_gray(comp["jpg"])
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "sum_px": int(
+                                np.frombuffer(raw, dtype=np.uint8).sum()
+                            ),
+                            "caption_len": len(comp["txt"]),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(untar, WDS_SCHEMA)

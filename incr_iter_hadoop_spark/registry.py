@@ -115,7 +115,9 @@ def _load_all() -> None:
 # content-hash dedup over real JPEG payloads, new in r5),
 # media_dedup_phash + incr_media_dedup_phash (aHash + banded-LSH
 # perceptual image near-dup over decoded pixels, full + delta-restricted
-# increment, new in r5)
+# increment, new in r5), scan_webdataset_shards (TAR-shard multimodal
+# ingestion with per-shard untar + component pairing + real JPEG decode,
+# new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 

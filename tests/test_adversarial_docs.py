@@ -76,6 +76,7 @@ DOC_QUERIES = [
     "media_dedup_exact",
     "media_dedup_phash",
     "incr_media_dedup_phash",
+    "scan_webdataset_shards",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
