@@ -415,6 +415,8 @@ def _write_trend_table(results_dir: str) -> None:
 
     lines = []
     for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
+        if os.path.basename(path).startswith("stress-"):
+            continue  # scale-stress records have their own STRESS.md table
         date = os.path.basename(path)[:-5]
         with open(path) as f:
             for i, raw in enumerate(x for x in f if x.strip()):
@@ -422,6 +424,8 @@ def _write_trend_table(results_dir: str) -> None:
                     rec = json.loads(raw)
                 except json.JSONDecodeError:
                     continue
+                if rec.get("metric") != "headline_total_wall":
+                    continue  # foreign record shapes never join the trend
                 label = f"{date}#{i}" + ("*" if "reps" in rec else "")
                 if rec.get("sf") not in (0.1, "0.1"):
                     label += f"@sf{rec.get('sf')}"
@@ -433,6 +437,8 @@ def _write_trend_table(results_dir: str) -> None:
         "value",
         "incr_disk_refresh_vs_full_recompute",
         "incr_mem_refresh_vs_full_recompute",
+        "incr_substring_vs_full",
+        "multimodal_jpeg_decode_sec",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",

@@ -1744,7 +1744,15 @@ def nmf(
     import operator
     from functools import reduce
 
-    ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist/unpersist are not refcounted, so only manage the cache marker
+    # if the CALLER hasn't already persisted ratings — unpersisting a
+    # caller-persisted input would silently drop THEIR cache (the
+    # incr_nmf_delta2 bug class: its source matrix got recomputed per use)
+    own_persist = ratings.storageLevel.useMemory is False and (
+        ratings.storageLevel.useDisk is False
+    )
+    if own_persist:
+        ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(ratings)
     # lazy persists: the init-factor / first-iteration jobs materialize each
     # layout on first use — no dedicated warm-up pass per copy
@@ -1863,7 +1871,8 @@ def nmf(
         ).localCheckpoint(eager=True)
         w.unpersist()
         w = w_new
-    ratings.unpersist()
+    if own_persist:
+        ratings.unpersist()
     v_r.unpersist()
     v_c.unpersist()
     w_long = w.select(

@@ -849,13 +849,42 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the file path -> the real PNG decode -> integer stats.
 
 
+def _fixture_slug(sf_dir: str) -> str:
+    import os
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
+
+
+def _cached_fixture_dir(name: str, write_fn) -> str:
+    """Content-keyed external-source fixture cache (one copy of the
+    staging/commit dance for EVERY materialized fixture — binaryFile PNGs,
+    WebDataset shards): ``write_fn(staging_dir)`` populates a PID-unique
+    staging dir, a ``_SUCCESS`` marker seals it, and an atomic rename
+    publishes; a concurrent loser discards its staging copy and reuses
+    the winner's. Regenerated only when the keyed dir is missing."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_media", name)
+    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
+        staging = f"{root}.tmp.{os.getpid()}"
+        os.makedirs(staging, exist_ok=True)
+        write_fn(staging)
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
+    return root
+
+
 def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
     """Write doc_id % every == 0 documents as real PNG files (pixel formula
     = attach_png's) under a tempdir keyed by (dataset path, doc count) —
     regenerated only when missing, torn down with the tempdir."""
     import os
-    import re
-    import tempfile
 
     from ..functions.png import encode_png_rgb
 
@@ -866,16 +895,8 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
         .select("doc_id")
         .collect()
     ]
-    slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
-    root = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_media",
-        f"png_{slug}_{len(ids)}",
-    )
-    marker = os.path.join(root, "_SUCCESS")
-    if not os.path.isfile(marker):
-        staging = f"{root}.tmp.{os.getpid()}"
-        os.makedirs(staging, exist_ok=True)
+
+    def write(staging: str) -> None:
         for doc_id in ids:
             px = [
                 [
@@ -890,14 +911,8 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
             ]
             with open(os.path.join(staging, f"doc_{doc_id}.png"), "wb") as fh:
                 fh.write(encode_png_rgb(px))
-        open(os.path.join(staging, "_SUCCESS"), "w").close()
-        try:
-            os.rename(staging, root)
-        except OSError:
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
-    return root
+    return _cached_fixture_dir(f"png_{_fixture_slug(sf_dir)}_{len(ids)}", write)
 
 
 @register(
@@ -1113,16 +1128,15 @@ def ahash_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(hash_batch, PHASH_SCHEMA)
 
 
-_PHASH_W = 64  # 8x8 grid of 8x8-pixel constant tiles: JPEG-exact AND each
-#              aHash box maps to exactly ONE tile -> 64 independent bits
-
-
 def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
-    """64x64 grayscale JPEG per row for the perceptual-dedup fixture:
-    md5-derived tile values (uniform, uncorrelated across docs — an
-    arithmetic formula would correlate every hash and make the output
-    quadratic), with an engineered near-pair per 50 docs: doc_id % 50 == 1
-    reuses doc_id-1's tiles with tile (0,0) replaced."""
+    """64x64 grayscale JPEG per row for the perceptual-dedup fixture — an
+    8x8 grid of 8x8-pixel constant tiles, so the image is JPEG-exact
+    (DC-only blocks) AND each aHash box maps to exactly one tile, giving
+    64 independent hash bits. Tile values are md5-derived (uniform,
+    uncorrelated across docs — an arithmetic formula would correlate every
+    hash and make the output quadratic), with an engineered near-pair per
+    50 docs: doc_id % 50 == 1 reuses doc_id-1's tiles with tile (0,0)
+    replaced."""
     import hashlib
 
     import numpy as np
@@ -1157,86 +1171,46 @@ def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
     return ids.mapInPandas(gen, JPEG_MEDIA_SCHEMA)
 
 
-@register(
-    "media_dedup_phash",
-    oracle=f"""
-    WITH tiles AS (
-      SELECT d.doc_id, bx.bx, by.by,
-             CASE WHEN d.doc_id % 50 = 1 AND bx.bx = 0 AND by.by = 0
-                  THEN ('0x' || substring(md5('m_' || d.doc_id), 1, 4))::BIGINT % 256
-                  ELSE ('0x' || substring(md5(
-                         (CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1
-                               ELSE d.doc_id END)
-                         || '_' || bx.bx || '_' || by.by), 1, 4))::BIGINT % 256
-             END AS v
-      FROM (SELECT doc_id FROM documents) d
-      CROSS JOIN (SELECT unnest(range(8)) AS bx) bx
-      CROSS JOIN (SELECT unnest(range(8)) AS by) by
-    ),
-    totals AS (SELECT doc_id, SUM(v) AS s FROM tiles GROUP BY doc_id),
-    hashes AS (
-      SELECT t.doc_id,
-             SUM(CASE WHEN t.by * 8 + t.bx < 32 AND 64 * t.v > tt.s
-                      THEN 1::BIGINT << (t.by * 8 + t.bx) ELSE 0 END) AS lo,
-             SUM(CASE WHEN t.by * 8 + t.bx >= 32 AND 64 * t.v > tt.s
-                      THEN 1::BIGINT << (t.by * 8 + t.bx - 32) ELSE 0 END) AS hi
-      FROM tiles t JOIN totals tt ON tt.doc_id = t.doc_id
-      GROUP BY t.doc_id
-    ),
-    bands AS (
-      SELECT doc_id, 0 AS band, lo % 65536 AS bv FROM hashes
-      UNION ALL SELECT doc_id, 1, lo // 65536 FROM hashes
-      UNION ALL SELECT doc_id, 2, hi % 65536 FROM hashes
-      UNION ALL SELECT doc_id, 3, hi // 65536 FROM hashes
-    ),
-    cands AS (
-      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
-      WHERE a.doc_id < b.doc_id
-    )
-    SELECT c.i, c.j,
-           CAST(bit_count(xor(ha.lo, hb.lo))
-                + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
-    FROM cands c
-    JOIN hashes ha ON ha.doc_id = c.i
-    JOIN hashes hb ON hb.doc_id = c.j
-    WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
-          <= {_PHASH_MAX_HAMMING}
-    """,
-    doc="perceptual near-dup IMAGE dedup: aHash (8x8 average hash, exact "
-    "integer arithmetic — box-sum x 64 > total, no float division) "
-    "computed from each document's DECODED 64x64 JPEG on executors, then "
-    "SimHash-style banded LSH — 4 sixteen-bit bands as equi-join keys "
-    "(identical images always collide; a mutated-tile near-pair keeps 3 "
-    "clean bands), verified by exact Hamming distance over the two "
-    "32-bit halves. Never all-pairs; only 16-byte hashes shuffle. The "
-    "md5-derived fixture keeps hashes uncorrelated (output stays linear) "
-    "and plants one single-tile-mutation near-pair per 50 docs; the "
-    "oracle recomputes hash, banding, and verification from the tile "
-    "formula, so decode -> downsample -> threshold -> pack must be "
-    "bit-identical from real bytes.",
-)
-def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _phash_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized (doc_id, hi, lo) aHashes of the phash fixture.
+    ``localCheckpoint`` rather than ``persist``: the result is referenced
+    three times per query (bands + both verify sides) so it must compute
+    once, but a persist would pin cache blocks for the session's lifetime
+    (registered queries have no post-collect hook to unpersist) — a
+    checkpoint RDD is released by the ContextCleaner once the returned
+    DataFrame is dropped."""
     d = load_table(spark, sf_dir, "documents")
-    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).persist()
-    bands = hashes.select(
+    return ahash_media(attach_jpeg_phash(d, "doc_id")).localCheckpoint(
+        eager=True
+    )
+
+
+def _phash_bands(hashes: DataFrame) -> DataFrame:
+    """(doc_id, band, bv): the 64-bit hash split into 4 sixteen-bit LSH
+    band keys — arithmetic (% and //, both halves non-negative) so the
+    oracle's integer math matches bit-for-bit."""
+    return hashes.select(
         "doc_id",
         F.explode(
             F.array(
                 F.struct(F.lit(0).alias("band"), (F.col("lo") % 65536).alias("bv")),
-                F.struct(F.lit(1).alias("band"), F.floor(F.col("lo") / 65536).cast("long").alias("bv")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.floor(F.col("lo") / 65536).cast("long").alias("bv"),
+                ),
                 F.struct(F.lit(2).alias("band"), (F.col("hi") % 65536).alias("bv")),
-                F.struct(F.lit(3).alias("band"), F.floor(F.col("hi") / 65536).cast("long").alias("bv")),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.floor(F.col("hi") / 65536).cast("long").alias("bv"),
+                ),
             )
         ).alias("s"),
     ).select("doc_id", "s.band", "s.bv")
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bv"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
-    )
+
+
+def _phash_verify(cands: DataFrame, hashes: DataFrame) -> DataFrame:
+    """Exact-Hamming verification of (i, j) candidate pairs against the
+    hash table; emits (i, j, hamming) filtered to the threshold."""
     ha = hashes.select(
         F.col("doc_id").alias("i"),
         F.col("lo").alias("lo_i"),
@@ -1258,9 +1232,10 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "incr_media_dedup_phash",
-    oracle=f"""
+# shared oracle prefix: fixture tiles -> hashes -> 4 sixteen-bit bands.
+# ONE copy feeds both phash oracles so the hash formula can never
+# desynchronize between the full and incremental queries.
+_PHASH_ORACLE_PREFIX = """
     WITH tiles AS (
       SELECT d.doc_id, bx.bx, by.by,
              CASE WHEN d.doc_id % 50 = 1 AND bx.bx = 0 AND by.by = 0
@@ -1289,14 +1264,9 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL SELECT doc_id, 1, lo // 65536 FROM hashes
       UNION ALL SELECT doc_id, 2, hi % 65536 FROM hashes
       UNION ALL SELECT doc_id, 3, hi // 65536 FROM hashes
-    ),
-    cands AS (
-      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
-                      GREATEST(a.doc_id, b.doc_id) AS j
-      FROM (SELECT * FROM bands WHERE doc_id % 10 = 3) a
-      JOIN bands b ON a.band = b.band AND a.bv = b.bv
-      WHERE a.doc_id <> b.doc_id
-    )
+    )"""
+
+_PHASH_ORACLE_VERIFY = f"""
     SELECT c.i, c.j,
            CAST(bit_count(xor(ha.lo, hb.lo))
                 + bit_count(xor(ha.hi, hb.hi)) AS BIGINT) AS hamming
@@ -1304,38 +1274,74 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN hashes ha ON ha.doc_id = c.i
     JOIN hashes hb ON hb.doc_id = c.j
     WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
-          <= {_PHASH_MAX_HAMMING}
-    """,
-    doc="INCREMENTAL perceptual image dedup (I7 x media): the base corpus "
-    "(doc_id % 10 != 3) already holds its aHash index and its verified "
-    "pair set; when the delta docs land, ONLY their hashes are computed "
-    "fresh and banded against the full band index — candidates touch a "
-    "delta doc by construction, so the increment costs O(|delta| x "
-    "band-collisions), never a base re-scan (pair-locality: a pair's "
-    "hamming is a function of its two hashes alone, the same property "
-    "incr_dedup_minhash_delete exploits). Output = the pair increment; "
-    "base-pairs union increment == the full media_dedup_phash result "
-    "(pinned by pytest).",
+          <= {_PHASH_MAX_HAMMING}"""
+
+
+@register(
+    "media_dedup_phash",
+    oracle=_PHASH_ORACLE_PREFIX
+    + """,
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    )"""
+    + _PHASH_ORACLE_VERIFY,
+    doc="perceptual near-dup IMAGE dedup: aHash (8x8 average hash, exact "
+    "integer arithmetic — box-sum x 64 > total, no float division) "
+    "computed from each document's DECODED 64x64 JPEG on executors, then "
+    "SimHash-style banded LSH — 4 sixteen-bit bands as equi-join keys "
+    "(identical images always collide; a mutated-tile near-pair keeps 3 "
+    "clean bands), verified by exact Hamming distance over the two "
+    "32-bit halves. Never all-pairs; only 16-byte hashes shuffle. The "
+    "md5-derived fixture keeps hashes uncorrelated (output stays linear) "
+    "and plants one single-tile-mutation near-pair per 50 docs; the "
+    "oracle recomputes hash, banding, and verification from the tile "
+    "formula, so decode -> downsample -> threshold -> pack must be "
+    "bit-identical from real bytes.",
+)
+def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashes = _phash_hashes(spark, sf_dir)
+    bands = _phash_bands(hashes)
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    return _phash_verify(cands, hashes)
+
+
+@register(
+    "incr_media_dedup_phash",
+    oracle=_PHASH_ORACLE_PREFIX
+    + """,
+    cands AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
+                      GREATEST(a.doc_id, b.doc_id) AS j
+      FROM (SELECT * FROM bands WHERE doc_id % 10 = 3) a
+      JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id <> b.doc_id
+    )"""
+    + _PHASH_ORACLE_VERIFY,
+    doc="INCREMENTAL perceptual image dedup (I7 x media): the pair "
+    "INCREMENT after delta docs (doc_id % 10 == 3) land — only the "
+    "delta's bands probe the band index, so candidate generation and "
+    "Hamming verification are restricted to delta-touching pairs "
+    "(pair-locality: a pair's hamming is a function of its two hashes "
+    "alone, the property incr_dedup_minhash_delete exploits; on "
+    "preserved state the base pair set is reused verbatim and only this "
+    "increment is computed). In this registered fixture the base hashes "
+    "are recomputed as setup — hashing is the cheap, embarrassingly "
+    "parallel stage; the claim under test is the DELTA-RESTRICTED "
+    "candidate join. Output = the increment; base-pairs union increment "
+    "== the full media_dedup_phash result (pinned by pytest).",
 )
 def incr_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).persist()
-
-    def band_of(df: DataFrame) -> DataFrame:
-        return df.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    F.struct(F.lit(0).alias("band"), (F.col("lo") % 65536).alias("bv")),
-                    F.struct(F.lit(1).alias("band"), F.floor(F.col("lo") / 65536).cast("long").alias("bv")),
-                    F.struct(F.lit(2).alias("band"), (F.col("hi") % 65536).alias("bv")),
-                    F.struct(F.lit(3).alias("band"), F.floor(F.col("hi") / 65536).cast("long").alias("bv")),
-                )
-            ).alias("s"),
-        ).select("doc_id", "s.band", "s.bv")
-
-    bands_all = band_of(hashes)
-    bands_delta = band_of(hashes.where(F.col("doc_id") % 10 == 3))
+    hashes = _phash_hashes(spark, sf_dir)
+    bands_all = _phash_bands(hashes)
+    bands_delta = bands_all.where(F.col("doc_id") % 10 == 3)
     cands = (
         bands_delta.alias("a")
         .join(bands_all.alias("b"), ["band", "bv"])
@@ -1346,21 +1352,7 @@ def incr_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ha = hashes.select(
-        F.col("doc_id").alias("i"), F.col("lo").alias("lo_i"), F.col("hi").alias("hi_i")
-    )
-    hb = hashes.select(
-        F.col("doc_id").alias("j"), F.col("lo").alias("lo_j"), F.col("hi").alias("hi_j")
-    )
-    hamming = F.bit_count(
-        F.col("lo_i").bitwiseXOR(F.col("lo_j"))
-    ) + F.bit_count(F.col("hi_i").bitwiseXOR(F.col("hi_j")))
-    return (
-        cands.join(ha, "i")
-        .join(hb, "j")
-        .select("i", "j", hamming.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
-    )
+    return _phash_verify(cands, hashes)
 
 
 # ---------------------------------------------------------------------------
@@ -1389,9 +1381,7 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     content-keyed cache-dir discipline as the binaryFile PNG fixture."""
     import io
     import os
-    import re
     import tarfile
-    import tempfile
 
     import numpy as np
 
@@ -1399,13 +1389,8 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
 
     d = load_table(spark, sf_dir, "documents")
     ids = sorted(int(r[0]) for r in d.select("doc_id").collect())
-    slug = re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
-    root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_media", f"wds_{slug}_{len(ids)}"
-    )
-    if not os.path.isfile(os.path.join(root, "_SUCCESS")):
-        staging = f"{root}.tmp.{os.getpid()}"
-        os.makedirs(staging, exist_ok=True)
+
+    def write(staging: str) -> None:
         shards = [
             tarfile.open(
                 os.path.join(staging, f"shard-{s:05d}.tar"), "w",
@@ -1434,14 +1419,8 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             add(tf, f"{doc_id}.txt", f"caption for document {doc_id}".encode())
         for tf in shards:
             tf.close()
-        open(os.path.join(staging, "_SUCCESS"), "w").close()
-        try:
-            os.rename(staging, root)
-        except OSError:
-            import shutil
 
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
-    return root
+    return _cached_fixture_dir(f"wds_{_fixture_slug(sf_dir)}_{len(ids)}", write)
 
 
 @register(
