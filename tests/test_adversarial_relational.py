@@ -7,6 +7,9 @@ into seven tiny internally-consistent tables:
 
 - a customer with no orders; a nation with no customers; a region with no
   nations (semi/anti/outer-join edges)
+- multibyte-unicode customer names (a near-dup pair for the ER blocking
+  join) and a NULL c_acctbal plus a .5-rounding-boundary balance
+  (ADVICE r4: hostile name/balance content)
 - an order with no lineitems; a lineitem whose l_orderkey matches no order
   (FK orphan — aggregation and join sides must agree on dropping it)
 - l_shipdate exactly ON the q1/q6-style cutoffs (inclusive/exclusive edge)
@@ -14,7 +17,7 @@ into seven tiny internally-consistent tables:
   SSSP edge), totalprice 0.0, negative acctbal
 - suppkey 0 present so SSSP's source node exists
 
-Every relational-only registered query (81 of them — TPC-H battery, join/
+Every relational-only registered query (87 of them — TPC-H battery, join/
 agg/window/setop batteries, graph loops derived from lineitem, incremental
 refresh, sampling splits) runs Spark-vs-DuckDB on this fixture. Parity
 here means the oracles encode the ENGINE's semantics, not just the happy
@@ -85,21 +88,34 @@ def adv_rel_dir(tmp_path_factory):
     )
     customer = pd.DataFrame(
         {
-            "c_custkey": np.array([0, 1, 2, 3, 4], dtype=np.int64),
+            "c_custkey": np.array([0, 1, 2, 3, 4, 5, 6], dtype=np.int64),
             "c_name": [
                 "Customer#0",
                 "Customer#1",
                 "Customer#1",  # duplicate display name, distinct key
                 "Customer#3",
                 "Customer#4",  # no orders at all
+                # hostile names (ADVICE r4): multibyte unicode exercises
+                # the ER fuzzy-blocking join's prefix/length math and any
+                # string function that assumes 1 byte == 1 char
+                "Müller Ωmega 宮本",
+                "Müller Ωmega 宮本",  # near-dup unicode pair, distinct key
             ],
-            "c_nationkey": np.array([0, 0, 1, 1, 0], dtype=np.int32),
-            "c_acctbal": np.array([0.0, -999.99, 100.5, 5000.0, 1.0]),
+            "c_nationkey": np.array([0, 0, 1, 1, 0, 1, 0], dtype=np.int32),
+            # NULL acctbal (nullable dtype — NaN would be a VALUE, not
+            # NULL, in parquet): aggregates/rounding must agree on NULL
+            # propagation (cogroup path included)
+            "c_acctbal": pd.array(
+                [0.0, -999.99, 100.5, 5000.0, 1.0, None, -0.004999],
+                dtype="Float64",
+            ),
             "c_mktsegment": [
                 "BUILDING",
                 "BUILDING",
                 "MACHINERY",
                 "AUTOMOBILE",
+                "BUILDING",
+                "MACHINERY",
                 "BUILDING",
             ],
         }
