@@ -806,3 +806,92 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         upperBound="25",
         numPartitions="2",
     )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="CSV round-trip, driver-checkable: the documents table is written "
+    "as CSV — commas, quotes, and non-ASCII in the text column force the "
+    "writer's quoting/escaping — and read back with an explicit schema "
+    "(schema-on-read; header preserved, multiLine for embedded "
+    "newlines). The md5 of the round-tripped text is the witness: any "
+    "quoting or escaping drift breaks the hash. Oracle computes the "
+    "projection from the parquet table directly.",
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .incremental import _cleanup_at_exit
+
+    d = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="scan_csv_roundtrip_")
+    _cleanup_at_exit(tmp, "")
+    path = os.path.join(tmp, "docs_csv")
+    # explicit empty/whitespace semantics (found by the adversarial docs
+    # fixture): Spark's CSV writer TRIMS cell whitespace and reads empty
+    # fields back as NULL by default — both silently corrupt text columns
+    d.select("doc_id", "text", "lang").write.mode("overwrite").option(
+        "header", True
+    ).option("escape", '"').option("emptyValue", '""').option(
+        "ignoreLeadingWhiteSpace", False
+    ).option("ignoreTrailingWhiteSpace", False).csv(path)
+    back = (
+        spark.read.schema("doc_id bigint, text string, lang string")
+        .option("header", True)
+        .option("escape", '"')
+        .option("multiLine", True)
+        .option("emptyValue", "")
+        # the reader's default nullValue is "" — it would turn every empty
+        # text back into NULL; the fixture has no nulls, so park it on a
+        # sentinel that cannot occur
+        .option("nullValue", "__null__")
+        .csv(path)
+    )
+    return back.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(o_totalprice, 6) AS o_totalprice, o_orderpriority
+    FROM orders
+    """,
+    doc="ORC round-trip, driver-checkable: the orders table is written as "
+    "ORC (Spark's second columnar format — the one Hive-era warehouses "
+    "hold their data in, so reading it IS a migration path from the "
+    "reference's ecosystem) and read back; values must survive the "
+    "encode/decode cycle exactly. Predicate pushdown and column pruning "
+    "apply to ORC scans the same as parquet.",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from .incremental import _cleanup_at_exit
+
+    o = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="scan_orc_roundtrip_")
+    _cleanup_at_exit(tmp, "")
+    path = os.path.join(tmp, "orders_orc")
+    o.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderpriority",
+    )

@@ -117,7 +117,8 @@ def _load_all() -> None:
 # perceptual image near-dup over decoded pixels, full + delta-restricted
 # increment, new in r5), scan_webdataset_shards (TAR-shard multimodal
 # ingestion with per-shard untar + component pairing + real JPEG decode,
-# new in r5)
+# new in r5), scan_csv_roundtrip + scan_orc_roundtrip (CSV quoting/
+# escaping + ORC columnar round-trips, new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 

@@ -77,6 +77,7 @@ DOC_QUERIES = [
     "media_dedup_phash",
     "incr_media_dedup_phash",
     "scan_webdataset_shards",
+    "scan_csv_roundtrip",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
