@@ -1491,3 +1491,140 @@ def scan_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return shards.mapInPandas(untar, WDS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the END-TO-END multimodal training-set build — the image-side
+# twin of pipeline_build_training_set. One decode pass per image derives
+# everything downstream (pixel stats AND the perceptual hash), near-dups
+# are dropped by banded-LSH keeper selection, and the survivors are
+# rolled up into per-shard manifest rows — the artifact a trainer's data
+# loader actually consumes. Every stage is the already-verified component
+# (attach_jpeg_phash fixture, aHash, band join, Hamming verify, shard
+# grouping); the capstone proves they COMPOSE in one declarative plan.
+
+MEDIA_SET_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("hi", LongType()),
+        StructField("lo", LongType()),
+    ]
+)
+
+
+def decode_stats_and_ahash(media: DataFrame) -> DataFrame:
+    """(doc_id, sum_px, hi, lo): decode each JPEG ONCE and derive both the
+    pixel statistics and the 64-bit aHash from the same pixel buffer —
+    at 100 TB the decode dominates, so every derived column must ride a
+    single pass."""
+    import numpy as np
+
+    from ..functions.jpeg import decode_jpeg_gray
+
+    def stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_jpeg_gray(bytes(payload))
+                px = (
+                    np.frombuffer(raw, dtype=np.uint8)
+                    .reshape(h, w)
+                    .astype(np.int64)
+                )
+                boxes = px.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                total = int(px.sum())
+                bits = boxes * 64 > total
+                lo = hi = 0
+                for oy in range(8):
+                    for ox in range(8):
+                        if bits[oy, ox]:
+                            i = oy * 8 + ox
+                            if i < 32:
+                                lo |= 1 << i
+                            else:
+                                hi |= 1 << (i - 32)
+                rows.append(
+                    {"doc_id": int(doc_id), "sum_px": total, "hi": hi, "lo": lo}
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(stage, MEDIA_SET_STATS_SCHEMA)
+
+
+@register(
+    "pipeline_build_multimodal_set",
+    oracle=_PHASH_ORACLE_PREFIX
+    + f""",
+    cands AS (
+      SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+      WHERE a.doc_id < b.doc_id
+    ),
+    dupes AS (
+      SELECT DISTINCT c.j AS doc_id
+      FROM cands c
+      JOIN hashes ha ON ha.doc_id = c.i
+      JOIN hashes hb ON hb.doc_id = c.j
+      WHERE bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+            <= {_PHASH_MAX_HAMMING}
+    ),
+    kept AS (
+      SELECT d.doc_id FROM (SELECT doc_id FROM documents) d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM dupes)
+    ),
+    px AS (
+      SELECT t.doc_id, SUM(64 * t.v) AS sum_px
+      FROM tiles t JOIN kept k ON k.doc_id = t.doc_id
+      GROUP BY t.doc_id
+    )
+    SELECT CAST(p.doc_id % {_WDS_SHARDS} AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(p.sum_px) AS BIGINT) AS sum_px_total,
+           CAST(SUM(length('caption for document ' || p.doc_id)) AS BIGINT)
+             AS caption_chars
+    FROM px p GROUP BY p.doc_id % {_WDS_SHARDS}
+    """,
+    doc="END-TO-END multimodal training-set build (the image-side twin of "
+    "pipeline_build_training_set), one declarative plan: synthesize real "
+    "JPEGs, DECODE EACH ONCE deriving pixel stats and the perceptual "
+    "hash from the same pass, drop near-duplicate images by banded-LSH "
+    "keeper selection (keep the smaller id of every verified pair — the "
+    "dedup policy every text pipeline here uses), and roll the survivors "
+    "into per-shard manifest rows (sample count, pixel mass, caption "
+    "chars) keyed by the WebDataset shard assignment. The oracle "
+    "recomposes every stage from the generating formulas, so a defect "
+    "anywhere in decode → hash → band → verify → keeper → rollup breaks "
+    "the hash.",
+)
+def pipeline_build_multimodal_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = decode_stats_and_ahash(attach_jpeg_phash(d, "doc_id")).localCheckpoint(
+        eager=True
+    )
+    hashes = stats.select("doc_id", "hi", "lo")
+    bands = _phash_bands(hashes)
+    cands = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+    dupes = (
+        _phash_verify(cands, hashes)
+        .select(F.col("j").alias("doc_id"))
+        .distinct()
+    )
+    kept = stats.join(dupes, "doc_id", "left_anti")
+    caption_len = F.length(
+        F.concat(F.lit("caption for document "), F.col("doc_id"))
+    )
+    return (
+        kept.groupBy((F.col("doc_id") % _WDS_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("sum_px").alias("sum_px_total"),
+            F.sum(caption_len).cast("bigint").alias("caption_chars"),
+        )
+    )

@@ -118,7 +118,9 @@ def _load_all() -> None:
 # increment, new in r5), scan_webdataset_shards (TAR-shard multimodal
 # ingestion with per-shard untar + component pairing + real JPEG decode,
 # new in r5), scan_csv_roundtrip + scan_orc_roundtrip (CSV quoting/
-# escaping + ORC columnar round-trips, new in r5)
+# escaping + ORC columnar round-trips, new in r5),
+# pipeline_build_multimodal_set (capstone: decode-once stats+hash,
+# LSH keeper selection, per-shard manifest, new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 

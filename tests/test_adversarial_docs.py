@@ -78,6 +78,7 @@ DOC_QUERIES = [
     "incr_media_dedup_phash",
     "scan_webdataset_shards",
     "scan_csv_roundtrip",
+    "pipeline_build_multimodal_set",
 ]
 
 # queries whose Spark side and oracle read ONLY the embeddings table
