@@ -856,6 +856,15 @@ def _fixture_slug(sf_dir: str) -> str:
     return re.sub(r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)).strip("_")
 
 
+def _ids_digest(ids) -> str:
+    """Digest of the id list so the fixture key tracks CONTENT, not just a
+    count — a regenerated corpus with the same row count but different
+    ids must not silently reuse stale cached media files."""
+    import hashlib
+
+    return hashlib.md5(",".join(map(str, ids)).encode()).hexdigest()[:12]
+
+
 def _cached_fixture_dir(name: str, write_fn) -> str:
     """Content-keyed external-source fixture cache (one copy of the
     staging/commit dance for EVERY materialized fixture — binaryFile PNGs,
@@ -912,7 +921,9 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
             with open(os.path.join(staging, f"doc_{doc_id}.png"), "wb") as fh:
                 fh.write(encode_png_rgb(px))
 
-    return _cached_fixture_dir(f"png_{_fixture_slug(sf_dir)}_{len(ids)}", write)
+    return _cached_fixture_dir(
+        f"png_{_fixture_slug(sf_dir)}_{_ids_digest(ids)}", write
+    )
 
 
 @register(
@@ -1089,12 +1100,33 @@ PHASH_SCHEMA = StructType(
 _PHASH_MAX_HAMMING = 6
 
 
+def _ahash_from_pixels(px) -> tuple[int, int, int]:
+    """(total, hi, lo) from a 2-D int pixel array: 64-bit average-hash —
+    resize to 8×8 by exact integer box sums, bit i = box i brighter than
+    the global mean (integer cross-multiplied: sum_box·64 > total, no
+    float division anywhere), packed into two non-negative 32-bit halves
+    so cross-engine bit arithmetic never touches the sign bit. The ONE
+    copy of this formula — ahash_media and decode_stats_and_ahash both
+    feed the shared _PHASH_ORACLE_PREFIX, so they must hash identically."""
+    h, w = px.shape
+    boxes = px.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+    total = int(px.sum())
+    bits = boxes * 64 > total  # (oy, ox), integer-exact
+    lo = hi = 0
+    for oy in range(8):
+        for ox in range(8):
+            if bits[oy, ox]:
+                i = oy * 8 + ox
+                if i < 32:
+                    lo |= 1 << i
+                else:
+                    hi |= 1 << (i - 32)
+    return total, hi, lo
+
+
 def ahash_media(media: DataFrame) -> DataFrame:
-    """(doc_id, hi, lo): 64-bit average-hash of each decoded JPEG — resize
-    to 8×8 by exact integer box sums, bit i = box i brighter than the
-    global mean (integer cross-multiplied: sum_box·64 > total, no float
-    division anywhere), packed into two non-negative 32-bit halves so
-    cross-engine bit arithmetic never touches the sign bit."""
+    """(doc_id, hi, lo): 64-bit average-hash of each decoded JPEG (see
+    ``_ahash_from_pixels`` for the bit contract)."""
     import numpy as np
 
     from ..functions.jpeg import decode_jpeg_gray
@@ -1109,19 +1141,7 @@ def ahash_media(media: DataFrame) -> DataFrame:
                     .reshape(h, w)
                     .astype(np.int64)
                 )
-                by, bx = h // 8, w // 8
-                boxes = px.reshape(8, by, 8, bx).sum(axis=(1, 3))
-                total = int(px.sum())
-                bits = boxes * 64 > total  # (oy, ox), integer-exact
-                lo = hi = 0
-                for oy in range(8):
-                    for ox in range(8):
-                        if bits[oy, ox]:
-                            i = oy * 8 + ox
-                            if i < 32:
-                                lo |= 1 << i
-                            else:
-                                hi |= 1 << (i - 32)
+                _total, hi, lo = _ahash_from_pixels(px)
                 rows.append({"doc_id": int(doc_id), "hi": hi, "lo": lo})
             yield pd.DataFrame(rows)
 
@@ -1134,9 +1154,11 @@ def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
     (DC-only blocks) AND each aHash box maps to exactly one tile, giving
     64 independent hash bits. Tile values are md5-derived (uniform,
     uncorrelated across docs — an arithmetic formula would correlate every
-    hash and make the output quadratic), with an engineered near-pair per
-    50 docs: doc_id % 50 == 1 reuses doc_id-1's tiles with tile (0,0)
-    replaced."""
+    hash and make the output quadratic), with TWO engineered near-pairs
+    per 50 docs: doc_id % 50 in (1, 27) reuses doc_id-1's tiles with tile
+    (0,0) replaced — class 1 spans doc_id residues (0,1) mod 10 so it
+    lands in the incremental query's delta, class 27 spans (6,7) so it
+    stays base-only; both sides of the refresh identity are non-empty."""
     import hashlib
 
     import numpy as np
@@ -1155,12 +1177,12 @@ def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                base = d - 1 if d % 50 == 1 else d
+                base = d - 1 if d % 50 in (1, 27) else d
                 tiles = np.array(
                     [[tile(base, bx, by) for bx in range(8)] for by in range(8)],
                     dtype=np.int64,
                 )
-                if d % 50 == 1:
+                if d % 50 in (1, 27):
                     tiles[0, 0] = int(
                         hashlib.md5(f"m_{d}".encode()).hexdigest()[:4], 16
                     ) % 256
@@ -1208,6 +1230,19 @@ def _phash_bands(hashes: DataFrame) -> DataFrame:
     ).select("doc_id", "s.band", "s.bv")
 
 
+def _phash_cands(bands: DataFrame) -> DataFrame:
+    """Distinct (i < j) candidate pairs sharing >= 1 LSH band — the full
+    (non-incremental) candidate join, shared by media_dedup_phash and the
+    capstone pipeline."""
+    return (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bv"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+
 def _phash_verify(cands: DataFrame, hashes: DataFrame) -> DataFrame:
     """Exact-Hamming verification of (i, j) candidate pairs against the
     hash table; emits (i, j, hamming) filtered to the threshold."""
@@ -1238,10 +1273,10 @@ def _phash_verify(cands: DataFrame, hashes: DataFrame) -> DataFrame:
 _PHASH_ORACLE_PREFIX = """
     WITH tiles AS (
       SELECT d.doc_id, bx.bx, by.by,
-             CASE WHEN d.doc_id % 50 = 1 AND bx.bx = 0 AND by.by = 0
+             CASE WHEN d.doc_id % 50 IN (1, 27) AND bx.bx = 0 AND by.by = 0
                   THEN ('0x' || substring(md5('m_' || d.doc_id), 1, 4))::BIGINT % 256
                   ELSE ('0x' || substring(md5(
-                         (CASE WHEN d.doc_id % 50 = 1 THEN d.doc_id - 1
+                         (CASE WHEN d.doc_id % 50 IN (1, 27) THEN d.doc_id - 1
                                ELSE d.doc_id END)
                          || '_' || bx.bx || '_' || by.by), 1, 4))::BIGINT % 256
              END AS v
@@ -1295,7 +1330,9 @@ _PHASH_ORACLE_VERIFY = f"""
     "clean bands), verified by exact Hamming distance over the two "
     "32-bit halves. Never all-pairs; only 16-byte hashes shuffle. The "
     "md5-derived fixture keeps hashes uncorrelated (output stays linear) "
-    "and plants one single-tile-mutation near-pair per 50 docs; the "
+    "and plants two single-tile-mutation near-pairs per 50 docs (classes "
+    "1 and 27 — one lands in the incremental twin's delta, one stays "
+    "base-only); the "
     "oracle recomputes hash, banding, and verification from the tile "
     "formula, so decode -> downsample -> threshold -> pack must be "
     "bit-identical from real bytes.",
@@ -1303,13 +1340,7 @@ _PHASH_ORACLE_VERIFY = f"""
 def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = _phash_hashes(spark, sf_dir)
     bands = _phash_bands(hashes)
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bv"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
-    )
+    cands = _phash_cands(bands)
     return _phash_verify(cands, hashes)
 
 
@@ -1320,13 +1351,15 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands AS (
       SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS i,
                       GREATEST(a.doc_id, b.doc_id) AS j
-      FROM (SELECT * FROM bands WHERE doc_id % 10 = 3) a
+      FROM (SELECT * FROM bands WHERE doc_id % 10 = 1) a
       JOIN bands b ON a.band = b.band AND a.bv = b.bv
       WHERE a.doc_id <> b.doc_id
     )"""
     + _PHASH_ORACLE_VERIFY,
     doc="INCREMENTAL perceptual image dedup (I7 x media): the pair "
-    "INCREMENT after delta docs (doc_id % 10 == 3) land — only the "
+    "INCREMENT after delta docs (doc_id % 10 == 1) land — chosen to "
+    "INTERSECT the planted class-1 near-pairs, so the increment provably "
+    "carries pairs (the class-27 pairs stay base-only) — only the "
     "delta's bands probe the band index, so candidate generation and "
     "Hamming verification are restricted to delta-touching pairs "
     "(pair-locality: a pair's hamming is a function of its two hashes "
@@ -1341,7 +1374,7 @@ def media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incr_media_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes = _phash_hashes(spark, sf_dir)
     bands_all = _phash_bands(hashes)
-    bands_delta = bands_all.where(F.col("doc_id") % 10 == 3)
+    bands_delta = bands_all.where(F.col("doc_id") % 10 == 1)
     cands = (
         bands_delta.alias("a")
         .join(bands_all.alias("b"), ["band", "bv"])
@@ -1420,7 +1453,9 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         for tf in shards:
             tf.close()
 
-    return _cached_fixture_dir(f"wds_{_fixture_slug(sf_dir)}_{len(ids)}", write)
+    return _cached_fixture_dir(
+        f"wds_{_fixture_slug(sf_dir)}_{_ids_digest(ids)}", write
+    )
 
 
 @register(
@@ -1488,7 +1523,8 @@ def scan_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "caption_len": len(comp["txt"]),
                         }
                     )
-            yield pd.DataFrame(rows)
+            if rows:  # all-empty shards: a 0-column frame breaks Arrow
+                yield pd.DataFrame(rows)
 
     return shards.mapInPandas(untar, WDS_SCHEMA)
 
@@ -1532,18 +1568,7 @@ def decode_stats_and_ahash(media: DataFrame) -> DataFrame:
                     .reshape(h, w)
                     .astype(np.int64)
                 )
-                boxes = px.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
-                total = int(px.sum())
-                bits = boxes * 64 > total
-                lo = hi = 0
-                for oy in range(8):
-                    for ox in range(8):
-                        if bits[oy, ox]:
-                            i = oy * 8 + ox
-                            if i < 32:
-                                lo |= 1 << i
-                            else:
-                                hi |= 1 << (i - 32)
+                total, hi, lo = _ahash_from_pixels(px)
                 rows.append(
                     {"doc_id": int(doc_id), "sum_px": total, "hi": hi, "lo": lo}
                 )
@@ -1604,13 +1629,7 @@ def pipeline_build_multimodal_set(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     hashes = stats.select("doc_id", "hi", "lo")
     bands = _phash_bands(hashes)
-    cands = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "bv"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
-    )
+    cands = _phash_cands(bands)
     dupes = (
         _phash_verify(cands, hashes)
         .select(F.col("j").alias("doc_id"))

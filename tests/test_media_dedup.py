@@ -4,20 +4,24 @@ incr_media_dedup_phash claims its output is exactly the pair INCREMENT:
 base-only pairs (computed before the delta docs arrive) unioned with the
 increment must equal the full media_dedup_phash result — the same
 refresh-equals-recompute contract every other incremental operator in the
-engine is held to."""
+engine is held to. The base side runs the ENGINE's own pipeline helpers
+(_phash_bands/_phash_verify) restricted to base docs, so a change to the
+band layout or threshold is tested against itself, not against a stale
+inline replica."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from incr_iter_hadoop_spark.catalog import load_table
 from incr_iter_hadoop_spark.operators.multimodal import (
-    _PHASH_MAX_HAMMING,
+    _phash_bands,
+    _phash_verify,
     ahash_media,
     attach_jpeg_phash,
-    media_dedup_phash,
     incr_media_dedup_phash,
+    media_dedup_phash,
 )
-from incr_iter_hadoop_spark.catalog import load_table
 
 
 def _pairs(df):
@@ -27,20 +31,12 @@ def _pairs(df):
 def test_incremental_union_base_equals_full(spark, sf_dir):
     full = _pairs(media_dedup_phash(spark, sf_dir))
     incr = _pairs(incr_media_dedup_phash(spark, sf_dir))
-    # base-only pairs: rerun the full pipeline restricted to base docs
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 3)
-    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).persist()
-    bands = hashes.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), (F.col("lo") % 65536).alias("bv")),
-                F.struct(F.lit(1).alias("band"), F.floor(F.col("lo") / 65536).cast("long").alias("bv")),
-                F.struct(F.lit(2).alias("band"), (F.col("hi") % 65536).alias("bv")),
-                F.struct(F.lit(3).alias("band"), F.floor(F.col("hi") / 65536).cast("long").alias("bv")),
-            )
-        ).alias("s"),
-    ).select("doc_id", "s.band", "s.bv")
+    # base-only pairs: the engine's own pipeline restricted to base docs
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 != 1)
+    hashes = ahash_media(attach_jpeg_phash(d, "doc_id")).localCheckpoint(
+        eager=True
+    )
+    bands = _phash_bands(hashes)
     cands = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bv"])
@@ -48,20 +44,12 @@ def test_incremental_union_base_equals_full(spark, sf_dir):
         .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
         .distinct()
     )
-    ha = hashes.select(F.col("doc_id").alias("i"), F.col("lo").alias("lo_i"), F.col("hi").alias("hi_i"))
-    hb = hashes.select(F.col("doc_id").alias("j"), F.col("lo").alias("lo_j"), F.col("hi").alias("hi_j"))
-    hamming = F.bit_count(F.col("lo_i").bitwiseXOR(F.col("lo_j"))) + F.bit_count(
-        F.col("hi_i").bitwiseXOR(F.col("hi_j"))
-    )
-    base = _pairs(
-        cands.join(ha, "i")
-        .join(hb, "j")
-        .select("i", "j", hamming.cast("long").alias("hamming"))
-        .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
-    )
-    hashes.unpersist()
-    # increment touches only delta docs; base pairs touch none
-    assert all(i % 10 == 3 or j % 10 == 3 for i, j, _ in incr)
-    assert not any(i % 10 == 3 or j % 10 == 3 for i, j, _ in base)
+    base = _pairs(_phash_verify(cands, hashes))
+    # BOTH sides must be non-empty or the identity is vacuous: the class-1
+    # planted pairs span doc_id residues (0,1) mod 10 and land in the
+    # increment; the class-27 pairs span (6,7) and stay base-only
+    assert incr and base
+    assert all(i % 10 == 1 or j % 10 == 1 for i, j, _ in incr)
+    assert not any(i % 10 == 1 or j % 10 == 1 for i, j, _ in base)
     assert base | incr == full
     assert base & incr == set()
