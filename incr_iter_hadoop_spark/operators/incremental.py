@@ -1435,3 +1435,122 @@ def streaming_incr_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_incr_pagerank: stream did not drain within 300s"
         )
     return holder["ranks"].select("node", F.round("rank", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension maintenance — the VERSIONED-history alternative to
+# this module's anti-join retraction: instead of replacing a group's state
+# in place, an update CLOSES the current version (valid_to = the update
+# era) and opens a new one. The Hive-era warehouses the reference lived in
+# maintained every dimension this way; on Spark it is a pair of
+# broadcast-able joins plus a union, and the history table stays
+# append-only (the immutable-layer property the PreserveStore already
+# relies on).
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    *,
+    key_cols: list[str],
+    era: int,
+    open_era_col: str = "valid_from",
+    close_era_col: str = "valid_to",
+    current_col: str = "is_current",
+    open_end: int = 999_999,
+) -> DataFrame:
+    """Apply one era of changes to an SCD2 history table.
+
+    ``current``: the existing history (attribute columns + the three SCD
+    bookkeeping columns). ``changes``: one row per key with the NEW
+    attribute values (updates for existing keys, inserts for new keys).
+    Rows whose key is untouched pass through; the touched keys' CURRENT
+    versions close at ``era``; every change row opens a version
+    [era, open_end). One wide shuffle on the key (both joins share it),
+    history never rewritten in place."""
+    keys = list(key_cols)
+    live = current.where(F.col(current_col))
+    closed_history = current.where(~F.col(current_col))
+    touched = changes.select(*keys).distinct()
+    untouched_live = live.join(touched, keys, "left_anti")
+    closing = live.join(touched, keys, "left_semi").withColumns(
+        {close_era_col: F.lit(era), current_col: F.lit(False)}
+    )
+    opening = changes.withColumns(
+        {
+            open_era_col: F.lit(era),
+            close_era_col: F.lit(open_end),
+            current_col: F.lit(True),
+        }
+    )
+    return (
+        closed_history.unionByName(untouched_live)
+        .unionByName(closing)
+        .unionByName(opening.select(*closed_history.columns))
+    )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6) AS acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey,
+             ROUND(c_acctbal, 6) AS acctbal
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c.c_custkey, ROUND(c.c_acctbal, 6) AS acctbal,
+           CAST(0 AS BIGINT) AS valid_from,
+           CAST(CASE WHEN c.c_custkey % 7 = 0 THEN 1 ELSE 999999 END
+                AS BIGINT) AS valid_to,
+           c.c_custkey % 7 <> 0 AS is_current
+    FROM customer c
+    UNION ALL
+    SELECT c_custkey, acctbal,
+           CAST(1 AS BIGINT) AS valid_from,
+           CAST(999999 AS BIGINT) AS valid_to,
+           TRUE AS is_current
+    FROM changes
+    """,
+    doc="SCD Type-2 dimension maintenance (the versioned-history "
+    "alternative to anti-join retraction — how Hive-era warehouses "
+    "maintained every dimension): era-1 changes (every 7th customer's "
+    "balance moves by +100, every 13th spawns a NEW key) CLOSE the "
+    "affected current versions (valid_to = 1) and open new ones; "
+    "untouched rows pass through. History is append-only — two "
+    "key-shuffles (semi + anti on the same key, one exchange under AQE "
+    "reuse) and a union, never an in-place rewrite. Output = the full "
+    "versioned history.",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(999_999).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 100, 6).alias("acctbal"),
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.round("c_acctbal", 6).alias("acctbal"),
+            )
+        )
+    )
+    out = scd2_apply(base, changes, key_cols=["c_custkey"], era=1)
+    return out.select(
+        "c_custkey",
+        "acctbal",
+        F.col("valid_from").cast("bigint").alias("valid_from"),
+        F.col("valid_to").cast("bigint").alias("valid_to"),
+        "is_current",
+    )

@@ -120,7 +120,9 @@ def _load_all() -> None:
 # new in r5), scan_csv_roundtrip + scan_orc_roundtrip (CSV quoting/
 # escaping + ORC columnar round-trips, new in r5),
 # pipeline_build_multimodal_set (capstone: decode-once stats+hash,
-# LSH keeper selection, per-shard manifest, new in r5)
+# LSH keeper selection, per-shard manifest, new in r5),
+# scd2_customer_history (SCD Type-2 versioned dimension maintenance,
+# new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 
