@@ -1554,3 +1554,78 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("valid_to").cast("bigint").alias("valid_to"),
         "is_current",
     )
+
+
+@register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH history AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal,
+             0 AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 999999 END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6) AS acctbal,
+             1 AS valid_from, 999999 AS valid_to
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    fact AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  THEN 1 ELSE 0 END AS era,
+             o_totalprice
+      FROM orders
+    )
+    SELECT f.era,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(h.acctbal), 6) AS acctbal_total
+    FROM fact f
+    JOIN history h
+      ON h.c_custkey = f.o_custkey
+     AND f.era >= h.valid_from AND f.era < h.valid_to
+    GROUP BY f.era
+    """,
+    doc="temporal POINT-IN-TIME join against the SCD2 history — THE "
+    "standard warehouse query over a versioned dimension: each order "
+    "joins the customer version that was valid in the order's era "
+    "(pre/post-1996), never the current one. Plan shape: equi-join on "
+    "the customer key carries the shuffle; the validity range is a "
+    "cheap residual filter on the matched rows (a naive BETWEEN-only "
+    "join would be a range join — the equi key keeps it hash-joinable "
+    "at any scale). Updated keys contribute DIFFERENT balances to the "
+    "two eras, so version-selection bugs break the hash.",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.round("c_acctbal", 6).alias("acctbal"),
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(999_999).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
+    )
+    history = scd2_apply(base, changes, key_cols=["c_custkey"], era=1)
+    o = load_table(spark, sf_dir, "orders")
+    fact = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("1996-01-01").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("era"),
+        "o_totalprice",
+    )
+    joined = fact.join(history, "c_custkey").where(
+        (F.col("era") >= F.col("valid_from"))
+        & (F.col("era") < F.col("valid_to"))
+    )
+    return joined.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
+    )
