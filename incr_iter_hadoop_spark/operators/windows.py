@@ -699,3 +699,77 @@ def events_resample_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_hours"),
     )
+
+
+@register(
+    "events_stream_stream_join",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ), pairs AS (
+      SELECT v.user_id,
+             date_diff('second', v.ts, p.ts) AS latency_s
+      FROM v JOIN p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts
+       AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(latency_s) AS BIGINT) AS total_latency_s
+    FROM pairs GROUP BY user_id
+    """,
+    doc="STREAM-STREAM inner join (the last §2.9 shape: two unbounded "
+    "sides, per-key equality + an event-time range — view→purchase "
+    "attribution within 30 minutes): both sides are watermarked file "
+    "streams, the time-range condition bounds each side's join state so "
+    "the watermark can evict it (the property that makes the join "
+    "runnable forever at scale), availableNow drains to an append-mode "
+    "memory sink, and the attribution pairs are aggregated per user. "
+    "Oracle = the batch self-join; hash-identical results prove the "
+    "streaming pairing emitted exactly the batch semantics.",
+)
+def events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermarks require TIMESTAMP (not NTZ). The cast shifts both sides by
+    # the same session-zone offset and ts never reaches the output — only
+    # differences and per-user grouping do — so the query is tz-invariant.
+    stream = _events_stream(spark, sf_dir)
+    views = (
+        stream.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").cast("timestamp").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    pairs = views.join(
+        purchases,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 30 minutes")),
+    )
+    drained = _drain_to_memory_sink(
+        pairs, "events_stream_stream_join", "append"
+    )
+    return (
+        drained.groupBy(F.col("v_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.col("p_ts").cast("long") - F.col("v_ts").cast("long")
+            )
+            .cast("bigint")
+            .alias("total_latency_s"),
+        )
+    )

@@ -122,7 +122,9 @@ def _load_all() -> None:
 # pipeline_build_multimodal_set (capstone: decode-once stats+hash,
 # LSH keeper selection, per-shard manifest, new in r5),
 # scd2_customer_history + scd2_point_in_time_join (SCD Type-2 versioned
-# dimension maintenance + temporal point-in-time fact join, new in r5)
+# dimension maintenance + temporal point-in-time fact join, new in r5),
+# events_stream_stream_join (watermarked stream-stream attribution join,
+# new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).
 

@@ -267,6 +267,7 @@ STREAMING_EVENT_QUERIES = [
     "events_session_streamed",
     "events_running_totals_streamed",
     "streaming_dedup_events",
+    "events_stream_stream_join",
 ]
 
 
