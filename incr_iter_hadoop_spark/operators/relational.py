@@ -895,3 +895,87 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("o_totalprice", 6).alias("o_totalprice"),
         "o_orderpriority",
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+             AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_price',
+           CAST(COUNT(*) FILTER (WHERE l_extendedprice <= 0) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_out_of_range',
+           CAST(COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)
+                AS BIGINT)
+    FROM lineitem
+    """,
+    doc="data-quality gate: the constraint-validation report every "
+    "large-scale ingestion runs before data is admitted — NOT NULL, "
+    "key-uniqueness, referential integrity (anti-join orphan count), "
+    "domain-range checks — emitted as one (check_name, violations) "
+    "relation. Shapes: the null/range checks are conditional aggregates "
+    "fused into single scans; uniqueness is count-minus-distinct; the FK "
+    "check is a left-anti join (fact side shuffles once, never a "
+    "collect). On the clean generated fixtures every count is 0; on the "
+    "adversarial fixture the orphan/empty-order edges light up — which "
+    "is exactly what the check exists to catch.",
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders_checks = o.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias(
+            "orders_null_custkey"
+        ),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "orders_dup_orderkey"
+        ),
+    )
+    li_checks = li.agg(
+        F.sum((F.col("l_extendedprice") <= 0).cast("long")).alias(
+            "lineitem_nonpositive_price"
+        ),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast(
+                "long"
+            )
+        ).alias("lineitem_discount_out_of_range"),
+    )
+    orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("lineitem_fk_orphans"))
+    )
+    def melt(df):
+        cols = df.columns
+        return df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("check_name"),
+                            F.col(c).cast("bigint").alias("violations"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("s")
+        ).select("s.check_name", "s.violations")
+
+    return melt(orders_checks).unionByName(melt(li_checks)).unionByName(
+        melt(orphans)
+    )

@@ -124,6 +124,7 @@ def _load_all() -> None:
 # scd2_customer_history + scd2_point_in_time_join (SCD Type-2 versioned
 # dimension maintenance + temporal point-in-time fact join, new in r5),
 # events_stream_stream_join (watermarked stream-stream attribution join,
+# new in r5), data_quality_report (constraint-validation ingestion gate,
 # new in r5)
 # (embedding_top_pairs stays out by design — all-pairs exactness
 # baseline, LSH primary shipped).

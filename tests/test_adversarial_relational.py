@@ -17,7 +17,7 @@ into seven tiny internally-consistent tables:
   SSSP edge), totalprice 0.0, negative acctbal
 - suppkey 0 present so SSSP's source node exists
 
-Every relational-only registered query (90 of them — TPC-H battery, join/
+Every relational-only registered query (91 of them — TPC-H battery, join/
 agg/window/setop batteries, graph loops derived from lineitem, incremental
 refresh, sampling splits) runs Spark-vs-DuckDB on this fixture. Parity
 here means the oracles encode the ENGINE's semantics, not just the happy
