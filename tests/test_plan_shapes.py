@@ -364,3 +364,19 @@ def test_nmf_update_is_single_shuffle_with_gram_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     # partial aggregation below the exchange (map-side combine)
     assert "partial_sum" in plan.lower() or "HashAggregate" in plan
+
+
+def test_scd2_point_in_time_join_is_equi_not_range(spark, sf_dir):
+    # the validity range must be a residual on the key equi-join — a pure
+    # BETWEEN join would plan as BroadcastNestedLoop/cartesian and die at
+    # scale
+    plan = _executed_plan(spark, sf_dir, "scd2_point_in_time_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_data_quality_fk_check_is_anti_join(spark, sf_dir):
+    plan = _executed_plan(spark, sf_dir, "data_quality_report")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
