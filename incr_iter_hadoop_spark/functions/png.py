@@ -4,8 +4,8 @@ Real decoding with zero external dependencies: zlib (stdlib) provides the
 DEFLATE layer, and the scanline filter reconstruction below implements the
 five PNG filter types from the PNG specification (RFC 2083 / ISO 15948
 §9 "Filtering"). This upgrades the multimodal decode stage from a stub to
-an actual format round-trip for PNG payloads; formats that genuinely need
-external libraries (JPEG, audio codecs) remain behind ``decode_stub``.
+an actual format round-trip for PNG payloads; baseline JPEG, GIF, WAV,
+IMA-ADPCM and MJPEG/AVI have their own real codecs in this package.
 
 The encoder deliberately VARIES the filter type per scanline (None/Sub/Up
 cycling) so the decoder's reconstruction logic is genuinely exercised — an
@@ -119,3 +119,22 @@ def decode_png_rgb(data: bytes) -> tuple[int, int, bytes]:
         out += line
         prev = line
     return w, h, bytes(out)
+
+
+def parse_png_header(data: bytes) -> tuple[int, int, int, int]:
+    """Parse ONLY the IHDR chunk: (width, height, bit_depth, color_type).
+
+    The metadata fast path: IHDR is required to be the first chunk
+    (spec §11.2.2), so this reads a fixed 33-byte prefix and never
+    touches IDAT — the shape a 100 TB metadata-extraction pass wants
+    (per-file work independent of image size; no inflate, no filter
+    reconstruction)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG")
+    (length,) = struct.unpack(">I", data[8:12])
+    if data[12:16] != b"IHDR" or length != 13:
+        raise ValueError("IHDR must be the first chunk")
+    w, h, depth, ctype, _comp, _filt, _inter = struct.unpack(
+        ">IIBBBBB", data[16:29]
+    )
+    return w, h, depth, ctype

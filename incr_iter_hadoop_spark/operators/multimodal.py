@@ -13,12 +13,11 @@ functions/jpeg.py; exact via DC-only fixtures), COMPRESSED audio
 (``multimodal_adpcm_decode`` — 4-bit IMA ADPCM state machine,
 functions/adpcm.py), and VIDEO (``multimodal_video_frames`` — MJPEG/AVI
 container walk + per-frame JPEG decode with every-Nth frame sampling,
-functions/avi.py). Formats that genuinely require external libraries
-(perceptual codecs: MP3/AAC, inter-frame video, chroma-subsampled or
-progressive JPEG) remain behind ``decode_stub``,
-which raises NotImplementedError unless ``fake=True`` substitutes a
-deterministic byte-level feature vector — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested either way.
+functions/avi.py). The byte-statistics decode stub was retired in round 6:
+every registered media query decodes actual format bytes. Formats that
+genuinely require external libraries (perceptual codecs: MP3/AAC,
+inter-frame/DCT-delta video, chroma-subsampled or progressive JPEG) are
+simply out of scope for this sandbox — no registered query fakes them.
 """
 
 from __future__ import annotations
@@ -42,236 +41,392 @@ from pyspark.sql.types import (
 from ..catalog import load_table
 from ..registry import register
 
+# ---------------------------------------------------------------------------
+# Round 6: the byte-statistics decode stub is RETIRED. Every registered
+# multimodal query now decodes real format bytes with the pure-stdlib
+# codecs in functions/ (PNG, baseline JPEG, GIF, WAV, IMA-ADPCM,
+# MJPEG/AVI); the four plumbing queries below (meta / features / resize /
+# frames) keep their original shapes — metadata extraction, Arrow-batched
+# feature extraction, resize, per-row frame fan-out — but run them against
+# real PNG / MJPEG-AVI payloads with integer-exact oracles.
+
+_IMG_W, _IMG_H = 8, 8
+
+
+def _pixel(doc_id: int, x: int, y: int, c: int) -> int:
+    return (doc_id * 7 + x * 3 + y * 5 + c * 11) % 256
+
+
 MEDIA_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
         StructField("payload", BinaryType()),
-        StructField("n_bytes", LongType()),
-        StructField("payload_md5", StringType()),
+    ]
+)
+
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bit_depth", LongType()),
+        StructField("color_type", LongType()),
+        StructField("n_pixels", LongType()),
     ]
 )
 
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("n_bytes", LongType()),
+        StructField("n_pixels", LongType()),
         StructField("features", ArrayType(DoubleType())),
     ]
 )
 
-
-def attach_binary(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Build a media table from a text column: payload = utf-8 bytes (the
-    deterministic stand-in for real image/audio bytes), plus typed metadata.
-    On a real pipeline this is the parquet/binaryFile scan output."""
-    payload = F.encode(F.col(text_col), "utf-8")
-    return df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.lit("text/fake").alias("media_type"),
-        payload.alias("payload"),
-        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
-        F.md5(F.col(text_col)).alias("payload_md5"),
-    )
+# variable PNG dimensions: width = 4 + id % 13, height = 4 + 3·id % 11 —
+# co-prime moduli so the metadata pass sees 143 distinct shapes, not one.
+_META_WMOD, _META_HMOD = 13, 11
 
 
-def decode_stub(media: DataFrame, fake: bool = False, n_features: int = 4) -> DataFrame:
-    """Arrow-batched decode/feature-extract stage over the payload column.
+def _meta_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % _META_WMOD, 4 + (doc_id * 3) % _META_HMOD
 
-    With real decoders (PIL/librosa/ffmpeg) the inner function would decode
-    ``payload`` per batch; here it is stubbed: ``fake=False`` raises
-    NotImplementedError (decoder libraries absent), ``fake=True`` emits a
-    deterministic per-payload byte-statistics vector so the distributed
-    plumbing can be exercised end-to-end."""
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def attach_png_var(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a VARIABLE-dimension real RGB PNG per row (dimensions and
+    pixels pure functions of the id, so an oracle can recompute header
+    fields and statistics arithmetically)."""
+    from ..functions.png import encode_png_rgb
+
+    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decoding requires image/audio libraries not present "
-                    "in this environment; pass fake=True for the deterministic "
-                    "byte-statistics stand-in"
-                )
-            feats = []
-            for payload in pdf["payload"]:
-                b = bytes(payload)
-                n = max(len(b), 1)
-                # deterministic "features": length, mean byte, min, max
-                feats.append(
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _meta_dims(d)
+                px = [
                     [
-                        float(len(b)),
-                        float(sum(b)) / n,
-                        float(min(b)) if b else 0.0,
-                        float(max(b)) if b else 0.0,
-                    ][:n_features]
-                )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["n_bytes"],
-                    "features": feats,
-                }
-            )
+                        (
+                            _pixel(d, x, y, 0),
+                            _pixel(d, x, y, 1),
+                            _pixel(d, x, y, 2),
+                        )
+                        for x in range(w)
+                    ]
+                    for y in range(h)
+                ]
+                payloads.append(encode_png_rgb(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return media.mapInPandas(extract, FEATURE_SCHEMA)
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 @register(
     "multimodal_meta",
-    oracle="""
+    oracle=f"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           'text/fake' AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS payload_md5
+           'image/png' AS media_type,
+           CAST(4 + doc_id % {_META_WMOD} AS BIGINT) AS width,
+           CAST(4 + (doc_id * 3) % {_META_HMOD} AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(2 AS BIGINT) AS color_type,
+           CAST((4 + doc_id % {_META_WMOD})
+                * (4 + (doc_id * 3) % {_META_HMOD}) AS BIGINT) AS n_pixels
     FROM documents
     """,
-    doc="multimodal metadata extraction over the binary payload column "
-    "(payload itself excluded from the comparable output).",
+    doc="multimodal metadata extraction over REAL binary payloads: each "
+    "document carries a variable-dimension RGB PNG, and the stage parses "
+    "ONLY the fixed-size IHDR prefix (width/height/bit-depth/color-type) "
+    "— no inflate, no pixel work. That header-only fast path is what a "
+    "100 TB metadata pass runs: per-file cost independent of image size. "
+    "The oracle recomputes the header fields from the generating formula, "
+    "so a mis-parsed field (endianness, offset) breaks the hash.",
 )
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.png import parse_png_header
+
     d = load_table(spark, sf_dir, "documents")
-    return attach_binary(d, "doc_id", "text").select(
-        "doc_id", "media_type", "n_bytes", "payload_md5"
-    )
+    media = attach_png_var(d, "doc_id")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, depth, ctype = parse_png_header(bytes(payload))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": "image/png",
+                        "width": w,
+                        "height": h,
+                        "bit_depth": depth,
+                        "color_type": ctype,
+                        "n_pixels": w * h,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(parse, META_SCHEMA)
 
 
 @register(
     "multimodal_features",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           ROUND(octet_length(encode(text))::DOUBLE, 6) AS feat_len
-    FROM documents
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, c.c,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_IMG_W})) AS x) x
+      CROSS JOIN (SELECT unnest(range({_IMG_H})) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+    )
+    SELECT doc_id,
+           CAST({_IMG_W * _IMG_H} AS BIGINT) AS n_pixels,
+           ROUND(SUM(CASE WHEN c = 0 THEN v END) / {_IMG_W * _IMG_H}.0, 6)
+             AS mean_r,
+           ROUND(SUM(CASE WHEN c = 1 THEN v END) / {_IMG_W * _IMG_H}.0, 6)
+             AS mean_g,
+           ROUND(SUM(CASE WHEN c = 2 THEN v END) / {_IMG_W * _IMG_H}.0, 6)
+             AS mean_b,
+           ROUND(SUM(v) / {3 * _IMG_W * _IMG_H}.0, 6) AS brightness
+    FROM px GROUP BY doc_id
     """,
-    doc="mapInPandas feature-extraction plumbing (deterministic fake "
-    "decoder): first feature = payload length, comparable via SQL.",
+    doc="mapInPandas feature extraction over REAL decoded pixels: each "
+    "payload is an actual PNG, decoded on executors (inflate + filter "
+    "reconstruction), reduced to a per-image feature vector [mean_r, "
+    "mean_g, mean_b, brightness] — the embedding-ish shape a media "
+    "pipeline feeds downstream. Oracle recomputes the means from the "
+    "generating pixel formula; Arrow-batched end to end.",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.png import decode_png_rgb
+
     d = load_table(spark, sf_dir, "documents")
-    media = attach_binary(d, "doc_id", "text")
-    feats = decode_stub(media, fake=True)
+    media = attach_png(d, "doc_id")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_png_rgb(bytes(payload))
+                n = w * h
+                sr = sum(raw[0::3])
+                sg = sum(raw[1::3])
+                sb = sum(raw[2::3])
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_pixels": n,
+                        "features": [
+                            sr / n,
+                            sg / n,
+                            sb / n,
+                            (sr + sg + sb) / (3 * n),
+                        ],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    feats = media.mapInPandas(extract, FEATURE_SCHEMA)
     return feats.select(
         "doc_id",
-        "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("feat_len"),
+        "n_pixels",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.round(F.element_at("features", 4), 6).alias("brightness"),
     )
 
 
 RESIZE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
-        StructField("n_bytes_in", LongType()),
-        StructField("n_bytes_out", LongType()),
-        StructField("payload", BinaryType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
     ]
 )
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    WITH px AS (
+      SELECT d.doc_id, x.x, y.y, c.c,
+             (d.doc_id * 7 + x.x * 3 + y.y * 5 + c.c * 11) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_IMG_W})) AS x) x
+      CROSS JOIN (SELECT unnest(range({_IMG_H})) AS y) y
+      CROSS JOIN (SELECT unnest(range(3)) AS c) c
+    ),
+    blocks AS (
+      SELECT doc_id, x // 2 AS bx, y // 2 AS by, c,
+             CAST(SUM(v) // 4 AS BIGINT) AS bv
+      FROM px GROUP BY doc_id, x // 2, y // 2, c
+    )
+    SELECT doc_id,
+           CAST({_IMG_W // 2} AS BIGINT) AS out_w,
+           CAST({_IMG_H // 2} AS BIGINT) AS out_h,
+           CAST(SUM(CASE WHEN c = 0 THEN bv END) AS BIGINT) AS sum_r,
+           CAST(SUM(CASE WHEN c = 1 THEN bv END) AS BIGINT) AS sum_g,
+           CAST(SUM(CASE WHEN c = 2 THEN bv END) AS BIGINT) AS sum_b
+    FROM blocks GROUP BY doc_id
+    """,
+    doc="REAL image resize that produces a REAL artifact: decode the PNG "
+    "payload on executors, 2×2 box-downsample with floor averaging "
+    "(integer-exact), RE-ENCODE the small image as an actual PNG, decode "
+    "it back, and emit the resized image's channel sums — so the query "
+    "validates not just the resize math but that the emitted artifact is "
+    "a well-formed decodable PNG (what a thumbnailing pipeline ships). "
+    "Oracle recomputes the floor-averaged block sums from the generating "
+    "formula. Arrow-batched; payload bytes never visit the driver.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_png(d, "doc_id")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, raw = decode_png_rgb(bytes(payload))
+                small = [
+                    [
+                        tuple(
+                            sum(
+                                raw[
+                                    ((by * 2 + dy) * w + bx * 2 + dx) * 3
+                                    + ch
+                                ]
+                                for dy in (0, 1)
+                                for dx in (0, 1)
+                            )
+                            // 4
+                            for ch in range(3)
+                        )
+                        for bx in range(w // 2)
+                    ]
+                    for by in range(h // 2)
+                ]
+                ow, oh, raw2 = decode_png_rgb(encode_png_rgb(small))
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "out_w": ow,
+                        "out_h": oh,
+                        "sum_r": sum(raw2[0::3]),
+                        "sum_g": sum(raw2[1::3]),
+                        "sum_b": sum(raw2[2::3]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+# multimodal_frames: real MJPEG/AVI with a distinct generating formula and
+# sampling stride from multimodal_video_frames (8 frames, every 3rd) so the
+# two queries cannot mask each other's defects.
+_FR_W, _FR_H = 32, 32  # 4×4 grid of constant 8×8 tiles (exact JPEG)
+_FR_FRAMES, _FR_EVERY = 8, 3
 
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("frame_idx", LongType()),
-        StructField("frame_len", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_px", LongType()),
+        StructField("max_px", LongType()),
     ]
 )
 
 
-def resize_stub(media: DataFrame, target_bytes: int = 256) -> DataFrame:
-    """Arrow-batched resize stage: with real decoders this is the
-    image-resize / audio-resample step; the deterministic stand-in truncates
-    the payload to ``target_bytes``. Bytes stay executor-side in columnar
-    batches; output carries in/out sizes for auditing."""
-
-    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = [bytes(p)[:target_bytes] for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes_in": pdf["n_bytes"],
-                    "n_bytes_out": [len(b) for b in out],
-                    "payload": out,
-                }
-            )
-
-    return media.mapInPandas(resize, RESIZE_SCHEMA)
-
-
-def frame_sample(
-    media: DataFrame, frame_bytes: int = 16, every_n: int = 4
-) -> DataFrame:
-    """Frame-sampling stage (video analogue): treat the payload as a
-    sequence of ``frame_bytes``-sized frames and emit every ``every_n``-th —
-    a per-row fan-out (UDTF shape) done inside mapInPandas so one input
-    batch yields one output batch, no driver involvement."""
-
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids, idxs, lens = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
-                for fi in range(0, n_frames, every_n):
-                    ids.append(doc_id)
-                    idxs.append(fi)
-                    lens.append(min(frame_bytes, len(b) - fi * frame_bytes))
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "frame_len": lens}
-            )
-
-    return media.mapInPandas(sample, FRAME_SCHEMA)
-
-
-@register(
-    "multimodal_resize",
-    oracle="""
-    SELECT CAST(doc_id AS BIGINT) AS doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
-           CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT)
-             AS n_bytes_out
-    FROM documents
-    """,
-    doc="mapInPandas resize plumbing (truncation stand-in for image "
-    "resize): in/out byte sizes, payload excluded from comparison.",
-)
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    media = attach_binary(d, "doc_id", "text")
-    return resize_stub(media, target_bytes=256).select(
-        "doc_id", "n_bytes_in", "n_bytes_out"
-    )
-
-
 @register(
     "multimodal_frames",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(doc_id AS BIGINT) AS doc_id,
-             octet_length(encode(text)) AS n
-      FROM documents
+    oracle=f"""
+    WITH tiles AS (
+      SELECT d.doc_id, fr.fr,
+             (d.doc_id * 11 + fr.fr * 13 + bx.bx * 7 + by.by * 3) % 256 AS v
+      FROM (SELECT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, {_FR_FRAMES}, {_FR_EVERY}))
+                  AS fr) fr
+      CROSS JOIN (SELECT unnest(range({_FR_W // 8})) AS bx) bx
+      CROSS JOIN (SELECT unnest(range({_FR_H // 8})) AS by) by
     )
     SELECT doc_id,
-           CAST(unnest(range(0, CAST(CEIL(n / 16.0) AS BIGINT), 4))
-                AS BIGINT) AS frame_idx,
-           CAST(LEAST(16, n - unnest(range(0, CAST(CEIL(n / 16.0) AS BIGINT),
-                                           4)) * 16) AS BIGINT) AS frame_len
-    FROM d WHERE n > 0
+           fr AS frame_idx,
+           CAST({_FR_FRAMES} AS BIGINT) AS n_frames,
+           CAST(SUM(64 * v) AS BIGINT) AS sum_px,
+           CAST(MAX(v) AS BIGINT) AS max_px
+    FROM tiles GROUP BY doc_id, fr
     """,
-    doc="mapInPandas frame-sampling plumbing (every 4th 16-byte frame — "
-    "the video frame-sample shape): per-row fan-out executor-side.",
+    doc="REAL video frame sampling (the per-row fan-out / UDTF shape): an "
+    "8-frame 32×32 MJPEG/AVI is synthesized per document (constant-tile "
+    "baseline JPEGs, exact under the codec's DC-step-8 quantizer), the "
+    "RIFF/AVI container is walked on executors and every 3rd frame is "
+    "JPEG-decoded into per-frame pixel sum and peak — unsampled frames' "
+    "bytes are skipped, never IDCT'd, the decode-only-what-you-need shape "
+    "a 100 TB video pipeline depends on. Oracle recomputes the sampled "
+    "frames' statistics from the generating tile formula.",
 )
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    media = attach_binary(d, "doc_id", "text")
-    return frame_sample(media, frame_bytes=16, every_n=4)
+    import numpy as np
+
+    from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from ..functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = []
+                for fr in range(_FR_FRAMES):
+                    tiles = np.array(
+                        [
+                            [
+                                (d * 11 + fr * 13 + bx * 7 + by * 3) % 256
+                                for bx in range(_FR_W // 8)
+                            ]
+                            for by in range(_FR_H // 8)
+                        ],
+                        dtype=np.int64,
+                    )
+                    img = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+                    frames.append(encode_jpeg_gray(img))
+                payload = encode_avi_mjpeg(frames, _FR_W, _FR_H, fps=10)
+                _w, _h, total, fr_bytes = decode_avi_mjpeg(payload)
+                for idx in range(0, total, _FR_EVERY):
+                    _fw, _fh, raw = decode_jpeg_gray(fr_bytes[idx])
+                    px = np.frombuffer(raw, dtype=np.uint8)
+                    rows.append(
+                        {
+                            "doc_id": d,
+                            "frame_idx": idx,
+                            "n_frames": total,
+                            "sum_px": int(px.sum()),
+                            "max_px": int(px.max()),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(roundtrip, FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
-# REAL decode path (PNG): the stub's caveat was "no image libraries in this
-# environment" — but PNG needs only stdlib zlib, so this stage performs an
-# actual format decode (DEFLATE inflate + scanline filter reconstruction,
-# functions/png.py) on executors, Arrow-batched. JPEG/audio stay stubbed.
-
-_IMG_W, _IMG_H = 8, 8
+# REAL decode path (PNG): stdlib-zlib inflate + full scanline filter
+# reconstruction (functions/png.py) on executors, Arrow-batched.
 
 DECODE_SCHEMA = StructType(
     [
@@ -283,10 +438,6 @@ DECODE_SCHEMA = StructType(
         StructField("sum_b", LongType()),
     ]
 )
-
-
-def _pixel(doc_id: int, x: int, y: int, c: int) -> int:
-    return (doc_id * 7 + x * 3 + y * 5 + c * 11) % 256
 
 
 def attach_png(df: DataFrame, id_col: str) -> DataFrame:
@@ -316,15 +467,7 @@ def attach_png(df: DataFrame, id_col: str) -> DataFrame:
                 payloads.append(encode_png_rgb(px))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return ids.mapInPandas(
-        gen,
-        StructType(
-            [
-                StructField("doc_id", LongType()),
-                StructField("payload", BinaryType()),
-            ]
-        ),
-    )
+    return ids.mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def decode_png_stats(media: DataFrame) -> DataFrame:

@@ -9,7 +9,7 @@ Arrow-batched (never row-at-a-time Python):
 - U1 scalar map        → ``@pandas_udf`` scalar
 - U3 pluggable UDAF    → ``pandas_udf`` GROUPED_AGG / ``applyInPandas``
 - U1 flatMap/UDTF      → builtin ``explode`` of an array-returning expression
-- U4 external-program  → ``mapInPandas`` (see multimodal.decode_stub)
+- U4 external-program  → ``mapInPandas`` (see sources.readers pipe)
 - U5 chained map/reduce→ ordinary DataFrame chaining (every query here)
 
 Scale note: the hot paths stay JVM-side wherever a builtin exists; these

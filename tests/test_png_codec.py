@@ -75,3 +75,30 @@ def test_all_five_filters_reconstruct():
     w2, h2, out = decode_png_rgb(data)
     assert (w2, h2) == (w, h)
     assert out == b"".join(rows)
+
+
+def test_parse_png_header_matches_full_decode():
+    from incr_iter_hadoop_spark.functions.png import parse_png_header
+
+    rng = random.Random(99)
+    for _ in range(5):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        px = [
+            [tuple(rng.randrange(256) for _ in range(3)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        data = encode_png_rgb(px)
+        pw, ph, depth, ctype = parse_png_header(data)
+        assert (pw, ph, depth, ctype) == (w, h, 8, 2)
+        # header-only parse must agree with the full decode
+        fw, fh, _ = decode_png_rgb(data)
+        assert (pw, ph) == (fw, fh)
+
+
+def test_parse_png_header_rejects_non_png():
+    import pytest
+
+    from incr_iter_hadoop_spark.functions.png import parse_png_header
+
+    with pytest.raises(ValueError):
+        parse_png_header(b"GIF87a" + b"\x00" * 30)
