@@ -1629,3 +1629,114 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
     )
+
+
+@register(
+    "scd2_store_two_eras",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6) AS acctbal, 1
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, ROUND(c_acctbal, 6), 1
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 200, 6), 2
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, ROUND(c_acctbal + 500, 6), 2
+      FROM customer WHERE c_custkey % 26 = 0
+    ),
+    h AS (
+      SELECT a.as_of, v.c_custkey, v.acctbal, v.valid_from
+      FROM v
+      CROSS JOIN (SELECT unnest([1, 2]) AS as_of) a
+      WHERE v.valid_from <= a.as_of
+    )
+    SELECT CAST(as_of AS BIGINT) AS as_of, c_custkey, acctbal,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(COALESCE(
+             LEAD(valid_from) OVER (
+               PARTITION BY as_of, c_custkey ORDER BY valid_from),
+             999999) AS BIGINT) AS valid_to,
+           COALESCE(
+             LEAD(valid_from) OVER (
+               PARTITION BY as_of, c_custkey ORDER BY valid_from),
+             999999) = 999999 AS is_current
+    FROM h
+    """,
+    doc="I6 applied to versioned dimensions (round-6 unification): build an "
+    "on-disk era-layered Scd2Store (sources/scd2_store.py) from the "
+    "customer dimension, commit TWO eras of changes as append-only layers "
+    "(era 1: every 7th balance +100, every 13th key spawns a new key; "
+    "era 2: every 5th +200, every 26th's spawned key +500 — so keys "
+    "divisible by 35 carry three versions and a layer-1 insert is itself "
+    "versioned by layer 2), then TIME-TRAVEL: read history_as_of(1) AND "
+    "history_as_of(2) through the store's derived-close reconstruction "
+    "(base scan + layer scans + one key-window, closes never stored). "
+    "The oracle independently rebuilds both eras from the generating "
+    "predicates with an era-filtered union + LEAD window. Crash "
+    "consistency (orphan layers invisible until the meta era bump) is "
+    "pinned by tests/test_scd2_store.py.",
+)
+def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import tempfile
+
+    from ..sources.scd2_store import Scd2Store
+
+    c = load_table(spark, sf_dir, "customer")
+    slug = re.sub(
+        r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
+    ).strip("_").lower()
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_scd2",
+        f"customer_{slug}_p{os.getpid()}",
+    )
+    _cleanup_at_exit(os.path.dirname(path), f"customer_{slug}_p{os.getpid()}")
+    store = Scd2Store(spark, path)
+    store.initialize(
+        c.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
+        key_cols=["c_custkey"],
+        num_buckets=8,
+    )
+    changes1 = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 13 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.round("c_acctbal", 6).alias("acctbal"),
+            )
+        )
+    )
+    changes2 = (
+        c.where(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey", F.round(F.col("c_acctbal") + 200, 6).alias("acctbal")
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 26 == 0).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.round(F.col("c_acctbal") + 500, 6).alias("acctbal"),
+            )
+        )
+    )
+    store.apply_era(changes1)
+    store.apply_era(changes2)
+    h1 = store.history_as_of(1).withColumn(
+        "as_of", F.lit(1).cast("bigint")
+    )
+    h2 = store.history_as_of(2).withColumn(
+        "as_of", F.lit(2).cast("bigint")
+    )
+    return h1.unionByName(h2).select(
+        "as_of", "c_custkey", "acctbal", "valid_from", "valid_to",
+        "is_current",
+    )
