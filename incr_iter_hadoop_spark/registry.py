@@ -97,101 +97,87 @@ def _load_all() -> None:
 # kmeans_converged (newly EXACT-oracled via the unrolled-with-termination
 # CTE pattern) and multimodal_jpeg_decode (new real baseline-JPEG decode).
 #
-# Round-6 rotation candidates (oracle-green locally, never driver-checked):
-# profile_orders, skew_report_suppkey, dedup_keep_best, text_regex_tokens,
-# text_repetition_quality, corpus_top_tokens, tfidf_top_terms,
-# inverted_index_trigrams, text_pii_redact, bpe_pair_counts,
-# sample_stratified_events, split_train_test_counts, events_unpivot,
-# array_battery, setop_intersect, embedding_label_centroids,
-# embedding_dedup_clusters, udf_apply_in_pandas, events_sliding,
-# events_session, events_running_totals_streamed, events_enriched_streamed,
-# events_funnel, window_battery2, events_resample_gaps, incr_sssp_warm3,
-# graph_kcore_bounded3, multimodal_adpcm_decode (REAL compressed-audio
-# decode, new in r5), multimodal_video_frames (REAL MJPEG/AVI video decode
-# + frame sampling, new in r5), incr_nmf_delta2 (warm-started incremental
-# NMF, new in r5), multimodal_gif_decode (REAL LZW+palette GIF decode,
-# new in r5), scan_binaryfile_media (format("binaryFile") directory
-# ingestion + real PNG decode, new in r5), media_dedup_exact (image
-# content-hash dedup over real JPEG payloads, new in r5),
-# media_dedup_phash + incr_media_dedup_phash (aHash + banded-LSH
-# perceptual image near-dup over decoded pixels, full + delta-restricted
-# increment, new in r5), scan_webdataset_shards (TAR-shard multimodal
-# ingestion with per-shard untar + component pairing + real JPEG decode,
-# new in r5), scan_csv_roundtrip + scan_orc_roundtrip (CSV quoting/
-# escaping + ORC columnar round-trips, new in r5),
-# pipeline_build_multimodal_set (capstone: decode-once stats+hash,
-# LSH keeper selection, per-shard manifest, new in r5),
-# scd2_customer_history + scd2_point_in_time_join (SCD Type-2 versioned
-# dimension maintenance + temporal point-in-time fact join, new in r5),
-# events_stream_stream_join (watermarked stream-stream attribution join,
-# new in r5), data_quality_report (constraint-validation ingestion gate,
-# new in r5)
-# (embedding_top_pairs stays out by design — all-pairs exactness
-# baseline, LSH primary shipped).
+# ROTATION (round 6): the ledger-closing window. Every family already
+# holds >= 1 green driver witness across rounds 3 ∪ 4 ∪ 5 (r04 and r05
+# were both 50/50 green), so the window rotates to the complete
+# never-driver-checked set — 45 names, computed programmatically from the
+# registry minus the union of CORRECTNESS_r01..r05 rows: the r4-late
+# text/events/sampling tails, the r5 media/dedup/SCD2/streaming/
+# quality additions, and the new r6 scd2_store_two_eras. That includes
+# embedding_top_pairs (the labeled all-pairs exactness baseline — kept out
+# of earlier windows by design, but the ledger-closing goal is every
+# registered query driver-verified at least once). The remaining 5 slots:
+# the four multimodal plumbing queries REBASED onto real codecs this round
+# (multimodal_meta/features/resize/frames — their r03 green rows verified
+# the old byte-stat oracles, so the new real-decode semantics need fresh
+# driver rows) and incr_refresh_orders_disk as the refreshed I6 witness
+# (the disk-refresh ratio is under active observation, VERDICT r5 ask #7).
+# After a green round 6: driver-checked union = 179/179 — zero
+# verification debt; subsequent rotations only need to re-witness
+# families touched by new work.
 
 FIRST_WINDOW: list[str] = [
-    # S6/S7/S9 scans — the three SURVEY §2 rows with no driver row ever
-    "scan_jdbc_roundtrip",
-    "scan_multi_path_combine",
-    "scan_jsonl_roundtrip",
-    "iteration_snapshot_roundtrip",
-    # REAL multimodal decode (integer-exact oracles)
-    "multimodal_png_decode",
-    "multimodal_png_resize",
-    "multimodal_wav_decode",
-    "multimodal_jpeg_decode",
-    # substring-span dedup (full + incremental) and O(log n) star CC
-    "dedup_substring_spans",
-    "incr_dedup_substring",
-    "dedup_cc_star",
-    # training-pipeline tail
-    "bm25_scores",
-    "pack_sequences",
-    "tokenize_to_ids",
-    "shard_manifest",
-    "sample_token_budget",
-    "pipeline_build_training_set",
-    # join battery tail (as-of, null-safe)
-    "join_asof",
-    "join_null_safe",
-    # streaming (stateful session merge, watermark dedup, incr pagerank)
-    "events_session_streamed",
-    "streaming_dedup_events",
-    "streaming_incr_pagerank",
-    # newly exact-oracled converged loops (unrolled CTE chain + in-SQL
-    # termination-round pick; previously no_oracle)
-    "pagerank_converged",
-    "kmeans_converged",
-    # remaining incremental variants
-    "incr_spmv_delta1",
-    "incr_kmeans_delta2",
-    "incr_dedup_clusters",
-    "incr_dedup_minhash_delete",
-    # graph / ANN / text tails
-    "graph_triangle_count",
-    "ann_ivf_topk",
-    "text_lang_id",
-    "text_unigram_logprob",
-    # ADVICE-flagged relational queries (now adversarially covered too)
-    "er_fuzzy_name_pairs",
-    "udf_cogrouped_stats",
-    # TPC-H battery (q1/q3/q4/q5/q18/q21 green in r03∪r04)
-    "q2_min_acctbal_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q22_sales_opportunity",
+    # relational / profiling tails (r4-late)
+    "profile_orders",
+    "skew_report_suppkey",
+    "dedup_keep_best",
+    "text_regex_tokens",
+    "text_repetition_quality",
+    "corpus_top_tokens",
+    "tfidf_top_terms",
+    "inverted_index_trigrams",
+    "text_pii_redact",
+    "bpe_pair_counts",
+    "sample_stratified_events",
+    "split_train_test_counts",
+    "events_unpivot",
+    "array_battery",
+    "setop_intersect",
+    # embeddings (incl. the labeled all-pairs baseline, window-checked once)
+    "embedding_top_pairs",
+    "embedding_label_centroids",
+    "embedding_dedup_clusters",
+    "udf_apply_in_pandas",
+    # events / windows / streaming tails
+    "events_sliding",
+    "events_session",
+    "events_running_totals_streamed",
+    "events_enriched_streamed",
+    "events_funnel",
+    "window_battery2",
+    "events_resample_gaps",
+    "events_stream_stream_join",
+    # iterative / incremental tails
+    "incr_sssp_warm3",
+    "incr_nmf_delta2",
+    "graph_kcore_bounded3",
+    # SCD2 family (pure transformation, temporal join, on-disk era store)
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "scd2_store_two_eras",
+    # r5 real-codec decodes + media ingestion
+    "multimodal_adpcm_decode",
+    "multimodal_video_frames",
+    "multimodal_gif_decode",
+    "scan_binaryfile_media",
+    "scan_webdataset_shards",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    # media dedup (exact, perceptual, incremental) + capstone
+    "media_dedup_exact",
+    "media_dedup_phash",
+    "incr_media_dedup_phash",
+    "pipeline_build_multimodal_set",
+    # data-quality gate
+    "data_quality_report",
+    # REBASED this round onto real codecs — prior green rows verified the
+    # retired byte-stat oracles, so the new semantics need fresh rows
+    "multimodal_meta",
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frames",
+    # refreshed I6 witness (disk-refresh ratio under observation)
+    "incr_refresh_orders_disk",
 ]
 
 
