@@ -353,6 +353,29 @@ def main() -> None:
         jpeg_runs_s.append(round(time.perf_counter() - t0, 3))
     jpeg_decode_sec = _median(jpeg_runs_s)
 
+    # non-headline extras (r6): the r5 families VERDICT asked to track —
+    # perceptual media dedup, WebDataset shard ingestion, SCD2 temporal
+    # join. Same protocol (median-of-REPS, noop sink); the WDS fixture is
+    # pre-warmed so the timing measures the scan+untar+decode, not the
+    # one-time shard materialization.
+    from incr_iter_hadoop_spark.operators.multimodal import _wds_fixture_dir
+
+    _wds_fixture_dir(spark, SF_DIR)
+    r6_extras: dict[str, float] = {}
+    for qname, key in [
+        ("media_dedup_phash", "media_dedup_phash_sec"),
+        ("scan_webdataset_shards", "scan_webdataset_shards_sec"),
+        ("scd2_point_in_time_join", "scd2_point_in_time_join_sec"),
+    ]:
+        xs: list[float] = []
+        for _rep in range(REPS):
+            t0 = time.perf_counter()
+            specs[qname].fn(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            xs.append(round(time.perf_counter() - t0, 3))
+        r6_extras[key] = _median(xs)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -391,6 +414,7 @@ def main() -> None:
             else None
         ),
         "multimodal_jpeg_decode_sec": jpeg_decode_sec,
+        **r6_extras,
     }
     print(json.dumps(result))
     # BASELINE.md protocol: record runs for regression tracking + trend table
@@ -439,6 +463,9 @@ def _write_trend_table(results_dir: str) -> None:
         "incr_mem_refresh_vs_full_recompute",
         "incr_substring_vs_full",
         "multimodal_jpeg_decode_sec",
+        "media_dedup_phash_sec",
+        "scan_webdataset_shards_sec",
+        "scd2_point_in_time_join_sec",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",

