@@ -131,6 +131,8 @@ def parse_png_header(data: bytes) -> tuple[int, int, int, int]:
     reconstruction)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
+    if len(data) < 29:
+        raise ValueError("truncated PNG: no complete IHDR")
     (length,) = struct.unpack(">I", data[8:12])
     if data[12:16] != b"IHDR" or length != 13:
         raise ValueError("IHDR must be the first chunk")

@@ -93,10 +93,13 @@ def _meta_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % _META_WMOD, 4 + (doc_id * 3) % _META_HMOD
 
 
-def attach_png_var(df: DataFrame, id_col: str) -> DataFrame:
-    """Synthesize a VARIABLE-dimension real RGB PNG per row (dimensions and
-    pixels pure functions of the id, so an oracle can recompute header
-    fields and statistics arithmetically)."""
+def _attach_png_dims(df: DataFrame, id_col: str, dims_fn) -> DataFrame:
+    """Shared synthesize-PNG-per-row stage: ``dims_fn(doc_id) -> (w, h)``
+    picks each image's dimensions; pixels are the pure ``_pixel`` formula
+    of the id, so oracles recompute header fields and statistics
+    arithmetically. ONE copy of the mapInPandas scaffolding — both the
+    fixed-size and variable-size fixtures delegate here so the generation
+    path can never diverge between them."""
     from ..functions.png import encode_png_rgb
 
     ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
@@ -106,7 +109,7 @@ def attach_png_var(df: DataFrame, id_col: str) -> DataFrame:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                w, h = _meta_dims(d)
+                w, h = dims_fn(d)
                 px = [
                     [
                         (
@@ -122,6 +125,13 @@ def attach_png_var(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return ids.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def attach_png_var(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize a VARIABLE-dimension real RGB PNG per row (dimensions and
+    pixels pure functions of the id, so an oracle can recompute header
+    fields and statistics arithmetically)."""
+    return _attach_png_dims(df, id_col, _meta_dims)
 
 
 @register(
@@ -440,34 +450,15 @@ DECODE_SCHEMA = StructType(
 )
 
 
+def _fixed_dims(_doc_id: int) -> tuple[int, int]:
+    return _IMG_W, _IMG_H
+
+
 def attach_png(df: DataFrame, id_col: str) -> DataFrame:
     """Synthesize a deterministic 8×8 RGB PNG per row (pixel values a pure
     function of the id — so an oracle can recompute the decoded statistics
     arithmetically) and attach it as a real binary payload column."""
-    from ..functions.png import encode_png_rgb
-
-    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                px = [
-                    [
-                        (
-                            _pixel(d, x, y, 0),
-                            _pixel(d, x, y, 1),
-                            _pixel(d, x, y, 2),
-                        )
-                        for x in range(_IMG_W)
-                    ]
-                    for y in range(_IMG_H)
-                ]
-                payloads.append(encode_png_rgb(px))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
-
-    return ids.mapInPandas(gen, MEDIA_SCHEMA)
+    return _attach_png_dims(df, id_col, _fixed_dims)
 
 
 def decode_png_stats(media: DataFrame) -> DataFrame:
@@ -1056,6 +1047,8 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
 
             from incr_iter_hadoop_spark.functions.png import encode_png_rgb
 
+            import uuid as _uuid
+
             for r in rows:
                 doc_id = int(r["doc_id"])
                 px = [
@@ -1069,7 +1062,13 @@ def _png_fixture_dir(spark: SparkSession, sf_dir: str, every: int = 10) -> str:
                     ]
                     for y in range(_IMG_H)
                 ]
-                tmp = _os.path.join(staging, f".doc_{doc_id}.png.tmp")
+                # attempt-unique tmp name: two attempts of the same task
+                # (speculation, zombie retry) must never interleave writes
+                # into one file — each writes its own tmp and the atomic
+                # os.replace publishes whichever complete copy lands last
+                tmp = _os.path.join(
+                    staging, f".doc_{doc_id}.png.{_uuid.uuid4().hex}.tmp"
+                )
                 with open(tmp, "wb") as fh:
                     fh.write(encode_png_rgb(px))
                 _os.replace(
@@ -1589,6 +1588,7 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
             import io as _io
             import os as _os
             import tarfile as _tarfile
+            import uuid as _uuid
 
             import numpy as _np
 
@@ -1599,7 +1599,12 @@ def _wds_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                 doc_id = int(r["doc_id"])
                 by_shard.setdefault(doc_id % _WDS_SHARDS, []).append(doc_id)
             for s, members in by_shard.items():
-                tmp = _os.path.join(staging, f".shard-{s:05d}.tar.tmp")
+                # attempt-unique tmp (see the PNG writer): duplicate task
+                # attempts each build their own tar; os.replace publishes
+                # one complete copy, never an interleaved write
+                tmp = _os.path.join(
+                    staging, f".shard-{s:05d}.tar.{_uuid.uuid4().hex}.tmp"
+                )
                 with _tarfile.open(
                     tmp, "w", format=_tarfile.USTAR_FORMAT
                 ) as tf:

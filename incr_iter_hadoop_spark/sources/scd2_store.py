@@ -134,7 +134,14 @@ class Scd2Store:
         open_end: int = 999_999,
     ) -> "Scd2Store":
         """Era-0 snapshot: every dimension row becomes the open version
-        ``[0, open_end)``. One bucketed shuffle — paid exactly once."""
+        ``[0, open_end)``. One bucketed shuffle — paid exactly once.
+
+        Same commit discipline as ``apply_era``: the base snapshot is
+        written FIRST and the meta write is the atomic commit point, so a
+        crash mid-snapshot leaves ``exists() == False`` (an uninitialized
+        store with orphan data files) rather than a committed store over a
+        partial base. The retry drops the half-created catalog entry and
+        overwrites the orphan files."""
         self._meta = None
         meta = {
             "key_cols": list(key_cols),
@@ -144,8 +151,8 @@ class Scd2Store:
             "era": 0,
             "schema_ddl": _schema_ddl(dim),
         }
-        self._write_meta(meta)
         n = num_buckets
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name()}")
         (
             dim.repartition(n, *key_cols)
             .write.format("parquet")
@@ -155,6 +162,7 @@ class Scd2Store:
             .option("path", self._base_path())
             .saveAsTable(self._table_name())
         )
+        self._write_meta(meta)
         return self
 
     def _write_layer(self, era: int, changes: DataFrame) -> None:

@@ -29,13 +29,14 @@ from incr_iter_hadoop_spark.operators.multimodal import (
 )
 
 
-def _fresh(spark, sf_dir, fn):
-    """Run a fixture builder against an EMPTY cache root inside a job
-    group, returning (dir, jobs-scheduled-in-group)."""
-    shutil.rmtree(
-        os.path.join(tempfile.gettempdir(), "spark_graft_media"),
-        ignore_errors=True,
-    )
+def _fresh(spark, sf_dir, fn, family):
+    """Run a fixture builder with ITS FAMILY's cache entries removed (only
+    ``<family>_*`` dirs — not the whole shared cache root, which would
+    clobber fixtures other tests in the session already built) inside a
+    job group, returning (dir, jobs-scheduled-in-group)."""
+    cache_root = os.path.join(tempfile.gettempdir(), "spark_graft_media")
+    for d in glob.glob(os.path.join(cache_root, f"{family}_*")):
+        shutil.rmtree(d, ignore_errors=True)
     sc = spark.sparkContext
     sc.setJobGroup("media-fixture-test", "fixture generation")
     try:
@@ -47,7 +48,7 @@ def _fresh(spark, sf_dir, fn):
 
 
 def test_png_fixture_distributed_and_decodable(spark, sf_dir):
-    root, jobs = _fresh(spark, sf_dir, _png_fixture_dir)
+    root, jobs = _fresh(spark, sf_dir, _png_fixture_dir, "png")
     # the id collect alone schedules 2 jobs (measured); the
     # foreachPartition write adds at least one more — a regression to a
     # driver-side write loop would leave exactly 2
@@ -67,7 +68,7 @@ def test_png_fixture_distributed_and_decodable(spark, sf_dir):
 
 
 def test_wds_fixture_distributed_and_paired(spark, sf_dir):
-    root, jobs = _fresh(spark, sf_dir, _wds_fixture_dir)
+    root, jobs = _fresh(spark, sf_dir, _wds_fixture_dir, "wds")
     assert len(jobs) >= 3, jobs
     assert os.path.isfile(os.path.join(root, "_SUCCESS"))
     shards = sorted(glob.glob(os.path.join(root, "shard-*.tar")))
@@ -94,7 +95,7 @@ def test_wds_fixture_distributed_and_paired(spark, sf_dir):
 
 def test_fixture_cache_reused_without_new_jobs(spark, sf_dir):
     # second call with a warm cache must be a pure dir lookup: no write job
-    root1, _ = _fresh(spark, sf_dir, _png_fixture_dir)
+    root1, _ = _fresh(spark, sf_dir, _png_fixture_dir, "png")
     sc = spark.sparkContext
     sc.setJobGroup("media-fixture-warm", "warm lookup")
     try:
