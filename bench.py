@@ -282,7 +282,11 @@ def main() -> None:
     both = all_deltas[0]
     for d in all_deltas[1:]:
         both = both.unionByName(d)
-    t0 = time.perf_counter()
+    # protocol v3: the denominator is median-of-REPS like the refresh side.
+    # v2 timed the full recompute ONCE, so one noisy measurement of an
+    # O(|state|) job swung the headline ratio by ±0.1 across driver runs
+    # (the r4→r5 0.632→0.739 drift was entirely denominator variance, not
+    # a refresh regression — profiled r6, VERDICT r5 ask #7).
     minus_d = both.where(F.col("op") == "-").select("o_custkey", "o_orderkey")
     plus_d = both.where(F.col("op") == "+").drop("op")
     full_disk = (
@@ -295,10 +299,14 @@ def main() -> None:
             F.expr("CAST(MAX(o_totalprice) AS DOUBLE)").alias("max_price"),
         )
     )
-    full_disk.write.mode("overwrite").parquet(
-        os.path.join(store_root, "full_out")
-    )
-    disk_full_sec = round(time.perf_counter() - t0, 3)
+    disk_full_runs = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        full_disk.write.mode("overwrite").parquet(
+            os.path.join(store_root, "full_out")
+        )
+        disk_full_runs.append(round(time.perf_counter() - t0, 3))
+    disk_full_sec = _median(disk_full_runs)
     disk_ratio = (
         round(disk_refresh_sec / disk_full_sec, 3) if disk_full_sec else None
     )
@@ -396,7 +404,8 @@ def main() -> None:
         "incr_disk_refresh_sec": disk_refresh_sec,
         "incr_disk_refresh_runs": disk_refresh_runs,
         "incr_disk_full_recompute_sec": disk_full_sec,
-        "incr_protocol": "disk_state150x_steady_median_v2",
+        "incr_disk_full_recompute_runs": disk_full_runs,
+        "incr_protocol": "disk_state150x_steady_median_v3",
         # legacy in-memory scenario (state ~ |orders|): dominated by Spark's
         # fixed per-job overhead at sf0.1; kept for trend comparison
         "incr_mem_refresh_vs_full_recompute": incr_ratio,

@@ -239,6 +239,25 @@ class PreserveStore:
     def _layer(self, v: int, which: str, era: int | None = None) -> DataFrame:
         return self.spark.read.parquet(self._layer_path(v, which, era))
 
+    def _layers(self, n: int, which: str, era: int | None = None) -> DataFrame:
+        """Layers 1..n as ONE multi-path scan, ``_v`` parsed from the layer
+        directory name (``layers/b<era>/v<N>/<which>/part-*``, written by
+        ``_layer_path`` so the pattern is store-controlled). One scan node
+        instead of n (r6, VERDICT r5 ask #7 profiling): the per-layer
+        unionByName chain cost one file listing and one plan subtree PER
+        LAYER — driver-side analysis time grew linearly with store depth,
+        and on object storage each listing is a round trip. A single
+        multi-path scan lists in one parallelized pass, keeps the plan a
+        constant size, and still pushes the group-key filter into every
+        file."""
+        paths = [self._layer_path(v, which, era) for v in range(1, n + 1)]
+        return self.spark.read.parquet(*paths).withColumn(
+            "_v",
+            F.regexp_extract(
+                F.input_file_name(), r"/layers/b\d+/v(\d+)/", 1
+            ).cast("int"),
+        )
+
     def _pruned(self, df: DataFrame, keys_filter) -> DataFrame:
         if keys_filter is None:
             return df
@@ -288,12 +307,10 @@ class PreserveStore:
             # last-layer-wins join entirely (it would join against an empty
             # touched-set and still cost a stage per read)
             return base
-        tagged = base.withColumn("_v", F.lit(0))
-        for v in range(1, n + 1):
-            lay = self._pruned(self._layer(v, which, era), keys_filter)
-            if affected is not None:
-                lay = lay.join(affected, gk, "left_semi")
-            tagged = tagged.unionByName(lay.withColumn("_v", F.lit(v)))
+        lay = self._pruned(self._layers(n, which, era), keys_filter)
+        if affected is not None:
+            lay = lay.join(affected, gk, "left_semi")
+        tagged = base.withColumn("_v", F.lit(0)).unionByName(lay)
         # the layer that last touched a group holds ALL of that group's rows;
         # affected-key files record touches even when the group vanished
         touched = self._touched_versions(keys_filter, affected, n, era)
@@ -312,23 +329,17 @@ class PreserveStore:
         """(group_keys, _last_v): highest layer ≤ n that touched each group."""
         gk = self.group_keys
         n = self._era_layers(era) if n is None else n
-        parts = []
-        for v in range(1, n + 1):
-            aff = self._pruned(self._layer(v, "affected", era), keys_filter)
-            if affected is not None:
-                aff = aff.join(affected, gk, "left_semi")
-            parts.append(aff.select(*gk, F.lit(v).alias("_last_v")))
-        if not parts:
+        if n == 0:
             # no layers yet: empty frame with the right shape
             return (
                 self._base("results", era)
                 .select(*gk, F.lit(0).alias("_last_v"))
                 .limit(0)
             )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.groupBy(*gk).agg(F.max("_last_v").alias("_last_v"))
+        aff = self._pruned(self._layers(n, "affected", era), keys_filter)
+        if affected is not None:
+            aff = aff.join(affected, gk, "left_semi")
+        return aff.groupBy(*gk).agg(F.max("_v").alias("_last_v"))
 
     def current_results(self) -> DataFrame:
         return self._current("results")

@@ -197,25 +197,28 @@ def test_time_travel_survives_compact_until_vacuum(spark, tmp_path):
         store.results_as_of(0, base_version=0)
 
 
-def test_layer_read_cost_grows_until_compact(spark, tmp_path):
-    """Read cost is O(#layers): the reconstruction unions one scan per
-    layer, so an unbounded refresh stream degrades reads linearly — the
-    measurement that justifies running refresh(max_layers=...) compaction
-    cadence. After compact the read is a single base scan again."""
+def test_layer_read_plan_constant_until_compact(spark, tmp_path):
+    """The reconstruction plan is CONSTANT-size in the layer count (r6):
+    layers 1..n are ONE multi-path scan with ``_v`` parsed from the layer
+    path, not a per-layer unionByName chain — so an unbounded refresh
+    stream grows the FILE count a reader folds (row-level work, which is
+    what refresh(max_layers=...) compaction bounds) but never the plan.
+    After compact the read is a single base scan again."""
     store = _fresh_store(spark, tmp_path, BASE_ROWS)
     for i in range(6):
         store.refresh(_delta(spark, [(1, 100 + i, 1.0, "+")]))
 
     def n_scans(df):
         plan = df._jdf.queryExecution().executedPlan().toString()
-        return plan.count("FileScan parquet") + plan.count("Scan parquet")
+        return plan.count("FileScan parquet")
 
     layered = n_scans(store.current_results())
-    # base + 6 result layers + 6 affected-key files ≥ 13 scans
-    assert layered >= 13, layered
+    # base + ONE results-layers scan + ONE affected-keys scan — NOT
+    # 1 + 6 + 6; a regression to per-layer scan nodes fails here
+    assert layered == 3, layered
     store.compact()
     compacted = n_scans(store.current_results())
-    assert compacted <= 2, compacted
+    assert compacted == 1, compacted
     assert _results_dict(store)[1] == (9.0, 8, 2.0)
 
 
