@@ -102,3 +102,21 @@ def test_parse_png_header_rejects_non_png():
 
     with pytest.raises(ValueError):
         parse_png_header(b"GIF87a" + b"\x00" * 30)
+
+
+def test_parse_png_header_rejects_truncated_png():
+    """A valid 8-byte signature with fewer than the 29 bytes a complete
+    IHDR needs must raise the documented ValueError (not struct.error) —
+    callers of the metadata fast path catch ValueError to skip malformed
+    files."""
+    import pytest
+
+    from incr_iter_hadoop_spark.functions.png import (
+        encode_png_rgb,
+        parse_png_header,
+    )
+
+    real = encode_png_rgb([[(1, 2, 3)]])
+    for cut in (8, 12, 20, 28):
+        with pytest.raises(ValueError, match="truncated"):
+            parse_png_header(real[:cut])

@@ -117,6 +117,34 @@ def test_orphan_layer_from_crashed_apply_is_invisible(spark, tmp_path):
     assert h2[(1, 2)] == 12.0  # retried value, not the orphan's 99.0
 
 
+def test_crashed_initialize_leaves_store_uninitialized(spark, tmp_path):
+    """initialize() follows the same commit discipline as apply_era: the
+    base snapshot is written FIRST and the meta write is the atomic commit
+    point. A crash mid-initialize (simulated: meta write raises) must leave
+    exists()==False — never a committed store over a partial base — and a
+    retried initialize must heal by overwriting the orphan data files and
+    the half-created catalog entry."""
+    store = Scd2Store(spark, str(tmp_path / "scd2"))
+    orig = Scd2Store._write_meta
+    try:
+        def boom(self, meta):
+            raise RuntimeError("simulated crash before commit")
+
+        Scd2Store._write_meta = boom
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.initialize(_dim(spark), key_cols=["k"], num_buckets=4)
+    finally:
+        Scd2Store._write_meta = orig
+    # orphan base data may exist on disk, but the store is NOT committed
+    assert not store.exists()
+    # retry heals: full initialize + an era on top reads correctly
+    retried = Scd2Store(spark, str(tmp_path / "scd2"))
+    retried.initialize(_dim(spark), key_cols=["k"], num_buckets=4)
+    retried.apply_era(_changes1(spark))
+    got = {(r[0], r[2]): r[1] for r in _rows(retried.history_as_of())}
+    assert got[(1, 1)] == 11.0 and got[(4, 1)] == 40.0
+
+
 def test_unknown_era_rejected(spark, tmp_path):
     store = _store(spark, tmp_path)
     with pytest.raises(ValueError, match="not committed"):
