@@ -207,11 +207,20 @@ class Scd2Store:
                 f"Scd2Store: era {era} not committed (latest {last})"
             )
         h = self._base().withColumn("valid_from", F.lit(0).cast("bigint"))
-        for e in range(1, era + 1):
-            layer = self.spark.read.parquet(self._layer_path(e))
-            h = h.unionByName(
-                layer.withColumn("valid_from", F.lit(e).cast("bigint"))
+        if era >= 1:
+            # ONE multi-path scan for layers 1..era with valid_from parsed
+            # from the layer directory name (same constant-plan-size fix as
+            # PreserveStore._layers, r6): a per-era unionByName chain grew
+            # the plan and the file listings linearly with history depth —
+            # an SCD2 history never compacts, so depth is unbounded
+            paths = [self._layer_path(e) for e in range(1, era + 1)]
+            layers = self.spark.read.parquet(*paths).withColumn(
+                "valid_from",
+                F.regexp_extract(
+                    F.input_file_name(), r"/layers/e(\d+)/", 1
+                ).cast("bigint"),
             )
+            h = h.unionByName(layers)
         w = Window.partitionBy(*self.key_cols).orderBy("valid_from")
         return h.withColumn(
             "valid_to",

@@ -117,6 +117,28 @@ def test_orphan_layer_from_crashed_apply_is_invisible(spark, tmp_path):
     assert h2[(1, 2)] == 12.0  # retried value, not the orphan's 99.0
 
 
+def test_history_read_plan_constant_in_era_count(spark, tmp_path):
+    """history_as_of reads layers 1..era as ONE multi-path scan (r6, same
+    contract as PreserveStore): an SCD2 history never compacts, so a
+    per-era scan node would grow the plan without bound. Exactly 2
+    FileScans — base + the layers scan — however many eras exist."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    store.apply_era(_changes2(spark))
+    for i in range(4):
+        store.apply_era(
+            spark.createDataFrame([(1, 100.0 + i)], "k bigint, v double")
+        )
+    plan = (
+        store.history_as_of()._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+    # and the fold is still correct at era 6: key 1's current value is the
+    # last era's update
+    cur = {r[0]: r[1] for r in _rows(store.history_as_of()) if r[4]}
+    assert cur[1] == 103.0
+
+
 def test_crashed_initialize_leaves_store_uninitialized(spark, tmp_path):
     """initialize() follows the same commit discipline as apply_era: the
     base snapshot is written FIRST and the meta write is the atomic commit
