@@ -28,6 +28,10 @@ and measures how their costs actually scale:
 6. **SCD2 point-in-time join** (round 6) — history built by the real
    scd2_apply at 1× and 10× (keys AND facts); the equi-join + residual
    range filter must scale ~linearly in facts (no range-join blowup).
+7. **Refresh cost vs store depth** (round 6, section 3b) — 12 successive
+   thin refreshes on one 150× store: with constant-size read plans the
+   per-refresh wall must stay within 2.5× of the early-depth band, and a
+   compact() resets it.
 
 Usage: python bench/stress.py  [--quick]
 Prints one JSON line; appends it to bench/results/stress-<date>.json and
@@ -274,6 +278,97 @@ def main() -> None:
 
     scales = [150, 300] if QUICK else [150, 450]
     out["disk_refresh"] = [disk_ratio(c) for c in scales]
+
+    # ---- 3b. Refresh cost vs STORE DEPTH (round 6) ----------------------
+    # The r6 constant-plan fix (PreserveStore._layers: one multi-path scan,
+    # _v from the layer path) claims refresh cost no longer grows with the
+    # layer count through plan/listing overhead — only through the extra
+    # thin files each fold reads, which compaction resets. Measure: one
+    # 150x store, N successive thin refreshes (each adds one layer),
+    # per-refresh wall recorded; then compact and refresh again from
+    # depth 0. The pin: the late-depth median stays within 2.5x of the
+    # early-depth median, and the post-compact refresh returns to the
+    # early band.
+    def depth_sweep(n_copies: int, n_refresh: int):
+        rep = spark.range(n_copies).select(F.col("id").alias("_copy"))
+        big = o_all.crossJoin(rep).select(
+            "o_custkey",
+            (F.col("o_orderkey") + F.col("_copy") * 10_000_000_000).alias(
+                "o_orderkey"
+            ),
+            "o_totalprice",
+        )
+        root = tempfile.mkdtemp(prefix="stress_depth_")
+        store = PreserveStore(spark, os.path.join(root, "orders"))
+        store.initialize(
+            big,
+            group_keys=["o_custkey"],
+            source_keys=["o_orderkey"],
+            agg_sql={
+                "spend": "CAST(SUM(o_totalprice) AS DOUBLE)",
+                "n_orders": "CAST(COUNT(1) AS BIGINT)",
+            },
+            num_buckets=64,
+        )
+
+        def mk_delta(k: int):
+            aff = F.col("o_custkey") % (1901 + 2 * k) == 0
+            additions = (
+                o_all.where(aff)
+                .select(
+                    "o_custkey",
+                    (
+                        F.col("o_orderkey") + F.lit((20 + k) * 1_000_000_000_000)
+                    ).alias("o_orderkey"),
+                    "o_totalprice",
+                )
+                .withColumn("op", F.lit("+"))
+            )
+            removals = (
+                o_all.where(aff)
+                .select(
+                    "o_custkey",
+                    (
+                        F.col("o_orderkey") + F.lit((30 + k) * 10_000_000_000)
+                    ).alias("o_orderkey"),
+                    "o_totalprice",
+                )
+                .withColumn("op", F.lit("-"))
+            )
+            return additions.unionByName(removals).persist()
+
+        walls = []
+        for k in range(n_refresh):
+            d = mk_delta(k)
+            d.count()
+            t0 = time.perf_counter()
+            store.refresh(d)
+            walls.append(round(time.perf_counter() - t0, 3))
+        t0 = time.perf_counter()
+        store.compact()
+        compact_sec = round(time.perf_counter() - t0, 2)
+        d = mk_delta(n_refresh)
+        d.count()
+        t0 = time.perf_counter()
+        store.refresh(d)
+        post_compact = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(root, ignore_errors=True)
+        early = sorted(walls[1:4])[1]  # depths 2-4 (skip the cold first)
+        late = sorted(walls[-3:])[1]  # the three deepest
+        growth = round(late / early, 3) if early else None
+        assert growth is not None and growth < 2.5, (early, late, walls)
+        return {
+            "n_copies": n_copies,
+            "n_refresh": n_refresh,
+            "walls": walls,
+            "early_med": early,
+            "late_med": late,
+            "depth_growth": growth,
+            "compact_sec": compact_sec,
+            "post_compact_refresh": post_compact,
+        }
+
+    out["depth_sweep"] = depth_sweep(150, 8 if QUICK else 12)
     o_all.unpersist()
 
     # ---- 4. Media path: JPEG decode + aHash + banded LSH (round 6) ------
@@ -449,8 +544,9 @@ def _write_stress_md(results_dir: str) -> None:
         "| run | pagerank s/iter/Medges 1x -> Nx (ratio) | minhash s/kdocs"
         " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
-        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) |",
-        "|---|---|---|---|---|---|---|",
+        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | depth sweep"
+        " early -> late med (growth; post-compact) |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -479,12 +575,18 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({t2.get('scaling_ratio')})"
             if t2 else "—"
         )
+        ds = r.get("depth_sweep", {})
+        depth = (
+            f"{ds.get('early_med')} -> {ds.get('late_med')}"
+            f" ({ds.get('depth_growth')}; {ds.get('post_compact_refresh')})"
+            if ds else "—"
+        )
         lines.append(
             f"| {r.get('ts', '?')} | {pg.get('sec_per_iter_per_Medges_small')}"
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} | {media} | {star} | {scd2} |"
+            f" | {disks} | {media} | {star} | {scd2} | {depth} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
