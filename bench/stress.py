@@ -74,6 +74,11 @@ def main() -> None:
         "ts": datetime.now(timezone.utc).isoformat(timespec="seconds"),
         "cpus": int(CPUS),
     }
+    # Invariant violations are RECORDED, not asserted mid-run: one noisy
+    # measurement must not discard every earlier section's results before
+    # the JSON line is persisted (ADVICE r6). Each check appends here and
+    # sets an *_ok field in its section; main() exits nonzero AFTER saving.
+    violations: list[str] = []
 
     # ---- 1. PageRank per-iteration scaling ------------------------------
     from incr_iter_hadoop_spark.operators.generators import gen_graph_edges
@@ -356,8 +361,14 @@ def main() -> None:
         early = sorted(walls[1:4])[1]  # depths 2-4 (skip the cold first)
         late = sorted(walls[-3:])[1]  # the three deepest
         growth = round(late / early, 3) if early else None
-        assert growth is not None and growth < 2.5, (early, late, walls)
+        growth_ok = growth is not None and growth < 2.5
+        if not growth_ok:
+            violations.append(
+                f"depth_sweep: growth {growth} >= 2.5 (early {early}, "
+                f"late {late}, walls {walls})"
+            )
         return {
+            "depth_growth_ok": growth_ok,
             "n_copies": n_copies,
             "n_refresh": n_refresh,
             "walls": walls,
@@ -412,9 +423,15 @@ def main() -> None:
     ip2, ie2, iw2, ic2 = time_media(big_imgs)
     rec1 = round(ip1 / ie1, 4) if ie1 else None
     rec2 = round(ip2 / ie2, 4) if ie2 else None
-    assert rec1 is not None and rec1 >= 0.99, (ip1, ie1)
-    assert rec2 is not None and rec2 >= 0.99, (ip2, ie2)
+    recall_ok = (
+        rec1 is not None and rec1 >= 0.99 and rec2 is not None and rec2 >= 0.99
+    )
+    if not recall_ok:
+        violations.append(
+            f"media_phash: recall below 0.99 (small {ip1}/{ie1}, big {ip2}/{ie2})"
+        )
     out["media_phash"] = {
+        "recall_ok": recall_ok,
         "imgs_small": small_imgs, "pairs_small": ip1, "expected_small": ie1,
         "recall_small": rec1,
         "wall_small_sec": iw1, "sec_per_kimgs_small": ic1,
@@ -442,7 +459,11 @@ def main() -> None:
         n_comp = res.state.select("comp").distinct().count()
         wall = time.perf_counter() - t0
         res.state.unpersist()
-        assert n_comp == 1 and res.converged, (n_comp, res.converged)
+        if not (n_comp == 1 and res.converged):
+            violations.append(
+                f"star_cc_path: n={n_nodes} components {n_comp}, "
+                f"converged {res.converged}"
+            )
         return res.iterations, round(wall, 2), round(wall / res.iterations, 3)
 
     small_path = 20_000
@@ -507,7 +528,10 @@ def main() -> None:
         wall = time.perf_counter() - t0
         hist.unpersist()
         # exactly-one-version-per-fact: counts must sum to n_facts
-        assert sum(rows.values()) == n_facts, rows
+        if sum(rows.values()) != n_facts:
+            violations.append(
+                f"scd2_pit_join: version counts {rows} sum != {n_facts}"
+            )
         return n_versions, round(wall, 2), round(wall / (n_facts / 1e6), 3)
 
     small_keys, small_facts = 200_000, 2_000_000
@@ -522,6 +546,7 @@ def main() -> None:
         "scaling_ratio": round(tc2 / tc1, 3) if tc1 else None,
     }
 
+    out["violations"] = violations
     line = json.dumps(out)
     print(line)
     results_dir = os.path.join(REPO, "bench", "results")
@@ -530,6 +555,11 @@ def main() -> None:
     with open(path, "a") as fh:
         fh.write(line + "\n")
     _write_stress_md(results_dir)
+    if violations:
+        print(f"STRESS VIOLATIONS ({len(violations)}):", file=sys.stderr)
+        for v in violations:
+            print(f"  {v}", file=sys.stderr)
+        sys.exit(1)
 
 
 def _write_stress_md(results_dir: str) -> None:

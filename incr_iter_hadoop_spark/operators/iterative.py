@@ -15,7 +15,11 @@ over DataFrames:
 Oracle strategy: the *bounded* variants run a fixed iteration count that a
 DuckDB CTE chain reproduces exactly; the *converged* variants exercise the
 reference's distance-threshold termination (JobTracker.java:5586-5595) and
-get rows-only checks plus naive-twin pytest oracles (SURVEY §5.2).
+since round 5 ALSO carry exact DuckDB oracles — the CTE unrolls past the
+worst-case round count, selects the stop round by the loop's own
+termination rule in SQL, and poisons the result on insufficient unroll
+(see ``pagerank_converged`` / ``kmeans_converged`` registrations) — plus
+naive-twin pytest oracles (SURVEY §5.2).
 
 Scale notes: the static side (edges/matrix) is repartitioned by join key and
 persisted once — iterations reuse the exchange; only the transposed

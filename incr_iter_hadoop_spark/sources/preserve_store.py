@@ -43,6 +43,7 @@ still benefits from planner-side bucket pruning and min/max range stats.
 from __future__ import annotations
 
 import contextlib
+import hashlib
 import json
 import os
 import re
@@ -152,10 +153,14 @@ class PreserveStore:
     # -- base tables (bucketed external parquet) ---------------------------
 
     def _table_name(self, which: str, era: int | None = None) -> str:
-        # catalog-safe, stable per store path so re-registration is idempotent
+        # catalog-safe, stable per store path so re-registration is
+        # idempotent; the slug alone is not injective across paths
+        # (/tmp/a-b vs /tmp/a_b), so a short hash of the raw path keeps
+        # distinct stores from clobbering each other's catalog entries
         era = int(self.meta["base_version"]) if era is None else era
         slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.path).strip("_").lower()
-        return f"preserve_{slug}_{which}_v{era}"
+        tag = hashlib.md5(self.path.encode()).hexdigest()[:8]
+        return f"preserve_{slug}_{tag}_{which}_v{era}"
 
     def _base_path(self, which: str, era: int | None = None) -> str:
         era = int(self.meta["base_version"]) if era is None else era
@@ -251,10 +256,14 @@ class PreserveStore:
         constant size, and still pushes the group-key filter into every
         file."""
         paths = [self._layer_path(v, which, era) for v in range(1, n + 1)]
+        # anchored to the data-file position (layers/b<e>/v<N>/<which>/
+        # part-*): an unanchored leftmost match would pick up a matching
+        # segment from the store root's own path and stamp the wrong _v
+        # on every row with no error (ADVICE r6)
         return self.spark.read.parquet(*paths).withColumn(
             "_v",
             F.regexp_extract(
-                F.input_file_name(), r"/layers/b\d+/v(\d+)/", 1
+                F.input_file_name(), r"/layers/b\d+/v(\d+)/[^/]+/[^/]+$", 1
             ).cast("int"),
         )
 

@@ -41,6 +41,7 @@ filter (see ``scd2_point_in_time_join``), hash-joinable at any scale.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -101,8 +102,13 @@ class Scd2Store:
     # -- storage -----------------------------------------------------------
 
     def _table_name(self) -> str:
+        # the slug alone is NOT injective (/tmp/a-b and /tmp/a_b collide,
+        # as do case-differing paths) and initialize() DROPs the name —
+        # a short hash of the raw path makes distinct stores distinct
+        # catalog entries (ADVICE r6)
         slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.path).strip("_").lower()
-        return f"scd2_{slug}_base"
+        tag = hashlib.md5(self.path.encode()).hexdigest()[:8]
+        return f"scd2_{slug}_{tag}_base"
 
     def _base_path(self) -> str:
         return os.path.join(self.path, "base")
@@ -141,8 +147,21 @@ class Scd2Store:
         crash mid-snapshot leaves ``exists() == False`` (an uninitialized
         store with orphan data files) rather than a committed store over a
         partial base. The retry drops the half-created catalog entry and
-        overwrites the orphan files."""
+        overwrites the orphan files.
+
+        NULL key values are rejected (same contract as ``apply_era`` and
+        ``PreserveStore``): a NULL-keyed version can never be closed by the
+        key window nor matched by a point-in-time equi-join."""
         self._meta = None
+        null_pred = None
+        for k in key_cols:
+            c = F.col(k).isNull()
+            null_pred = c if null_pred is None else (null_pred | c)
+        if dim.where(null_pred).limit(1).count():
+            raise ValueError(
+                f"Scd2Store.initialize: dimension contains NULL key values "
+                f"in {list(key_cols)}; NULL keys cannot be versioned"
+            )
         meta = {
             "key_cols": list(key_cols),
             "columns": list(dim.columns),
@@ -176,11 +195,45 @@ class Scd2Store:
         """Commit one era of changes (update rows for existing keys, insert
         rows for new keys; same attribute schema as the base dimension).
 
+        **Contract: at most ONE row per key per era, and keys are non-NULL**
+        — enforced here, not assumed. Two versions of a key in a single era
+        would share one ``valid_from``, so the read-time ``lead()`` window
+        would assign one of them a zero-width ``[e, e)`` interval
+        nondeterministically, silently diverging from chained
+        ``scd2_apply``; NULL keys can never be matched by the key window or
+        a downstream point-in-time equi-join. Both are rejected loudly
+        BEFORE the layer write (one aggregate over the small changes set).
+
         O(|changes|) write, zero reads of prior state: the close of the
         superseded versions is derived at read time, so nothing here needs
         to know which keys exist. The meta era bump at the end is the
         atomic commit point — a crash before it leaves the history exactly
         at the previous era."""
+        keys = self.key_cols
+        chk = changes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
+            F.sum(
+                F.when(
+                    F.greatest(*[F.col(k).isNull() for k in keys])
+                    if len(keys) > 1
+                    else F.col(keys[0]).isNull(),
+                    1,
+                ).otherwise(0)
+            ).alias("n_null"),
+        ).first()
+        if chk["n_null"]:
+            raise ValueError(
+                f"Scd2Store.apply_era: {chk['n_null']} change row(s) carry "
+                f"NULL key values in {keys}; NULL keys cannot be versioned"
+            )
+        if chk["n_keys"] != chk["n"]:
+            raise ValueError(
+                f"Scd2Store.apply_era: changes carry duplicate keys "
+                f"({chk['n']} rows, {chk['n_keys']} distinct {keys}); one "
+                f"era admits at most one version per key — pre-aggregate "
+                f"to last-change-wins or split into multiple eras"
+            )
         e = self.era + 1
         self._write_layer(e, changes)
         meta = dict(self.meta)
@@ -214,10 +267,15 @@ class Scd2Store:
             # the plan and the file listings linearly with history depth —
             # an SCD2 history never compacts, so depth is unbounded
             paths = [self._layer_path(e) for e in range(1, era + 1)]
+            # anchored to the data-file position (layers/e<N>/part-*): an
+            # unanchored leftmost match would pick up a "/layers/eN/"
+            # segment from the STORE ROOT's own path (e.g. a store created
+            # inside another store's layer dir) and stamp the wrong
+            # valid_from on every row with no error (ADVICE r6)
             layers = self.spark.read.parquet(*paths).withColumn(
                 "valid_from",
                 F.regexp_extract(
-                    F.input_file_name(), r"/layers/e(\d+)/", 1
+                    F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
                 ).cast("bigint"),
             )
             h = h.unionByName(layers)

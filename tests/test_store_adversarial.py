@@ -1,0 +1,318 @@
+"""Adversarial/hostile-content coverage for the two on-disk stores
+(VERDICT r6 ask #5 + the four ADVICE r6 findings).
+
+What can actually go wrong, and is pinned here:
+
+- **Nested store roots** (a store created inside another store's layer
+  directory): the version/era stamp is parsed from ``input_file_name()``,
+  and an unanchored leftmost regex would match the OUTER path segment and
+  silently stamp the wrong ``valid_from``/``_v`` on every row. The fix
+  anchors the match to the data-file position.
+- **Catalog-name collisions**: ``_table_name`` slugs the store path by
+  collapsing non-alphanumerics, so ``/x/a-b`` and ``/x/a_b`` used to map
+  to one catalog table; ``initialize()`` DROPs the name, clobbering the
+  other live store's entry. The fix appends a hash of the raw path.
+- **Scd2Store key hygiene** (PreserveStore already rejected NULLs):
+  NULL keys in the base dim or in changes, and duplicate keys within one
+  era (two versions sharing a ``valid_from`` make the read-time ``lead()``
+  window nondeterministic), are rejected loudly BEFORE anything is
+  written — a failed apply must leave the committed era untouched.
+- **Hostile key/attribute content** (unicode, newlines, quotes,
+  backslashes, empty strings) through the bucketed write + window read;
+  empty-changes eras.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from incr_iter_hadoop_spark.operators.incremental import scd2_apply
+from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+
+OPEN_END = 999_999
+
+
+def _hist_rows(df):
+    return sorted(
+        (r["k"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scd2Store key hygiene
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_initialize_rejects_null_keys(spark, tmp_path):
+    dim = spark.createDataFrame([(1, 1.0), (None, 2.0)], "k bigint, v double")
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    with pytest.raises(ValueError, match="NULL key"):
+        store.initialize(dim, key_cols=["k"])
+    assert not store.exists()
+
+
+def test_scd2_apply_era_rejects_null_keys_and_leaves_era_intact(spark, tmp_path):
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    store.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"), key_cols=["k"]
+    )
+    bad = spark.createDataFrame([(None, 9.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="NULL key"):
+        store.apply_era(bad)
+    assert store.era == 0
+    assert _hist_rows(store.history_as_of()) == [(1, 1.0, 0, OPEN_END, True)]
+
+
+def test_scd2_apply_era_rejects_duplicate_keys_per_era(spark, tmp_path):
+    """Two versions of one key in a single era would share valid_from, so
+    lead() would close one of them into a zero-width [e, e) interval
+    nondeterministically — the contract is one row per key per era, and it
+    is enforced, not assumed (ADVICE r6)."""
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    store.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"), key_cols=["k"]
+    )
+    dup = spark.createDataFrame([(1, 2.0), (1, 3.0)], "k bigint, v double")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        store.apply_era(dup)
+    assert store.era == 0  # failed apply commits nothing
+    ok = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    assert store.apply_era(ok) == 1
+
+
+def test_scd2_apply_era_rejects_duplicate_composite_keys(spark, tmp_path):
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    store.initialize(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "k1 bigint, k2 string, v double"
+        ),
+        key_cols=["k1", "k2"],
+    )
+    dup = spark.createDataFrame(
+        [(1, "a", 2.0), (1, "a", 3.0), (2, "b", 4.0)],
+        "k1 bigint, k2 string, v double",
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        store.apply_era(dup)
+
+
+def test_scd2_empty_changes_era_commits_and_reads(spark, tmp_path):
+    """A no-op refresh window is legal: the era commits, history is
+    unchanged except that the new era is addressable."""
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    store.initialize(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    empty = spark.createDataFrame([], "k bigint, v double")
+    assert store.apply_era(empty) == 1
+    store.apply_era(spark.createDataFrame([(1, 9.0)], "k bigint, v double"))
+    assert _hist_rows(store.history_as_of(1)) == _hist_rows(
+        store.history_as_of(0)
+    )
+    assert _hist_rows(store.history_as_of(2)) == [
+        (1, 1.0, 0, 2, False),
+        (1, 9.0, 2, OPEN_END, True),
+        (2, 2.0, 0, OPEN_END, True),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Hostile key content through the bucketed write + window read
+# ---------------------------------------------------------------------------
+
+HOSTILE_KEYS = [
+    "plain",
+    "uniçødé 日本語",
+    "embedded\nnewline",
+    'quo"te\'s',
+    "back\\slash",
+    "",  # empty string is a legal (non-NULL) key
+    "  leading and trailing  ",
+    "comma,semicolon;tab\there",
+]
+
+
+def test_scd2_hostile_string_keys_roundtrip(spark, tmp_path):
+    """Unicode/newline/quote/backslash/empty keys survive the bucketed
+    parquet write, the catalog DDL, and the window read — and the store's
+    reconstruction still equals chained scd2_apply on the same data."""
+    dim = spark.createDataFrame(
+        [(k, float(i)) for i, k in enumerate(HOSTILE_KEYS)],
+        "k string, v double",
+    )
+    changes = spark.createDataFrame(
+        [(k, float(i) + 100.0) for i, k in enumerate(HOSTILE_KEYS[:4])],
+        "k string, v double",
+    )
+    store = Scd2Store(spark, str(tmp_path / "s"))
+    store.initialize(dim, key_cols=["k"], num_buckets=4)
+    store.apply_era(changes)
+
+    base = dim.select(
+        "k",
+        "v",
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(OPEN_END).cast("bigint").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    expected = scd2_apply(base, changes, key_cols=["k"], era=1)
+    assert _hist_rows(store.history_as_of()) == _hist_rows(expected)
+
+
+def test_preserve_hostile_string_group_keys_roundtrip(spark, tmp_path):
+    """Same hostile content through PreserveStore's bucketed base + layered
+    refresh: results must match a from-scratch recompute."""
+    rows = [(k, i, float(i + 1)) for i, k in enumerate(HOSTILE_KEYS)]
+    contribs = spark.createDataFrame(rows, "g string, s bigint, v double")
+    store = PreserveStore(spark, str(tmp_path / "p"))
+    store.initialize(
+        contribs,
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=4,
+    )
+    delta = spark.createDataFrame(
+        [(HOSTILE_KEYS[1], 100, 50.0, "+"), (HOSTILE_KEYS[2], 2, 3.0, "-")],
+        "g string, s bigint, v double, op string",
+    )
+    store.refresh(delta)
+    got = {r["g"]: r["total"] for r in store.current_results().collect()}
+    assert got[HOSTILE_KEYS[1]] == pytest.approx(2.0 + 50.0)
+    assert HOSTILE_KEYS[2] not in got  # its only contrib was retracted
+    assert got[HOSTILE_KEYS[0]] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Nested store roots: the version-stamp regex must not match the outer path
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_store_nested_inside_layer_dir_stamps_correct_eras(
+    spark, tmp_path
+):
+    """A store rooted under another store's layer directory (path contains
+    /layers/e1/) must still stamp ITS OWN layer numbers — the unanchored
+    leftmost match would have returned 1 for every layer (ADVICE r6)."""
+    outer = Scd2Store(spark, str(tmp_path / "outer"))
+    outer.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"), key_cols=["k"]
+    )
+    outer.apply_era(spark.createDataFrame([(2, 2.0)], "k bigint, v double"))
+
+    nested_root = os.path.join(outer._layer_path(1), "nested_store")
+    inner = Scd2Store(spark, nested_root)
+    inner.initialize(
+        spark.createDataFrame([(10, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    inner.apply_era(spark.createDataFrame([(10, 2.0)], "k bigint, v double"))
+    inner.apply_era(spark.createDataFrame([(10, 3.0)], "k bigint, v double"))
+    assert _hist_rows(inner.history_as_of()) == [
+        (10, 1.0, 0, 1, False),
+        (10, 2.0, 1, 2, False),
+        (10, 3.0, 2, OPEN_END, True),
+    ]
+    # the outer store never sees the squatter (layers are addressed by
+    # exact era paths, not directory listing)
+    assert _hist_rows(outer.history_as_of()) == [
+        (1, 1.0, 0, OPEN_END, True),
+        (2, 2.0, 1, OPEN_END, True),
+    ]
+
+
+def test_preserve_store_nested_inside_layer_dir_stamps_correct_versions(
+    spark, tmp_path
+):
+    outer = PreserveStore(spark, str(tmp_path / "outer"))
+    outer.initialize(
+        spark.createDataFrame([(1, 1, 1.0)], "g bigint, s bigint, v double"),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    outer.refresh(
+        spark.createDataFrame(
+            [(1, 2, 5.0, "+")], "g bigint, s bigint, v double, op string"
+        )
+    )
+
+    nested_root = os.path.join(
+        outer._layer_path(1, "results"), "nested_store"
+    )
+    inner = PreserveStore(spark, nested_root)
+    inner.initialize(
+        spark.createDataFrame([(7, 1, 1.0)], "g bigint, s bigint, v double"),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    # two refreshes of the same group: last-layer-wins needs _v stamped 1,2
+    inner.refresh(
+        spark.createDataFrame(
+            [(7, 2, 10.0, "+")], "g bigint, s bigint, v double, op string"
+        )
+    )
+    inner.refresh(
+        spark.createDataFrame(
+            [(7, 3, 100.0, "+")], "g bigint, s bigint, v double, op string"
+        )
+    )
+    got = {r["g"]: r["total"] for r in inner.current_results().collect()}
+    assert got == {7: pytest.approx(111.0)}
+
+
+# ---------------------------------------------------------------------------
+# Catalog-name injectivity: slug-colliding paths must not clobber each other
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_slug_colliding_paths_are_distinct_stores(spark, tmp_path):
+    """/x/a-b and /x/a_b collapse to the same slug; before the path-hash
+    suffix the second initialize() DROPped and re-pointed the first
+    store's catalog table (ADVICE r6)."""
+    s1 = Scd2Store(spark, str(tmp_path / "a-b"))
+    s1.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"), key_cols=["k"]
+    )
+    s2 = Scd2Store(spark, str(tmp_path / "a_b"))
+    s2.initialize(
+        spark.createDataFrame([(2, 2.0)], "k bigint, v double"), key_cols=["k"]
+    )
+    assert s1._table_name() != s2._table_name()
+    assert _hist_rows(s1.history_as_of()) == [(1, 1.0, 0, OPEN_END, True)]
+    assert _hist_rows(s2.history_as_of()) == [(2, 2.0, 0, OPEN_END, True)]
+
+
+def test_preserve_slug_colliding_paths_are_distinct_stores(spark, tmp_path):
+    p1 = PreserveStore(spark, str(tmp_path / "a-b"))
+    p1.initialize(
+        spark.createDataFrame([(1, 1, 1.0)], "g bigint, s bigint, v double"),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    p2 = PreserveStore(spark, str(tmp_path / "a_b"))
+    p2.initialize(
+        spark.createDataFrame([(2, 1, 9.0)], "g bigint, s bigint, v double"),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    assert p1._table_name("results") != p2._table_name("results")
+    assert {r["g"]: r["total"] for r in p1.current_results().collect()} == {
+        1: pytest.approx(1.0)
+    }
+    assert {r["g"]: r["total"] for r in p2.current_results().collect()} == {
+        2: pytest.approx(9.0)
+    }
