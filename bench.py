@@ -15,6 +15,15 @@ MEDIANS (the regression metric — recorded single-shot history spans
 30.4-60.9s for identical code, so one-shot numbers can't separate drift
 from sandbox contention), "queries_runs" holds the raw samples, and
 bench/results/TREND.md tabulates medians across recorded runs.
+
+A/B mode (round-7 drift protocol): ``python bench.py --ab <ref>
+[--draws N]`` checks out ``<ref>`` in a throwaway worktree and runs its
+bench.py INTERLEAVED with HEAD's (alternating order per draw, same
+machine hour, same session count) so cross-version deltas can't be an
+artifact of the hour the two runs happened to land in. Per-query medians
+per side + ratios go to one JSON line, ``bench/results/ab-runs.jsonl``,
+and ``bench/results/AB.md``. Ambient drift shows up as ratio ≈ 1 across
+the board; a real regression shows up as specific queries off-ratio.
 """
 
 from __future__ import annotations
@@ -493,5 +502,149 @@ def _write_trend_table(results_dir: str) -> None:
         f.write("\n".join(out) + "\n")
 
 
+def main_ab(ref: str, draws: int) -> None:
+    """Interleaved A/B of ``ref``'s bench.py vs HEAD's (see module doc).
+
+    Each draw is ONE subprocess invocation per side with
+    SPARK_GRAFT_BENCH_REPS=1 (a fresh JVM each time — session startup is
+    excluded from the per-query numbers by each side's own warmup action);
+    the draw order alternates (ref,head / head,ref) so slow machine hours
+    hit both sides symmetrically. Compared on the queries both sides
+    report."""
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+
+    def resolve(r: str) -> str:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", r],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.strip()
+
+    def worktree(sha: str) -> str:
+        w = os.path.join(tempfile.gettempdir(), f"bench_ab_{sha}")
+        if not os.path.isdir(w):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", w, sha],
+                cwd=repo, check=True,
+            )
+        return w
+
+    # BOTH sides run in throwaway worktrees: committed-state vs
+    # committed-state (uncommitted edits are invisible — commit first), and
+    # neither side's per-draw record lines land in the repo's
+    # bench/results/ trend (only the ab_compare line does, with the raw
+    # draws inlined).
+    sha, head_sha = resolve(ref), resolve("HEAD")
+    wt, wt_head = worktree(sha), worktree(head_sha)
+    env = dict(os.environ, SPARK_GRAFT_BENCH_REPS="1")
+
+    def run_once(cwd: str) -> dict:
+        p = subprocess.run(
+            [sys.executable, "bench.py"],
+            cwd=cwd, env=env, capture_output=True, text=True, check=True,
+        )
+        for line in reversed(p.stdout.strip().splitlines()):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if rec.get("metric") == "headline_total_wall":
+                return rec
+        raise RuntimeError(f"no bench JSON line from {cwd}:\n{p.stdout[-2000:]}")
+
+    samples: dict[str, list[dict]] = {"ref": [], "head": []}
+    for d in range(draws):
+        order = (
+            [("ref", wt), ("head", wt_head)]
+            if d % 2 == 0
+            else [("head", wt_head), ("ref", wt)]
+        )
+        for side, cwd in order:
+            print(f"ab draw {d + 1}/{draws} side={side} ...", file=sys.stderr)
+            samples[side].append(run_once(cwd))
+
+    common = sorted(
+        set.intersection(
+            *(set(r["queries"]) for rs in samples.values() for r in rs)
+        )
+    )
+    per_q = {}
+    for q in common:
+        mr = _median([r["queries"][q] for r in samples["ref"]])
+        mh = _median([r["queries"][q] for r in samples["head"]])
+        per_q[q] = {
+            "ref": mr,
+            "head": mh,
+            "ratio": round(mh / mr, 3) if mr else None,
+        }
+    tot_ref = round(sum(v["ref"] for v in per_q.values()), 3)
+    tot_head = round(sum(v["head"] for v in per_q.values()), 3)
+    result = {
+        "metric": "ab_compare",
+        "unit": "sec",
+        "ref": ref,
+        "ref_sha": sha,
+        "head_sha": head_sha,
+        "draws": draws,
+        "sf": samples["head"][0].get("sf"),
+        "value": round(tot_head / tot_ref, 3) if tot_ref else None,
+        "total_ref": tot_ref,
+        "total_head": tot_head,
+        "queries": per_q,
+        "raw": {
+            side: [{q: r["queries"].get(q) for q in common} for r in rs]
+            for side, rs in samples.items()
+        },
+    }
+    print(json.dumps(result))
+    try:
+        os.makedirs("bench/results", exist_ok=True)
+        with open("bench/results/ab-runs.jsonl", "a") as f:
+            f.write(json.dumps(result) + "\n")
+        _write_ab_table("bench/results")
+    except OSError:
+        pass
+
+
+def _write_ab_table(results_dir: str) -> None:
+    path = os.path.join(results_dir, "ab-runs.jsonl")
+    recs = []
+    with open(path) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    lines = [
+        "# Interleaved A/B runs (bench.py --ab; per-query medians over",
+        "# alternating draws — ratio = head/ref, ≈1.0 everywhere means the",
+        "# cross-round delta is ambient, specific off-ratio queries mean a",
+        "# real regression)",
+        "",
+    ]
+    for r in recs:
+        lines.append(
+            f"## {r['ref']} ({r['ref_sha']}) vs HEAD — {r['draws']} draws, "
+            f"sf{r['sf']}, total {r['total_ref']} -> {r['total_head']} "
+            f"(x{r['value']})"
+        )
+        lines.append("")
+        lines.append("| query | ref med | head med | head/ref |")
+        lines.append("|---|---|---|---|")
+        for q, v in sorted(r["queries"].items()):
+            lines.append(f"| {q} | {v['ref']} | {v['head']} | {v['ratio']} |")
+        lines.append("")
+    with open(os.path.join(results_dir, "AB.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 if __name__ == "__main__":
-    main()
+    if "--ab" in sys.argv:
+        i = sys.argv.index("--ab")
+        ab_ref = sys.argv[i + 1]
+        n_draws = (
+            int(sys.argv[sys.argv.index("--draws") + 1])
+            if "--draws" in sys.argv
+            else 4
+        )
+        main_ab(ab_ref, n_draws)
+    else:
+        main()
