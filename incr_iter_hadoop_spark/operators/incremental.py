@@ -1631,9 +1631,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "scd2_store_two_eras",
-    oracle="""
+# Shared by scd2_store_two_eras and scd2_store_snapshot_reads: both read
+# history_as_of(1) and history_as_of(2) of the same two-era store, so the
+# independent DuckDB rebuild is identical — the snapshot variant only
+# changes WHICH on-disk generation serves the read, which is exactly the
+# invariant worth pinning (a snapshot must not change any answer).
+_SCD2_TWO_ERAS_ORACLE = """
     WITH v AS (
       SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from
       FROM customer
@@ -1667,7 +1670,12 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY as_of, c_custkey ORDER BY valid_from),
              999999) = 999999 AS is_current
     FROM h
-    """,
+    """
+
+
+@register(
+    "scd2_store_two_eras",
+    oracle=_SCD2_TWO_ERAS_ORACLE,
     doc="I6 applied to versioned dimensions (round-6 unification): build an "
     "on-disk era-layered Scd2Store (sources/scd2_store.py) from the "
     "customer dimension, commit TWO eras of changes as append-only layers "
@@ -1683,6 +1691,16 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pinned by tests/test_scd2_store.py.",
 )
 def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scd2_store_eras_read(
+        _customer_scd2_store(spark, sf_dir, "two_eras")
+    )
+
+
+def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
+    """Pid-unique on-disk Scd2Store over the customer dimension with two
+    committed eras (the generating predicates the oracles rebuild):
+    era 1 — every 7th balance +100, every 13th key spawns key+1M;
+    era 2 — every 5th +200, every 26th's spawned key +500."""
     import re
     import tempfile
 
@@ -1692,12 +1710,9 @@ def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     slug = re.sub(
         r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
     ).strip("_").lower()
-    path = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_scd2",
-        f"customer_{slug}_p{os.getpid()}",
-    )
-    _cleanup_at_exit(os.path.dirname(path), f"customer_{slug}_p{os.getpid()}")
+    name = f"customer_{tag}_{slug}_p{os.getpid()}"
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_scd2", name)
+    _cleanup_at_exit(os.path.dirname(path), name)
     store = Scd2Store(spark, path)
     store.initialize(
         c.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
@@ -1730,6 +1745,10 @@ def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.apply_era(changes1)
     store.apply_era(changes2)
+    return store
+
+
+def _scd2_store_eras_read(store) -> DataFrame:
     h1 = store.history_as_of(1).withColumn(
         "as_of", F.lit(1).cast("bigint")
     )
@@ -1739,4 +1758,120 @@ def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h1.unionByName(h2).select(
         "as_of", "c_custkey", "acctbal", "valid_from", "valid_to",
         "is_current",
+    )
+
+
+@register(
+    "scd2_store_snapshot_reads",
+    oracle=_SCD2_TWO_ERAS_ORACLE,
+    doc="Scd2Store.snapshot (round 7): same two-era customer store as "
+    "scd2_store_two_eras, but AFTER snapshot(1) folds base+layer-1 into a "
+    "new bucketed generation. history_as_of(1) is then served from the "
+    "snapshot generation alone (one bucketed scan, zero layer scans) and "
+    "history_as_of(2) from the generation + only layer 2 — read cost "
+    "bounded by snapshot cadence, not total history depth — while BOTH "
+    "answers must be byte-identical to the never-snapshotted store, which "
+    "is why this registration reuses scd2_store_two_eras' oracle verbatim "
+    "(a fold that changes any answer is a corruption, not a snapshot). "
+    "Time-travel-below-snapshot and vacuum() are pinned by "
+    "tests/test_scd2_store.py.",
+)
+def scd2_store_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _customer_scd2_store(spark, sf_dir, "snap_reads")
+    store.snapshot(1)
+    return _scd2_store_eras_read(store)
+
+
+@register(
+    "scd2_store_pit_join",
+    oracle="""
+    WITH history AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal,
+             0 AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 999999 END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6) AS acctbal,
+             1 AS valid_from, 999999 AS valid_to
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    fact AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+                  THEN 1 ELSE 0 END AS era,
+             o_totalprice
+      FROM orders
+    )
+    SELECT f.era,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(h.acctbal), 6) AS acctbal_total
+    FROM fact f
+    JOIN history h
+      ON h.c_custkey = f.o_custkey
+     AND f.era >= h.valid_from AND f.era < h.valid_to
+    GROUP BY f.era
+    """,
+    doc="STORE-BACKED point-in-time join (round 7, VERDICT r6 ask #4): "
+    "same query as scd2_point_in_time_join (same oracle — each order "
+    "joins the customer version valid in the order's pre/post-1996 era), "
+    "but the history comes from a durable Scd2Store and the orders facts "
+    "are bucketed on the customer key to the store's bucket spec, so "
+    "Scd2Store.pit_join's split-by-touched plan applies: untouched keys "
+    "(6/7 of the dimension) sort-merge join co-bucketed with ZERO "
+    "Exchange on either side — the facts never shuffle — and the touched "
+    "keys' full history (O(|changes|)) broadcasts. Plan pinned by "
+    "tests/test_scd2_store.py::test_pit_join_cold_branch_no_exchange.",
+)
+def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import tempfile
+
+    from ..sources.scd2_store import Scd2Store
+
+    c = load_table(spark, sf_dir, "customer")
+    slug = re.sub(
+        r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
+    ).strip("_").lower()
+    name = f"customer_pit_{slug}_p{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scd2", name)
+    _cleanup_at_exit(os.path.dirname(root), name)
+    store = Scd2Store(spark, os.path.join(root, "store"))
+    store.initialize(
+        c.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
+        key_cols=["c_custkey"],
+        num_buckets=8,
+    )
+    store.apply_era(
+        c.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("1996-01-01").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("era"),
+        "o_totalprice",
+    )
+    # facts at rest, co-bucketed with the store (the 100 TB premise: facts
+    # are bucketed on the dimension key at ingestion, joins never move them)
+    tbl = f"pit_facts_{slug}_p{os.getpid()}"
+    (
+        facts.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(root, "facts"))
+        .saveAsTable(tbl)
+    )
+    joined = store.pit_join(spark.table(tbl), "era")
+    return joined.groupBy("era").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
     )

@@ -99,35 +99,99 @@ class Scd2Store:
     def open_end(self) -> int:
         return int(self.meta["open_end"])
 
+    @property
+    def snaps(self) -> list[int]:
+        """Committed snapshot generations, ascending; 0 is the initialize
+        base. ``history_as_of(e)`` reads from the newest generation ≤ e."""
+        return sorted(int(s) for s in self.meta.get("snaps", [0]))
+
+    @property
+    def vacuumed_below(self) -> int:
+        """Eras below this are unreadable (their pre-snapshot layers and
+        generation bases were deleted by ``vacuum()``)."""
+        return int(self.meta.get("vacuumed_below", 0))
+
     # -- storage -----------------------------------------------------------
 
-    def _table_name(self) -> str:
+    def _table_name(self, gen: int = 0) -> str:
         # the slug alone is NOT injective (/tmp/a-b and /tmp/a_b collide,
         # as do case-differing paths) and initialize() DROPs the name —
         # a short hash of the raw path makes distinct stores distinct
         # catalog entries (ADVICE r6)
         slug = re.sub(r"[^0-9a-zA-Z]+", "_", self.path).strip("_").lower()
         tag = hashlib.md5(self.path.encode()).hexdigest()[:8]
-        return f"scd2_{slug}_{tag}_base"
+        suffix = "base" if gen == 0 else f"snap{gen}"
+        return f"scd2_{slug}_{tag}_{suffix}"
 
-    def _base_path(self) -> str:
-        return os.path.join(self.path, "base")
+    def _base_path(self, gen: int = 0) -> str:
+        return os.path.join(
+            self.path, "base" if gen == 0 else f"base_s{gen}"
+        )
 
     def _layer_path(self, era: int) -> str:
         return os.path.join(self.path, f"layers/e{era}")
 
-    def _base(self) -> DataFrame:
-        name = self._table_name()
+    def _gen_ddl(self, gen: int) -> str:
+        # generation 0 stores the bare dimension (valid_from is implicitly
+        # 0); snapshot generations persist the folded multi-version history,
+        # so valid_from is a real column
+        ddl = self.meta["schema_ddl"]
+        return ddl if gen == 0 else f"{ddl}, `valid_from` BIGINT"
+
+    def _base(self, gen: int = 0) -> DataFrame:
+        name = self._table_name(gen)
         if not self.spark.catalog.tableExists(name):
             m = self.meta
             keys = ", ".join(f"`{k}`" for k in m["key_cols"])
             self.spark.sql(
-                f"CREATE TABLE {name} ({m['schema_ddl']}) USING PARQUET"
+                f"CREATE TABLE {name} ({self._gen_ddl(gen)}) USING PARQUET"
                 f" CLUSTERED BY ({keys}) SORTED BY ({keys})"
                 f" INTO {m['num_buckets']} BUCKETS"
-                f" LOCATION '{self._base_path()}'"
+                f" LOCATION '{self._base_path(gen)}'"
             )
         return self.spark.table(name)
+
+    def _gen_for(self, era: int) -> int:
+        """The newest committed snapshot generation ≤ ``era`` whose
+        pre-history is still on disk."""
+        if era < self.vacuumed_below:
+            raise ValueError(
+                f"Scd2Store: era {era} was vacuumed (eras < "
+                f"{self.vacuumed_below} are unreadable)"
+            )
+        return max(s for s in self.snaps if s <= era)
+
+    def _layers_df(self, lo: int, hi: int) -> DataFrame | None:
+        """Layers lo..hi as ONE multi-path scan with ``valid_from`` parsed
+        from the layer directory name — constant plan size in era count
+        (r6; same contract as PreserveStore._layers)."""
+        if hi < lo:
+            return None
+        paths = [self._layer_path(e) for e in range(lo, hi + 1)]
+        # anchored to the data-file position (layers/e<N>/part-*): an
+        # unanchored leftmost match would pick up a "/layers/eN/"
+        # segment from the STORE ROOT's own path (e.g. a store created
+        # inside another store's layer dir) and stamp the wrong
+        # valid_from on every row with no error (ADVICE r6)
+        return self.spark.read.parquet(*paths).withColumn(
+            "valid_from",
+            F.regexp_extract(
+                F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
+            ).cast("bigint"),
+        )
+
+    def _gen_pieces(
+        self, era: int
+    ) -> tuple[DataFrame, DataFrame | None]:
+        """(generation base with a ``valid_from`` column, layers after the
+        generation up to ``era`` or None). The base keeps its bucketed
+        output partitioning — callers can window/join on the key with no
+        Exchange on the base side."""
+        g = self._gen_for(era)
+        base = self._base(g)
+        if g == 0:
+            base = base.withColumn("valid_from", F.lit(0).cast("bigint"))
+        return base, self._layers_df(g + 1, era)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -243,15 +307,7 @@ class Scd2Store:
 
     # -- reads -------------------------------------------------------------
 
-    def history_as_of(self, era: int | None = None) -> DataFrame:
-        """The full SCD2 history visible at ``era`` (default: latest
-        committed): attribute columns + valid_from / valid_to / is_current.
-
-        Reconstruction = base ∪ layers 1..era with ``valid_from`` stamped
-        per layer, then one key-window derives ``valid_to`` as the next
-        version's open era (``open_end`` if none) — identical semantics to
-        chaining ``scd2_apply`` once per era (pinned by
-        tests/test_scd2_store.py), but from immutable on-disk layers."""
+    def _check_era(self, era: int | None) -> int:
         last = self.era
         if era is None:
             era = last
@@ -259,25 +315,25 @@ class Scd2Store:
             raise ValueError(
                 f"Scd2Store: era {era} not committed (latest {last})"
             )
-        h = self._base().withColumn("valid_from", F.lit(0).cast("bigint"))
-        if era >= 1:
-            # ONE multi-path scan for layers 1..era with valid_from parsed
-            # from the layer directory name (same constant-plan-size fix as
-            # PreserveStore._layers, r6): a per-era unionByName chain grew
-            # the plan and the file listings linearly with history depth —
-            # an SCD2 history never compacts, so depth is unbounded
-            paths = [self._layer_path(e) for e in range(1, era + 1)]
-            # anchored to the data-file position (layers/e<N>/part-*): an
-            # unanchored leftmost match would pick up a "/layers/eN/"
-            # segment from the STORE ROOT's own path (e.g. a store created
-            # inside another store's layer dir) and stamp the wrong
-            # valid_from on every row with no error (ADVICE r6)
-            layers = self.spark.read.parquet(*paths).withColumn(
-                "valid_from",
-                F.regexp_extract(
-                    F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
-                ).cast("bigint"),
-            )
+        return era
+
+    def history_as_of(self, era: int | None = None) -> DataFrame:
+        """The full SCD2 history visible at ``era`` (default: latest
+        committed): attribute columns + valid_from / valid_to / is_current.
+
+        Reconstruction = generation base ∪ layers after it up to ``era``
+        (ONE multi-path scan — constant plan size in era count, r6), then
+        one key-window derives ``valid_to`` as the next version's open era
+        (``open_end`` if none) — identical semantics to chaining
+        ``scd2_apply`` once per era (pinned by tests/test_scd2_store.py),
+        but from immutable on-disk layers. After ``snapshot(s)``, reads at
+        era ≥ s fold the snapshot base + only the layers after s — the
+        read cost is bounded by snapshot cadence instead of growing with
+        total history depth — while eras < s stay readable from the older
+        generation until ``vacuum()``."""
+        era = self._check_era(era)
+        h, layers = self._gen_pieces(era)
+        if layers is not None:
             h = h.unionByName(layers)
         w = Window.partitionBy(*self.key_cols).orderBy("valid_from")
         return h.withColumn(
@@ -286,3 +342,145 @@ class Scd2Store:
                 F.lead("valid_from").over(w), F.lit(self.open_end)
             ).cast("bigint"),
         ).withColumn("is_current", F.col("valid_to") == self.open_end)
+
+    # -- snapshot / vacuum (bounded-depth reads without losing history) ----
+
+    def snapshot(self, era: int | None = None) -> int:
+        """Fold base + layers ≤ ``era`` (default: latest committed) into a
+        new bucketed generation base holding the FULL multi-version history
+        up to that era (``valid_from`` becomes a stored column — an SCD2
+        store never discards versions, so a snapshot is a fold, not a
+        truncation). Reads at era ≥ the snapshot then pay one bucketed
+        scan + the layers SINCE it — constant in total history depth, which
+        is what makes a never-compacting dimension viable at 1200
+        refreshes/year. Older eras keep reading from the previous
+        generation (time travel survives a snapshot) until ``vacuum()``.
+
+        Same commit discipline as every other mutation: the new generation
+        is written first, the meta ``snaps`` append is the atomic commit
+        point, and a crashed snapshot leaves only an invisible orphan
+        ``base_s<era>`` directory that a retry overwrites."""
+        era = self._check_era(era)
+        if era in self.snaps:
+            return era  # already a generation boundary — idempotent
+        if era < max(self.snaps):
+            raise ValueError(
+                f"Scd2Store: cannot snapshot at era {era} behind the newest "
+                f"generation {max(self.snaps)}"
+            )
+        h, layers = self._gen_pieces(era)
+        if layers is not None:
+            h = h.unionByName(layers)
+        m = self.meta
+        n = int(m["num_buckets"])
+        keys = self.key_cols
+        name = self._table_name(era)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            h.select(*m["columns"], "valid_from")
+            .repartition(n, *keys)
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n, *keys)
+            .sortBy(*keys)
+            .option("path", self._base_path(era))
+            .saveAsTable(name)
+        )
+        meta = dict(self.meta)
+        meta["snaps"] = sorted(set(self.snaps) | {era})
+        self._write_meta(meta)
+        return era
+
+    def vacuum(self) -> None:
+        """Delete every pre-newest-generation artifact: older generation
+        bases and all layers ≤ the newest snapshot era (their content is
+        folded into the newest generation, so no VERSION is lost — only
+        the ability to read ``history_as_of(e)`` for e below the snapshot).
+        Eras below the newest snapshot become unreadable and are rejected
+        loudly. Same rewrite-then-vacuum split as ``PreserveStore`` and
+        lakehouse table formats: ``snapshot()`` never deletes, so a reader
+        holding a plan over the old generation keeps its files until the
+        caller explicitly vacuums."""
+        import shutil
+
+        newest = max(self.snaps)
+        if newest == 0:
+            return  # nothing folded yet — nothing to reclaim
+        for g in self.snaps:
+            if g < newest:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(g)}"
+                )
+                shutil.rmtree(self._base_path(g), ignore_errors=True)
+        for e in range(self.vacuumed_below + 1, newest + 1):
+            shutil.rmtree(self._layer_path(e), ignore_errors=True)
+        meta = dict(self.meta)
+        meta["snaps"] = [newest]
+        meta["vacuumed_below"] = newest
+        self._write_meta(meta)
+
+    # -- point-in-time join ------------------------------------------------
+
+    def pit_join(
+        self,
+        facts: DataFrame,
+        era_col: str,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Join each fact row to the dimension version valid at the fact's
+        own era (``facts[era_col]`` ∈ [version.valid_from, version.valid_to)
+        — THE standard warehouse query over a versioned dimension), reading
+        history from the store so the join is durable and co-bucketed.
+
+        Plan (the 100 TB story — at scale, shuffling the FACTS is the whole
+        cost, and this plan never does):
+
+        - **cold branch** (keys untouched by any layer after the
+          generation — the overwhelming majority under SCD2's
+          few-changes-per-era premise): generation base is bucketed on the
+          key, so the valid_to window runs with NO Exchange, and facts
+          bucketed on the same key/count sort-merge join it with NO
+          Exchange on either side (pinned by
+          tests/test_scd2_store.py::test_pit_join_cold_branch_no_exchange).
+        - **hot branch** (keys with a post-generation layer row —
+          O(|changes|)): their full history (generation rows for those
+          keys ∪ layers) pays one small window shuffle, then BROADCASTS
+          into the facts — no fact movement. The broadcast is safe for the
+          same reason the store is append-only: an era is a changes batch,
+          small next to the dimension; a full-dimension rewrite should be
+          a new ``initialize``/``snapshot``, not an era.
+
+        Output: facts columns + the dimension attribute columns of the
+        matched version (validity bookkeeping dropped). Facts whose key has
+        no version, or whose era falls outside every version's range
+        (e.g. negative), are dropped — inner PIT semantics."""
+        as_of = self._check_era(as_of)
+        keys = self.key_cols
+        attrs = [c for c in self.meta["columns"] if c not in keys]
+        w = Window.partitionBy(*keys).orderBy("valid_from")
+        valid_to = F.coalesce(
+            F.lead("valid_from").over(w), F.lit(self.open_end)
+        ).cast("bigint")
+        era_ok = (F.col(era_col) >= F.col("valid_from")) & (
+            F.col(era_col) < F.col("valid_to")
+        )
+        out_cols = facts.columns + attrs
+
+        base, layers = self._gen_pieces(as_of)
+        if layers is None:
+            hist = base.withColumn("valid_to", valid_to)
+            return facts.join(hist, keys).where(era_ok).select(*out_cols)
+
+        touched = layers.select(*keys).distinct()
+        cold_hist = (
+            base.join(F.broadcast(touched), keys, "left_anti")
+            .withColumn("valid_to", valid_to)
+        )
+        hot_hist = (
+            base.join(F.broadcast(touched), keys, "left_semi")
+            .unionByName(layers)
+            .withColumn("valid_to", valid_to)
+        )
+        cold = facts.join(cold_hist, keys).where(era_ok)
+        hot = facts.join(F.broadcast(hot_hist), keys).where(era_ok)
+        return cold.select(*out_cols).unionByName(hot.select(*out_cols))
