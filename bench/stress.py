@@ -382,6 +382,66 @@ def main() -> None:
     out["depth_sweep"] = depth_sweep(150, 8 if QUICK else 12)
     o_all.unpersist()
 
+    # ---- 3c. Scd2Store history read vs ERA DEPTH + snapshot reset (r7) --
+    # An SCD2 history never compacts away versions, so history_as_of pays
+    # base + N layers + the key window forever; snapshot(e) folds
+    # base+layers<=e into a new bucketed generation so the read becomes
+    # generation + layers SINCE the snapshot. Measure: thin eras applied
+    # one by one with the full-history read timed at each depth, then
+    # snapshot at the deepest era and re-read. The pin (recorded, not
+    # asserted mid-run): the post-snapshot read returns to the early-depth
+    # band — i.e. snapshot cadence, not total history depth, bounds cost.
+    def scd2_era_sweep(n_keys: int, n_eras: int):
+        from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+
+        root = tempfile.mkdtemp(prefix="stress_scd2_depth_")
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("k"), (F.col("id") % 997 * 1.0).alias("v")
+        )
+        store = Scd2Store(spark, os.path.join(root, "dim"))
+        store.initialize(dim, key_cols=["k"], num_buckets=32)
+
+        def read_sec():
+            t0 = time.perf_counter()
+            store.history_as_of().count()
+            return round(time.perf_counter() - t0, 3)
+
+        reads = []
+        for e in range(1, n_eras + 1):
+            ch = spark.range(n_keys // 1000).select(
+                (F.col("id") * 1000 + e).alias("k"),
+                (F.col("id") * 1.0 + e).alias("v"),
+            )
+            store.apply_era(ch)
+            reads.append(read_sec())
+        t0 = time.perf_counter()
+        store.snapshot()
+        snapshot_sec = round(time.perf_counter() - t0, 2)
+        post_snap = read_sec()
+        early = sorted(reads[1:4])[1]  # depths 2-4 (skip the cold first)
+        late = sorted(reads[-3:])[1]  # the three deepest
+        reset_ok = post_snap <= max(early * 1.5, early + 0.3)
+        if not reset_ok:
+            violations.append(
+                f"scd2_era_sweep: post-snapshot read {post_snap}s not back "
+                f"to the early band (early {early}, late {late}, reads "
+                f"{reads})"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+        return {
+            "n_keys": n_keys,
+            "n_eras": n_eras,
+            "reads": reads,
+            "early_med": early,
+            "late_med": late,
+            "depth_growth": round(late / early, 3) if early else None,
+            "snapshot_sec": snapshot_sec,
+            "post_snapshot_read": post_snap,
+            "reset_ok": reset_ok,
+        }
+
+    out["scd2_era_sweep"] = scd2_era_sweep(1_000_000, 8 if QUICK else 12)
+
     # ---- 4. Media path: JPEG decode + aHash + banded LSH (round 6) ------
     # Same question as MinHash but for images: does the decode-once +
     # only-hashes-shuffle plan stay linear, and does recall stay flat?
@@ -575,8 +635,9 @@ def _write_stress_md(results_dir: str) -> None:
         " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
         " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | depth sweep"
-        " early -> late med (growth; post-compact) |",
-        "|---|---|---|---|---|---|---|---|",
+        " early -> late med (growth; post-compact) | scd2 era sweep"
+        " early -> late read (growth; post-snapshot) |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -611,12 +672,18 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({ds.get('depth_growth')}; {ds.get('post_compact_refresh')})"
             if ds else "—"
         )
+        es = r.get("scd2_era_sweep", {})
+        era = (
+            f"{es.get('early_med')} -> {es.get('late_med')}"
+            f" ({es.get('depth_growth')}; {es.get('post_snapshot_read')})"
+            if es else "—"
+        )
         lines.append(
             f"| {r.get('ts', '?')} | {pg.get('sec_per_iter_per_Medges_small')}"
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} | {media} | {star} | {scd2} | {depth} |"
+            f" | {disks} | {media} | {star} | {scd2} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

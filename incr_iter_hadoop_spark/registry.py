@@ -115,69 +115,137 @@ def _load_all() -> None:
 # After a green round 6: driver-checked union = 179/179 — zero
 # verification debt; subsequent rotations only need to re-witness
 # families touched by new work.
+#
+# ROTATION (round 7): STALENESS-BASED, computed programmatically (VERDICT
+# r6 ask #3 — `compute_first_window` below parses the CORRECTNESS files
+# instead of a hand-curated list; `tests/test_registry_window.py` pins
+# FIRST_WINDOW == the computation so the policy can't silently rot).
+# Priority slots: the two NEW round-7 store queries
+# (scd2_store_snapshot_reads, scd2_store_pit_join) plus fresh re-witnesses
+# of the four queries sitting on round-7-touched store/SCD2 code paths
+# (scd2_store_two_eras, incr_refresh_orders_disk, scd2_point_in_time_join,
+# scd2_customer_history). The remaining 44 slots fill with the OLDEST
+#-witness oracle-checked names: all 15 whose latest row is r2 — including
+# incr_pagerank_reconverge, whose r5 exact termination-rule oracle has
+# never been driver-checked (its only rows predate it; VERDICT r6 ask #2)
+# — all 15 r3 names, and the 14 alphabetically-first r4 names.
+# agg_approx_distinct (no oracle — HLL, rows-only by design) is excluded:
+# a weaker rows-only row adds no evidence, and the window invariant is
+# that every slot gets the full three-way check. After a green round 7,
+# max witness age across the oracle-checked ledger = 3 rounds (the r4
+# tail), with every name still locally re-verified per pytest run.
+
+WINDOW_ROUND = 7
+
+# new queries this round (no CORRECTNESS row can exist yet) + queries on
+# code paths this round touched — these outrank staleness
+WINDOW_PRIORITY: list[str] = [
+    "scd2_store_snapshot_reads",
+    "scd2_store_pit_join",
+    "scd2_store_two_eras",
+    "incr_refresh_orders_disk",
+    "scd2_point_in_time_join",
+    "scd2_customer_history",
+]
+
+
+def latest_witness_rounds(upto_round: int) -> dict[str, int]:
+    """name → most recent round (< upto_round) with a driver CORRECTNESS
+    row, parsed from the committed CORRECTNESS_r*.json files at the repo
+    root. Inputs are immutable once a round closes, so the computation is
+    stable for a fixed ``upto_round``."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        if rnd >= upto_round:
+            continue
+        with open(path) as f:
+            recs = json.load(f)
+        for name, row in recs.items():
+            if isinstance(row, dict):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def compute_first_window(size: int = 50) -> list[str]:
+    """The round-``WINDOW_ROUND`` window: priority names first, then the
+    stalest-witness oracle-checked names (ties alphabetical)."""
+    specs = all_queries()
+    latest = latest_witness_rounds(WINDOW_ROUND)
+    window = [n for n in WINDOW_PRIORITY if n in specs]
+    fill = sorted(
+        (
+            n
+            for n in specs
+            if n not in window and specs[n].oracle is not None
+        ),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return window + fill[: size - len(window)]
+
 
 FIRST_WINDOW: list[str] = [
-    # relational / profiling tails (r4-late)
-    "profile_orders",
-    "skew_report_suppkey",
-    "dedup_keep_best",
-    "text_regex_tokens",
-    "text_repetition_quality",
-    "corpus_top_tokens",
-    "tfidf_top_terms",
-    "inverted_index_trigrams",
-    "text_pii_redact",
-    "bpe_pair_counts",
-    "sample_stratified_events",
-    "split_train_test_counts",
-    "events_unpivot",
-    "array_battery",
-    "setop_intersect",
-    # embeddings (incl. the labeled all-pairs baseline, window-checked once)
-    "embedding_top_pairs",
-    "embedding_label_centroids",
-    "embedding_dedup_clusters",
-    "udf_apply_in_pandas",
-    # events / windows / streaming tails
-    "events_sliding",
-    "events_session",
-    "events_running_totals_streamed",
-    "events_enriched_streamed",
-    "events_funnel",
-    "window_battery2",
-    "events_resample_gaps",
-    "events_stream_stream_join",
-    # iterative / incremental tails
-    "incr_sssp_warm3",
-    "incr_nmf_delta2",
-    "graph_kcore_bounded3",
-    # SCD2 family (pure transformation, temporal join, on-disk era store)
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
+    # round-7 priority: new store queries + touched-code re-witnesses
+    "scd2_store_snapshot_reads",
+    "scd2_store_pit_join",
     "scd2_store_two_eras",
-    # r5 real-codec decodes + media ingestion
-    "multimodal_adpcm_decode",
-    "multimodal_video_frames",
-    "multimodal_gif_decode",
-    "scan_binaryfile_media",
-    "scan_webdataset_shards",
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    # media dedup (exact, perceptual, incremental) + capstone
-    "media_dedup_exact",
-    "media_dedup_phash",
-    "incr_media_dedup_phash",
-    "pipeline_build_multimodal_set",
-    # data-quality gate
-    "data_quality_report",
-    # REBASED this round onto real codecs — prior green rows verified the
-    # retired byte-stat oracles, so the new semantics need fresh rows
-    "multimodal_meta",
-    "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frames",
-    # refreshed I6 witness (disk-refresh ratio under observation)
     "incr_refresh_orders_disk",
+    "scd2_point_in_time_join",
+    "scd2_customer_history",
+    # stalest: latest witness r2
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_rollup",
+    "dedup_ngram_pairs",
+    "dedup_simhash_pairs",
+    "incr_pagerank_reconverge",
+    "join_anti",
+    "join_left_outer",
+    "json_extract",
+    "nmf_bounded2",
+    "power_bounded3",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_multiway_join",
+    # stalest: latest witness r3
+    "agg_global",
+    "ann_bruteforce_topk",
+    "dedup_exact",
+    "events_pivot",
+    "field_selection",
+    "gen_random_kv",
+    "incr_refresh_orders",
+    "join_override",
+    "kmeans_assign",
+    "projection_inverse_map",
+    "secondary_sort_top3",
+    "setop_union",
+    "total_sort_top100",
+    "udf_scalar_pandas",
+    "wordcount",
+    # stalest: latest witness r4
+    "agg_cube",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_value_battery",
+    "ann_lsh_topk",
+    "decontaminate_overlap",
+    "dedup_cc_clusters",
+    "dedup_minhash_pairs",
+    "doc_fingerprint",
+    "embedding_top_pairs_lsh",
+    "events_tumbling",
+    "events_tumbling_streamed",
+    "gen_graph_degrees",
+    "grep_regex",
 ]
 
 

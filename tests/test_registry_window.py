@@ -26,3 +26,16 @@ def test_every_in_window_query_has_an_oracle():
     specs = all_queries()
     weak = [n for n in FIRST_WINDOW if specs[n].oracle is None]
     assert not weak, f"in-window queries without oracle SQL: {weak}"
+
+
+def test_window_equals_programmatic_staleness_policy():
+    """Round-7 policy (VERDICT r6 ask #3): the pinned FIRST_WINDOW must be
+    exactly what compute_first_window derives from the committed
+    CORRECTNESS_r01..r0{WINDOW_ROUND-1} files — priority (new + touched)
+    names first, then the stalest-witness oracle-checked names. The inputs
+    are immutable once a round closes, so this holds forever for
+    WINDOW_ROUND = 7; bump WINDOW_ROUND + WINDOW_PRIORITY together when
+    rotating."""
+    from incr_iter_hadoop_spark.registry import compute_first_window
+
+    assert FIRST_WINDOW == compute_first_window()
