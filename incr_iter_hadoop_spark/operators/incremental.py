@@ -1696,11 +1696,9 @@ def scd2_store_two_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
-    """Pid-unique on-disk Scd2Store over the customer dimension with two
-    committed eras (the generating predicates the oracles rebuild):
-    era 1 — every 7th balance +100, every 13th key spawns key+1M;
-    era 2 — every 5th +200, every 26th's spawned key +500."""
+def _customer_scd2_base(spark: SparkSession, sf_dir: str, tag: str):
+    """Pid-unique Scd2Store initialized on the customer dimension (era 0
+    only); returns (store, customer_df)."""
     import re
     import tempfile
 
@@ -1719,6 +1717,13 @@ def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
         key_cols=["c_custkey"],
         num_buckets=8,
     )
+    return store, c
+
+
+def _customer_era_changes(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two change batches every scd2_store_* oracle rebuilds:
+    era 1 — every 7th balance +100, every 13th key spawns key+1M;
+    era 2 — every 5th +200, every 26th's spawned key +500."""
     changes1 = (
         c.where(F.col("c_custkey") % 7 == 0)
         .select(
@@ -1743,6 +1748,14 @@ def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
             )
         )
     )
+    return changes1, changes2
+
+
+def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
+    """Pid-unique on-disk Scd2Store over the customer dimension with the
+    two standard eras committed (see _customer_era_changes)."""
+    store, c = _customer_scd2_base(spark, sf_dir, tag)
+    changes1, changes2 = _customer_era_changes(c)
     store.apply_era(changes1)
     store.apply_era(changes2)
     return store
@@ -1875,3 +1888,61 @@ def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
     )
+
+
+@register(
+    "scd2_store_streamed_eras",
+    oracle=_SCD2_TWO_ERAS_ORACLE,
+    doc="STREAMING dimension maintenance of the Scd2Store (round 7 — the "
+    "streaming twin of apply_era, pairing SURVEY §2.9's micro-batch mode "
+    "with the I6 store the way streaming_refresh pairs it with the "
+    "preserve store): the two standard change batches arrive as files on "
+    "a file-source stream (maxFilesPerTrigger=1, so each file is one "
+    "micro-batch), foreachBatch commits each micro-batch as one era with "
+    "the BATCH ID as apply_era's idempotence token — recorded in the same "
+    "atomic meta write as the era bump, so a replayed batch (foreachBatch "
+    "is at-least-once) returns the committed era instead of double-"
+    "applying a phantom era. The drained store must read back identically "
+    "to the batch-built one, hence the verbatim two-era oracle; restart/"
+    "replay behavior is pinned by tests/test_streaming_restart.py.",
+)
+def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_scd2_eras
+
+    store, c = _customer_scd2_base(spark, sf_dir, "streamed")
+    changes1, changes2 = _customer_era_changes(c)
+
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
+    stream_dir = os.path.join(root, "changes")
+    os.makedirs(stream_dir)
+    try:
+        # one FILE per era, written in commit order (the file stream source
+        # delivers oldest-first, and maxFilesPerTrigger=1 makes each file
+        # its own micro-batch → its own era)
+        for i, ch in enumerate([changes1, changes2], start=1):
+            staging = os.path.join(root, f"stage{i}")
+            ch.coalesce(1).write.parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"era{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (i, i))  # strictly increasing mtimes
+        stream = (
+            spark.readStream.schema(changes1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = streaming_scd2_eras(
+            stream, store, os.path.join(root, "checkpoint")
+        )
+        q.awaitTermination(120)
+        if store.era != 2:
+            raise RuntimeError(
+                f"streamed era application incomplete: era={store.era}"
+            )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return _scd2_store_eras_read(store)

@@ -255,7 +255,13 @@ class Scd2Store:
             self._layer_path(era)
         )
 
-    def apply_era(self, changes: DataFrame) -> int:
+    def apply_era(
+        self,
+        changes: DataFrame,
+        *,
+        token: str | None = None,
+        snapshot_every: int | None = None,
+    ) -> int:
         """Commit one era of changes (update rows for existing keys, insert
         rows for new keys; same attribute schema as the base dimension).
 
@@ -268,11 +274,29 @@ class Scd2Store:
         a downstream point-in-time equi-join. Both are rejected loudly
         BEFORE the layer write (one aggregate over the small changes set).
 
+        ``token``: idempotence handle for at-least-once callers (Structured
+        Streaming ``foreachBatch`` replays a micro-batch whose commit
+        didn't land). A token is recorded IN THE SAME meta write as the era
+        bump — one atomic commit — so a replayed apply with a seen token
+        returns the already-committed era instead of double-applying the
+        changes as a phantom era. Pass the micro-batch id (see
+        ``streaming/incremental_stream.streaming_scd2_eras``).
+
+        ``snapshot_every``: LSM-style cadence (the PreserveStore
+        ``max_layers`` analogue) — when the layer count since the newest
+        generation reaches it after this commit, ``snapshot()`` folds them
+        into a new bucketed generation so read cost stays bounded over an
+        unbounded era stream (older eras stay readable until ``vacuum()``).
+
         O(|changes|) write, zero reads of prior state: the close of the
         superseded versions is derived at read time, so nothing here needs
         to know which keys exist. The meta era bump at the end is the
         atomic commit point — a crash before it leaves the history exactly
         at the previous era."""
+        if token is not None:
+            seen = self.meta.get("era_tokens", {})
+            if token in seen:
+                return int(seen[token])
         keys = self.key_cols
         chk = changes.agg(
             F.count(F.lit(1)).alias("n"),
@@ -302,7 +326,16 @@ class Scd2Store:
         self._write_layer(e, changes)
         meta = dict(self.meta)
         meta["era"] = e
+        if token is not None:
+            tokens = dict(meta.get("era_tokens", {}))
+            tokens[token] = e
+            meta["era_tokens"] = tokens
         self._write_meta(meta)
+        if (
+            snapshot_every is not None
+            and e - max(self.snaps) >= snapshot_every
+        ):
+            self.snapshot(e)
         return e
 
     # -- reads -------------------------------------------------------------

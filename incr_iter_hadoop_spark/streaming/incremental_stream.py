@@ -143,3 +143,40 @@ def stream_static_enrich(
     from pyspark.sql import functions as F
 
     return stream.join(F.broadcast(dim), key)
+
+
+def streaming_scd2_eras(
+    changes_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Maintain an on-disk ``Scd2Store`` from a stream of dimension-change
+    batches: each micro-batch commits as ONE era (round 7 — the streaming
+    twin of ``Scd2Store.apply_era``, pairing SURVEY §2.9's micro-batch mode
+    with the I6 store the way ``streaming_refresh`` pairs it with the
+    preserve store).
+
+    Exactly-once despite foreachBatch's at-least-once contract: the
+    micro-batch id is passed as ``apply_era``'s idempotence token, which is
+    recorded IN THE SAME atomic meta write as the era bump — a replayed
+    batch (crash between the era commit and the checkpoint commit) finds
+    its token and returns the already-committed era instead of
+    double-applying the same changes as a phantom era.
+    ``tests/test_streaming_restart.py`` pins the restart behavior.
+
+    Pair the source with ``maxFilesPerTrigger=1`` so each arriving change
+    file becomes its own era; batches must respect ``apply_era``'s
+    one-row-per-key contract (enforced there, not here)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty trigger is not an era
+        store.apply_era(batch_df, token=f"stream-batch-{batch_id}")
+
+    return (
+        changes_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

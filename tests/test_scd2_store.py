@@ -407,3 +407,22 @@ def test_pit_join_cold_branch_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_apply_era_snapshot_cadence(spark, tmp_path):
+    """snapshot_every: the PreserveStore max_layers analogue — every N
+    layers past the newest generation, apply_era folds them into a new
+    generation, so read depth stays bounded over an unbounded era stream
+    while every era stays readable (until vacuum)."""
+    store = _store(spark, tmp_path)
+    for i in range(1, 8):
+        store.apply_era(
+            spark.createDataFrame([(1, 100.0 + i)], "k bigint, v double"),
+            snapshot_every=3,
+        )
+    assert store.era == 7
+    assert store.snaps == [0, 3, 6]
+    # every era still readable, values correct at a few depths
+    for e, v in [(2, 102.0), (3, 103.0), (5, 105.0), (7, 107.0)]:
+        cur = {r[0]: r[1] for r in _rows(store.history_as_of(e)) if r[4]}
+        assert cur[1] == v, (e, cur)

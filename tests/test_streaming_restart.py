@@ -229,3 +229,86 @@ def test_session_window_merge_survives_restart(spark, tmp_path):
         (2, "2024-01-01 09:00:00"): 1,
         (3, "2024-01-01 12:00:00"): 1,
     }
+
+
+def test_streaming_scd2_eras_restart_and_replay_are_exactly_once(
+    spark, tmp_path
+):
+    """Round 7: the streamed Scd2Store maintenance twin. Three contracts:
+    (1) drain file e1 → stop → add e2 → restart from the SAME checkpoint:
+    e1 is not re-applied (era stays 2, not 3); (2) a direct token replay
+    (foreachBatch's at-least-once crash window: era committed, checkpoint
+    commit lost) returns the committed era without writing a phantom
+    layer; (3) the final history equals the batch-built store's."""
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_eras,
+    )
+
+    def write_change_file(rows, n):
+        ch = spark.createDataFrame(rows, "k bigint, v double")
+        staging = str(tmp_path / f"stage{n}")
+        ch.coalesce(1).write.parquet(staging)
+        import glob as g
+
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(tmp_path / "changes" / f"era{n}.parquet")
+        os.makedirs(str(tmp_path / "changes"), exist_ok=True)
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+        return ch
+
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    schema = "k bigint, v double"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "changes"))
+        )
+        q = streaming_scd2_eras(stream, store, ckpt)
+        q.awaitTermination(60)
+
+    write_change_file([(1, 11.0)], 1)
+    drain()
+    assert store.era == 1
+
+    write_change_file([(2, 22.0), (3, 30.0)], 2)
+    drain()  # restart from the same checkpoint: e1 must be skipped
+    assert store.era == 2
+
+    # direct token replay = the crash window between era commit and
+    # checkpoint commit: same token → same era, no phantom layer
+    replay = spark.createDataFrame([(1, 11.0)], "k bigint, v double")
+    assert store.apply_era(replay, token="stream-batch-0") == 1
+    assert store.era == 2
+
+    # final history equals the batch-built chain
+    batch = Scd2Store(spark, str(tmp_path / "batch_store"))
+    batch.initialize(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    batch.apply_era(spark.createDataFrame([(1, 11.0)], "k bigint, v double"))
+    batch.apply_era(
+        spark.createDataFrame([(2, 22.0), (3, 30.0)], "k bigint, v double")
+    )
+
+    def rows(s):
+        return sorted(tuple(r) for r in s.history_as_of().collect())
+
+    assert rows(store) == rows(batch)
