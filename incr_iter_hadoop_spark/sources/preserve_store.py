@@ -384,6 +384,7 @@ class PreserveStore:
         *,
         inline_keys: int = DEFAULT_INLINE_KEYS,
         max_layers: int | None = None,
+        token: str | None = None,
     ) -> int:
         """Apply a (+/-) delta as a new layer; returns the new version.
 
@@ -394,6 +395,15 @@ class PreserveStore:
         O(|delta| + |affected contribs|), the reference's re-reduce contract
         (ReduceTask.java:3324-3500).
 
+        ``token``: idempotence handle for at-least-once callers (a retried
+        orchestrator task, a replayed ``foreachBatch`` micro-batch; the
+        ``Scd2Store.apply_era`` analogue, r7). Recorded in the SAME meta
+        write as the version bump — one atomic commit — so a replayed
+        refresh with a seen token is a no-op returning the version it
+        committed, never a double-application of the delta. Tokens survive
+        ``compact()`` (the application is folded into the new base; the
+        recorded version then refers to the retired era).
+
         ``max_layers``: LSM-style cadence — when the layer count reaches it
         after this refresh, ``compact()`` folds everything into a fresh base
         (the reference's periodic store rewrite, IFile.java:931-1015), so
@@ -403,6 +413,10 @@ class PreserveStore:
         # inFilterThreshold is mutated inside (probe-dependent) and listed
         # here at its current value so the exit restores BOTH to the
         # session's prior settings (ADVICE r03: no session-global leaks).
+        if token is not None:
+            seen = self.meta.get("refresh_tokens", {})
+            if token in seen:
+                return int(seen[token])
         with self._scoped_confs(
             {
                 self._BUCKETED_SCAN_CONF: "false",
@@ -412,7 +426,11 @@ class PreserveStore:
             }
         ):
             return self._refresh_locked(
-                delta, op_col, inline_keys=inline_keys, max_layers=max_layers
+                delta,
+                op_col,
+                inline_keys=inline_keys,
+                max_layers=max_layers,
+                token=token,
             )
 
     def _refresh_locked(
@@ -422,6 +440,7 @@ class PreserveStore:
         *,
         inline_keys: int = DEFAULT_INLINE_KEYS,
         max_layers: int | None = None,
+        token: str | None = None,
     ) -> int:
         gk, sk = self.group_keys, self.source_keys
         delta = delta.persist()
@@ -492,6 +511,10 @@ class PreserveStore:
         delta.unpersist()
         meta = dict(self.meta)
         meta["version"] = v
+        if token is not None:
+            tokens = dict(meta.get("refresh_tokens", {}))
+            tokens[token] = v
+            meta["refresh_tokens"] = tokens
         self._write_meta(meta)
         if max_layers is not None and v >= max_layers:
             self.compact()

@@ -400,3 +400,27 @@ def test_stray_uncommitted_layer_is_invisible(spark, tmp_path):
     after = _results_dict(reread)
     assert after[2] == (6.0, 2, 5.0)
     assert after[1] == committed[1]
+
+
+def test_refresh_token_replay_is_exactly_once(spark, tmp_path):
+    """Round 7 (the Scd2Store.apply_era analogue): a refresh replayed with
+    the same idempotence token — the at-least-once crash window of a
+    retried orchestrator task or foreachBatch micro-batch — must be a
+    no-op returning the committed version, never a double-application."""
+    store = _fresh_store(spark, tmp_path, BASE_ROWS)
+    d = _delta(spark, [(1, 12, 100.0, "+")])
+    v1 = store.refresh(d, token="batch-0")
+    assert v1 == 1
+    before = _results_dict(store)
+    # replay: same token, same (or even different) delta → no new layer
+    assert store.refresh(d, token="batch-0") == 1
+    assert store.version == 1
+    assert _results_dict(store) == before
+    # a NEW token applies normally
+    v2 = store.refresh(_delta(spark, [(2, 30, 1.0, "+")]), token="batch-1")
+    assert v2 == 2 and store.version == 2
+    # tokens survive compact: replay after folding is still a no-op
+    store.compact()
+    assert store.refresh(d, token="batch-0") == 1
+    assert store.version == 0  # compacted base, no phantom layer
+    assert _results_dict(store)[1] == (103.0, 3, 100.0)
