@@ -522,6 +522,12 @@ def main_ab(ref: str, draws: int) -> None:
             cwd=repo, capture_output=True, text=True, check=True,
         ).stdout.strip()
 
+    # a /tmp reaper (or reboot) can delete a worktree that git still has
+    # registered — `worktree add` then refuses with "missing but already
+    # registered" and the run dies before any draw. Prune stale
+    # registrations up front so recreation always succeeds.
+    subprocess.run(["git", "worktree", "prune"], cwd=repo, check=True)
+
     def worktree(sha: str) -> str:
         w = os.path.join(tempfile.gettempdir(), f"bench_ab_{sha}")
         if not os.path.isdir(w):

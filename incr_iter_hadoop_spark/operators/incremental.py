@@ -1709,15 +1709,15 @@ def _customer_scd2_base(spark: SparkSession, sf_dir: str, tag: str):
         r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
     ).strip("_").lower()
     name = f"customer_{tag}_{slug}_p{os.getpid()}"
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_scd2", name)
-    _cleanup_at_exit(os.path.dirname(path), name)
-    store = Scd2Store(spark, path)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_scd2", name)
+    _cleanup_at_exit(os.path.dirname(root), name)
+    store = Scd2Store(spark, os.path.join(root, "store"))
     store.initialize(
         c.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
         key_cols=["c_custkey"],
         num_buckets=8,
     )
-    return store, c
+    return store, c, root
 
 
 def _customer_era_changes(c: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1754,7 +1754,7 @@ def _customer_era_changes(c: DataFrame) -> tuple[DataFrame, DataFrame]:
 def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
     """Pid-unique on-disk Scd2Store over the customer dimension with the
     two standard eras committed (see _customer_era_changes)."""
-    store, c = _customer_scd2_base(spark, sf_dir, tag)
+    store, c, _root = _customer_scd2_base(spark, sf_dir, tag)
     changes1, changes2 = _customer_era_changes(c)
     store.apply_era(changes1)
     store.apply_era(changes2)
@@ -1836,24 +1836,11 @@ def scd2_store_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_scd2_store.py::test_pit_join_cold_branch_no_exchange.",
 )
 def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import re
-    import tempfile
-
-    from ..sources.scd2_store import Scd2Store
-
-    c = load_table(spark, sf_dir, "customer")
-    slug = re.sub(
-        r"[^0-9a-zA-Z]+", "_", os.path.abspath(sf_dir)
-    ).strip("_").lower()
-    name = f"customer_pit_{slug}_p{os.getpid()}"
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_scd2", name)
-    _cleanup_at_exit(os.path.dirname(root), name)
-    store = Scd2Store(spark, os.path.join(root, "store"))
-    store.initialize(
-        c.select("c_custkey", F.round("c_acctbal", 6).alias("acctbal")),
-        key_cols=["c_custkey"],
-        num_buckets=8,
-    )
+    store, c, root = _customer_scd2_base(spark, sf_dir, "pit")
+    # era 1: only the %7 balance updates (the oracle's history) — the %13
+    # spawned keys of the standard second batch would be dropped by the
+    # inner fact join anyway (no orders carry a +1M custkey), but keeping
+    # the layer minimal keeps the oracle's history literal
     store.apply_era(
         c.where(F.col("c_custkey") % 7 == 0).select(
             "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
@@ -1874,7 +1861,7 @@ def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # facts at rest, co-bucketed with the store (the 100 TB premise: facts
     # are bucketed on the dimension key at ingestion, joins never move them)
-    tbl = f"pit_facts_{slug}_p{os.getpid()}"
+    tbl = f"pit_facts_{os.path.basename(root)}"
     (
         facts.write.format("parquet")
         .mode("overwrite")
@@ -1913,12 +1900,13 @@ def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..streaming.incremental_stream import streaming_scd2_eras
 
-    store, c = _customer_scd2_base(spark, sf_dir, "streamed")
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "streamed")
     changes1, changes2 = _customer_era_changes(c)
 
     root = tempfile.mkdtemp(prefix="scd2_stream_")
     stream_dir = os.path.join(root, "changes")
     os.makedirs(stream_dir)
+    q = None
     try:
         # one FILE per era, written in commit order (the file stream source
         # delivers oldest-first, and maxFilesPerTrigger=1 makes each file
@@ -1938,11 +1926,18 @@ def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = streaming_scd2_eras(
             stream, store, os.path.join(root, "checkpoint")
         )
-        q.awaitTermination(120)
-        if store.era != 2:
+        drained = q.awaitTermination(120)
+        if not drained or store.era != 2:
             raise RuntimeError(
-                f"streamed era application incomplete: era={store.era}"
+                f"streamed era application incomplete: era={store.era}, "
+                f"drained={drained}"
             )
     finally:
+        # stop BEFORE deleting the query's source/checkpoint dirs: a
+        # timed-out (still running) query would otherwise fail in the
+        # background against vanishing files — or race a checkpoint commit
+        # mid-delete
+        if q is not None:
+            q.stop()
         shutil.rmtree(root, ignore_errors=True)
     return _scd2_store_eras_read(store)

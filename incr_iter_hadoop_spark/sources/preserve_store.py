@@ -61,6 +61,9 @@ DEFAULT_INLINE_KEYS = 5000
 # min/max range pushdown only (parquet-mr evaluates the or() chain
 # recursively — ~1500 values overflows the executor stack)
 _PUSHDOWN_IN_MAX = 200
+# idempotence tokens retained for this many trailing versions (replays only
+# ever target the most recent uncommitted batch; see refresh)
+_TOKEN_KEEP = 8
 
 
 def _schema_ddl(df: DataFrame) -> str:
@@ -402,7 +405,9 @@ class PreserveStore:
         refresh with a seen token is a no-op returning the version it
         committed, never a double-application of the delta. Tokens survive
         ``compact()`` (the application is folded into the new base; the
-        recorded version then refers to the retired era).
+        recorded version then refers to the retired era) and are pruned
+        past a ``_TOKEN_KEEP``-version retention window so the meta commit
+        stays O(1) over an unbounded refresh stream.
 
         ``max_layers``: LSM-style cadence — when the layer count reaches it
         after this refresh, ``compact()`` folds everything into a fresh base
@@ -512,7 +517,16 @@ class PreserveStore:
         meta = dict(self.meta)
         meta["version"] = v
         if token is not None:
-            tokens = dict(meta.get("refresh_tokens", {}))
+            # bounded retention (see Scd2Store._TOKEN_KEEP rationale):
+            # replays only target the most recent uncommitted batch, and an
+            # unpruned map would make every commit rewrite O(total-refreshes)
+            # of meta.json. Version numbers reset at compact, which can only
+            # over-retain (never drop a within-window token).
+            tokens = {
+                t: ver
+                for t, ver in meta.get("refresh_tokens", {}).items()
+                if int(ver) > v - _TOKEN_KEEP
+            }
             tokens[token] = v
             meta["refresh_tokens"] = tokens
         self._write_meta(meta)

@@ -50,6 +50,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _META = "meta.json"
+# idempotence tokens retained for this many trailing eras/versions (replays
+# only ever target the most recent uncommitted batch; see apply_era)
+_TOKEN_KEEP = 8
 
 
 def _schema_ddl(df: DataFrame) -> str:
@@ -280,7 +283,10 @@ class Scd2Store:
         bump — one atomic commit — so a replayed apply with a seen token
         returns the already-committed era instead of double-applying the
         changes as a phantom era. Pass the micro-batch id (see
-        ``streaming/incremental_stream.streaming_scd2_eras``).
+        ``streaming/incremental_stream.streaming_scd2_eras``). Retention is
+        bounded: tokens older than ``_TOKEN_KEEP`` eras are pruned at each
+        commit (replays only ever target the most recent uncommitted
+        batch), so the meta commit stays O(1) over an unbounded stream.
 
         ``snapshot_every``: LSM-style cadence (the PreserveStore
         ``max_layers`` analogue) — when the layer count since the newest
@@ -327,7 +333,16 @@ class Scd2Store:
         meta = dict(self.meta)
         meta["era"] = e
         if token is not None:
-            tokens = dict(meta.get("era_tokens", {}))
+            # retain a bounded window of tokens: at-least-once callers only
+            # ever replay their MOST RECENT uncommitted batch, so tokens
+            # more than _TOKEN_KEEP eras old are dead weight that would
+            # otherwise make every atomic commit rewrite an O(total-eras)
+            # meta.json — the one artifact snapshot() can't bound
+            tokens = {
+                t: ver
+                for t, ver in meta.get("era_tokens", {}).items()
+                if int(ver) > e - _TOKEN_KEEP
+            }
             tokens[token] = e
             meta["era_tokens"] = tokens
         self._write_meta(meta)
@@ -490,6 +505,18 @@ class Scd2Store:
         as_of = self._check_era(as_of)
         keys = self.key_cols
         attrs = [c for c in self.meta["columns"] if c not in keys]
+        # fact extracts commonly carry their own SCD bookkeeping columns;
+        # a silent ambiguous-reference failure (or worse, positional
+        # mis-resolution in the final select) is the wrong way to find out
+        clash = (set(facts.columns) - set(keys)) & (
+            {"valid_from", "valid_to"} | set(attrs)
+        )
+        if clash:
+            raise ValueError(
+                f"Scd2Store.pit_join: facts columns {sorted(clash)} collide "
+                f"with the store's validity/attribute columns — rename them "
+                f"on the facts side first"
+            )
         w = Window.partitionBy(*keys).orderBy("valid_from")
         valid_to = F.coalesce(
             F.lead("valid_from").over(w), F.lit(self.open_end)

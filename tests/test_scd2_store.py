@@ -426,3 +426,21 @@ def test_apply_era_snapshot_cadence(spark, tmp_path):
     for e, v in [(2, 102.0), (3, 103.0), (5, 105.0), (7, 107.0)]:
         cur = {r[0]: r[1] for r in _rows(store.history_as_of(e)) if r[4]}
         assert cur[1] == v, (e, cur)
+
+
+def test_pit_join_rejects_colliding_fact_columns(spark, tmp_path):
+    """Fact extracts commonly carry their own SCD bookkeeping columns; an
+    ambiguous-reference failure (or positional mis-resolution) is the
+    wrong way to find out — pit_join rejects the collision loudly."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    bad = spark.createDataFrame(
+        [(1, 0, 5)], "k bigint, era bigint, valid_from bigint"
+    )
+    with pytest.raises(ValueError, match="collide"):
+        store.pit_join(bad, "era")
+    bad2 = spark.createDataFrame(
+        [(1, 0, 5.0)], "k bigint, era bigint, v double"  # dim attr clash
+    )
+    with pytest.raises(ValueError, match="collide"):
+        store.pit_join(bad2, "era")
