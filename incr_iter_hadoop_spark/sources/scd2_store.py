@@ -531,7 +531,15 @@ class Scd2Store:
             hist = base.withColumn("valid_to", valid_to)
             return facts.join(hist, keys).where(era_ok).select(*out_cols)
 
-        touched = layers.select(*keys).distinct()
+        # materialized once: three subtrees reference it (two broadcasts +
+        # the hot union's layer scan feeds it), and re-running the layer
+        # scan + distinct per subtree would triple the (small) layer work.
+        # localCheckpoint over persist: registered queries can never
+        # unpersist after the driver collects, and checkpoint RDDs are
+        # freed by the ContextCleaner when the DataFrame drops.
+        touched = (
+            layers.select(*keys).distinct().localCheckpoint(eager=True)
+        )
         cold_hist = (
             base.join(F.broadcast(touched), keys, "left_anti")
             .withColumn("valid_to", valid_to)
