@@ -383,6 +383,10 @@ def main() -> None:
         ("media_dedup_phash", "media_dedup_phash_sec"),
         ("scan_webdataset_shards", "scan_webdataset_shards_sec"),
         ("scd2_point_in_time_join", "scd2_point_in_time_join_sec"),
+        # r7: the store-backed twin — includes store init + bucketed facts
+        # write + the split-by-touched join; the delta vs the pure-
+        # transformation line above is the durability cost
+        ("scd2_store_pit_join", "scd2_store_pit_join_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -484,6 +488,7 @@ def _write_trend_table(results_dir: str) -> None:
         "media_dedup_phash_sec",
         "scan_webdataset_shards_sec",
         "scd2_point_in_time_join_sec",
+        "scd2_store_pit_join_sec",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",
