@@ -444,3 +444,28 @@ def test_pit_join_rejects_colliding_fact_columns(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="collide"):
         store.pit_join(bad2, "era")
+
+
+def test_pit_join_after_vacuum(spark, tmp_path):
+    """pit_join keeps answering from the newest generation after vacuum()
+    reclaims pre-snapshot artifacts; a vacuumed as_of era is rejected
+    loudly instead of silently joining against a hole."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    store.apply_era(_changes2(spark))
+    store.snapshot(2)
+    store.apply_era(spark.createDataFrame([(4, 44.0)], "k bigint, v double"))
+    facts = spark.createDataFrame(
+        [(k, e, 10 * k + e) for k in [1, 2, 4, 5, 99] for e in [0, 2, 3]],
+        "k bigint, era bigint, fid bigint",
+    )
+    expected3 = _pit_rows(_naive_pit(store.history_as_of(3), facts, "era"))
+    expected2 = _pit_rows(
+        _naive_pit(store.history_as_of(2), facts, "era")
+    )
+    store.vacuum()
+    assert _pit_rows(store.pit_join(facts, "era")) == expected3
+    # the snapshot era itself survives vacuum (it IS the generation base)
+    assert _pit_rows(store.pit_join(facts, "era", as_of=2)) == expected2
+    with pytest.raises(ValueError, match="vacuumed"):
+        store.pit_join(facts, "era", as_of=1)

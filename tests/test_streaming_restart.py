@@ -312,3 +312,92 @@ def test_streaming_scd2_eras_restart_and_replay_are_exactly_once(
         return sorted(tuple(r) for r in s.history_as_of().collect())
 
     assert rows(store) == rows(batch)
+
+
+def test_streamed_eras_survive_snapshot_between_batches(spark, tmp_path):
+    """Round-7 interplay pin: a snapshot() between micro-batches must not
+    disturb the streaming maintenance contract. Three claims: (1) the
+    stream keeps committing eras on top of the new generation from the
+    SAME checkpoint; (2) idempotence tokens live in meta, which snapshot
+    copies forward — a replayed PRE-snapshot batch still short-circuits to
+    its committed era instead of double-applying onto the folded base;
+    (3) pre-snapshot eras stay time-travel-readable (snapshot never
+    deletes), and the final history equals the batch-built chain."""
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_eras,
+    )
+
+    def write_change_file(rows, n):
+        ch = spark.createDataFrame(rows, "k bigint, v double")
+        staging = str(tmp_path / f"stage{n}")
+        ch.coalesce(1).write.parquet(staging)
+        import glob as g
+
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(tmp_path / "changes" / f"era{n}.parquet")
+        os.makedirs(str(tmp_path / "changes"), exist_ok=True)
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    dim = [(1, 10.0), (2, 20.0)]
+    store.initialize(
+        spark.createDataFrame(dim, "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    schema = "k bigint, v double"
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "changes"))
+        )
+        streaming_scd2_eras(stream, store, ckpt).awaitTermination(60)
+
+    eras = [
+        [(1, 11.0)],
+        [(2, 22.0), (3, 30.0)],
+        [(1, 12.0), (4, 40.0)],
+    ]
+    write_change_file(eras[0], 1)
+    write_change_file(eras[1], 2)
+    drain()
+    assert store.era == 2
+    h1 = sorted(tuple(r) for r in store.history_as_of(1).collect())
+
+    # fold between micro-batches — the streaming caller doesn't coordinate
+    store.snapshot(2)
+
+    # (2) replay of a PRE-snapshot batch (crash window: era committed,
+    # checkpoint commit lost) — token survived the snapshot's meta copy
+    replay = spark.createDataFrame(eras[0], schema)
+    assert store.apply_era(replay, token="stream-batch-0") == 1
+    assert store.era == 2
+
+    # (1) the stream continues from the same checkpoint onto generation 2
+    write_change_file(eras[2], 3)
+    drain()
+    assert store.era == 3 and store.snaps == [0, 2]
+
+    # (3) time travel below the fold still works; history equals the
+    # batch-built chain
+    assert sorted(tuple(r) for r in store.history_as_of(1).collect()) == h1
+    batch = Scd2Store(spark, str(tmp_path / "batch_store"))
+    batch.initialize(
+        spark.createDataFrame(dim, "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    for ch in eras:
+        batch.apply_era(spark.createDataFrame(ch, schema))
+
+    def rows(s):
+        return sorted(tuple(r) for r in s.history_as_of().collect())
+
+    assert rows(store) == rows(batch)
