@@ -25,7 +25,9 @@ path at all — this is the builder's-brief LLM-pipeline ask, not a port.
 
 from __future__ import annotations
 
+import re
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -104,6 +106,35 @@ def _build_codes(counts, symbols) -> dict[int, tuple[int, int]]:
 
 def _build_decode_map(counts, symbols) -> dict[tuple[int, int], int]:
     return {v: s for s, v in _build_codes(counts, symbols).items()}
+
+
+@lru_cache(maxsize=64)
+def _build_decode_lut(counts, symbols) -> list[int]:
+    """16-bit-peek Huffman LUT: entry = (code_length << 8) | symbol, 0 for
+    prefixes that extend no valid code. Baseline codes are ≤ 16 bits, so
+    ONE list index replaces up to 16 bit-reads + dict probes per symbol —
+    the decode hot path. Tables are per-DHT and tiny, so the build is
+    cached across images (every fixture shares the Annex-K tables)."""
+    lut = [0] * (1 << 16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = [(length << 8) | symbols[k]] * (hi - lo)
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+# first 0xFF that is NOT a stuffed-zero pair ends the entropy segment
+_ENTROPY_END = re.compile(rb"\xff[^\x00]")
+
+# zigzag descan as one fancy-index scatter: coeffs[:, _ZZ_R, _ZZ_C] = zz
+_ZZ_R = np.array([r for r, _ in _zigzag()])
+_ZZ_C = np.array([c for _, c in _zigzag()])
 
 
 # ---------------------------------------------------------------------------
@@ -254,8 +285,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_maps: dict[int, dict] = {}
-    ac_maps: dict[int, dict] = {}
+    dc_tbls: dict[int, tuple] = {}
+    ac_tbls: dict[int, tuple] = {}
     w = h = None
     comp_q = 0
     scan_dc = scan_ac = 0
@@ -299,8 +330,10 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 counts = seg[o + 1 : o + 17]
                 n = sum(counts)
                 symbols = seg[o + 17 : o + 17 + n]
-                m = _build_decode_map(tuple(counts), tuple(symbols))
-                (ac_maps if cls else dc_maps)[tid] = m
+                (ac_tbls if cls else dc_tbls)[tid] = (
+                    tuple(counts),
+                    tuple(symbols),
+                )
                 o += 17 + n
         elif marker == 0xDD:
             raise ValueError("restart intervals not supported")
@@ -315,37 +348,106 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
     if w is None or scan_start is None:
         raise ValueError("missing SOF0 or SOS")
     q = qtables[comp_q]
-    dc_map, ac_map = dc_maps[scan_dc], ac_maps[scan_ac]
+    dc_lut = _build_decode_lut(*dc_tbls[scan_dc])
+    ac_lut = _build_decode_lut(*ac_tbls[scan_ac])
 
-    br = _BitReader(data, scan_start)
+    # entropy segment = scan start → first non-stuffed 0xFF (a marker);
+    # unstuff ONCE so the bit loop below never touches stuffing logic
+    mk = _ENTROPY_END.search(data, scan_start)
+    buf = data[scan_start : mk.start() if mk else len(data)].replace(
+        b"\xff\x00", b"\xff"
+    )
+    nbuf = len(buf)
+
     bw_, bh_ = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    nblocks = bw_ * bh_
+    # integer-exact entropy decode into flat zigzag coefficients; the
+    # accumulator keeps ≤ 23 live bits (masked on refill), peeks 16 for
+    # the LUT, and pads the stream tail with zero bits (a valid final
+    # code never needs them — the encoder pads with 1-bits)
+    zz_flat = [0] * (nblocks * 64)
+    acc = 0
+    nacc = 0
+    pos = 0
     prev_dc = 0
-    for by in range(bh_):
-        for bx in range(bw_):
-            zz = [0] * 64
-            s = br.read_symbol(dc_map)
-            prev_dc += _extend(br.read_bits(s), s)
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = br.read_symbol(ac_map)
-                run, s = sym >> 4, sym & 0xF
-                if s == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past block end")
-                zz[k] = _extend(br.read_bits(s), s)
-                k += 1
-            coeffs = np.zeros((8, 8), dtype=np.float64)
-            for i, (r, c) in enumerate(ZIGZAG):
-                coeffs[r, c] = zz[i] * q[r, c]
-            block = _A.T @ coeffs @ _A + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
+    for base in range(0, nblocks * 64, 64):
+        while nacc < 16 and pos < nbuf:
+            acc = ((acc & ((1 << nacc) - 1)) << 8) | buf[pos]
+            pos += 1
+            nacc += 8
+        peek = (
+            (acc >> (nacc - 16)) if nacc >= 16 else (acc << (16 - nacc))
+        ) & 0xFFFF
+        e = dc_lut[peek]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        ln, s = e >> 8, e & 0xFF
+        if ln > nacc:
+            raise ValueError("marker inside entropy-coded segment")
+        nacc -= ln
+        if s:
+            while nacc < s and pos < nbuf:
+                acc = ((acc & ((1 << nacc) - 1)) << 8) | buf[pos]
+                pos += 1
+                nacc += 8
+            if nacc < s:
+                raise ValueError("marker inside entropy-coded segment")
+            bits = (acc >> (nacc - s)) & ((1 << s) - 1)
+            nacc -= s
+            prev_dc += (
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
+        zz_flat[base] = prev_dc
+        k = 1
+        while k < 64:
+            while nacc < 16 and pos < nbuf:
+                acc = ((acc & ((1 << nacc) - 1)) << 8) | buf[pos]
+                pos += 1
+                nacc += 8
+            peek = (
+                (acc >> (nacc - 16)) if nacc >= 16 else (acc << (16 - nacc))
+            ) & 0xFFFF
+            e = ac_lut[peek]
+            if e == 0:
+                raise ValueError("invalid Huffman code")
+            ln, sym = e >> 8, e & 0xFF
+            if ln > nacc:
+                raise ValueError("marker inside entropy-coded segment")
+            nacc -= ln
+            run, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise ValueError("AC run past block end")
+            while nacc < s and pos < nbuf:
+                acc = ((acc & ((1 << nacc) - 1)) << 8) | buf[pos]
+                pos += 1
+                nacc += 8
+            if nacc < s:
+                raise ValueError("marker inside entropy-coded segment")
+            bits = (acc >> (nacc - s)) & ((1 << s) - 1)
+            nacc -= s
+            zz_flat[base + k] = (
+                bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+            )
+            k += 1
+
+    # dequant + descan + IDCT, vectorized over ALL blocks (bitwise
+    # identical to the per-block A.T @ C @ A — matmul broadcasts over the
+    # leading axis with the same per-slice kernel)
+    q_zz = q[_ZZ_R, _ZZ_C].astype(np.float64)
+    deq = np.array(zz_flat, dtype=np.float64).reshape(nblocks, 64) * q_zz
+    coeffs = np.zeros((nblocks, 8, 8), dtype=np.float64)
+    coeffs[:, _ZZ_R, _ZZ_C] = deq
+    blocks = _A.T @ coeffs @ _A + 128.0
+    tiles = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
+    out = (
+        tiles.reshape(bh_, bw_, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(bh_ * 8, bw_ * 8)
+    )
     return w, h, out[:h, :w].tobytes()
