@@ -606,6 +606,57 @@ def main() -> None:
         "scaling_ratio": round(tc2 / tc1, 3) if tc1 else None,
     }
 
+    # ---- 6b. STORE-BACKED pit_join: split-by-touched at scale (r7) ------
+    # The durable twin reads history from an Scd2Store whose latest era
+    # touched ~0.1% of keys. The plan claim under test: cold keys (the
+    # 99.9%) sort-merge against the bucketed generation base while the
+    # touched keys' history BROADCASTS — so per-Mfact cost must stay flat
+    # as keys AND facts grow 10x together (the touched set grows with the
+    # dimension, but stays O(|changes|) << |facts|).
+    def time_store_pit(n_keys: int, n_facts: int):
+        from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+
+        root = tempfile.mkdtemp(prefix="stress_store_pit_")
+        dim = spark.range(n_keys).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1000).cast("double").alias("attr"),
+        )
+        store = Scd2Store(spark, os.path.join(root, "dim"))
+        store.initialize(dim, key_cols=["k"], num_buckets=32)
+        ch = spark.range(n_keys // 1000).select(
+            (F.col("id") * 1000).alias("k"),
+            ((F.col("id") % 1000) + 1.0).alias("attr"),
+        )
+        store.apply_era(ch)
+        facts = spark.range(n_facts).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") % 2).cast("bigint").alias("era"),
+        )
+        t0 = time.perf_counter()
+        joined = (
+            store.pit_join(facts, "era")
+            .groupBy("era")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("attr").alias("s"))
+        )
+        rows = {r["era"]: r["n"] for r in joined.collect()}
+        wall = time.perf_counter() - t0
+        if sum(rows.values()) != n_facts:
+            violations.append(
+                f"store_pit_join: counts {rows} sum != {n_facts}"
+            )
+        shutil.rmtree(root, ignore_errors=True)
+        return round(wall, 2), round(wall / (n_facts / 1e6), 3)
+
+    sw1, sc1 = time_store_pit(small_keys, small_facts)
+    sw2, sc2 = time_store_pit(small_keys * mult, small_facts * mult)
+    out["scd2_store_pit_join"] = {
+        "keys_small": small_keys, "facts_small": small_facts,
+        "wall_small_sec": sw1, "sec_per_Mfacts_small": sc1,
+        "keys_big": small_keys * mult, "facts_big": small_facts * mult,
+        "wall_big_sec": sw2, "sec_per_Mfacts_big": sc2,
+        "scaling_ratio": round(sc2 / sc1, 3) if sc1 else None,
+    }
+
     out["violations"] = violations
     line = json.dumps(out)
     print(line)
@@ -634,10 +685,11 @@ def _write_stress_md(results_dir: str) -> None:
         "| run | pagerank s/iter/Medges 1x -> Nx (ratio) | minhash s/kdocs"
         " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
-        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | depth sweep"
+        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
+        " 1x -> Nx (ratio) | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -666,6 +718,12 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({t2.get('scaling_ratio')})"
             if t2 else "—"
         )
+        sp = r.get("scd2_store_pit_join", {})
+        store_pit = (
+            f"{sp.get('sec_per_Mfacts_small')} -> {sp.get('sec_per_Mfacts_big')}"
+            f" ({sp.get('scaling_ratio')})"
+            if sp else "—"
+        )
         ds = r.get("depth_sweep", {})
         depth = (
             f"{ds.get('early_med')} -> {ds.get('late_med')}"
@@ -683,7 +741,8 @@ def _write_stress_md(results_dir: str) -> None:
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} | {media} | {star} | {scd2} | {depth} | {era} |"
+            f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
+            f" | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
