@@ -148,15 +148,17 @@ class _BitWriter:
         self._n = 0
 
     def write(self, value: int, nbits: int) -> None:
-        for i in range(nbits - 1, -1, -1):
-            self._acc = (self._acc << 1) | ((value >> i) & 1)
-            self._n += 1
-            if self._n == 8:
-                self.buf.append(self._acc)
-                if self._acc == 0xFF:
-                    self.buf.append(0x00)  # byte stuffing
-                self._acc = 0
-                self._n = 0
+        # whole-chunk append (bitstream identical to bit-by-bit): shift
+        # the value in, drain full bytes MSB-first, stuff 0xFF00
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+        self._acc &= (1 << self._n) - 1
 
     def flush(self) -> None:
         while self._n:
@@ -225,38 +227,44 @@ def encode_jpeg_gray(pixels, qtable: np.ndarray | None = None) -> bytes:
 
     dc_codes = _build_codes(DC_COUNTS, DC_SYMBOLS)
     ac_codes = _build_codes(AC_COUNTS, AC_SYMBOLS)
+    # forward DCT + quantize + zigzag gather, vectorized over ALL blocks
+    # (bitwise identical to the per-block A @ B @ A.T); .tolist() hands
+    # the entropy loop plain Python ints in one bulk conversion
+    bh_, bw8 = h // 8, w // 8
+    blocks = (
+        img.reshape(bh_, 8, bw8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128
+    )
+    coeffs = _A @ blocks @ _A.T
+    quant = np.rint(coeffs / q).astype(np.int64)
+    zz_all = quant[:, _ZZ_R, _ZZ_C].tolist()
     bw = _BitWriter()
     prev_dc = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128
-            coeffs = _A @ block @ _A.T
-            quant = np.rint(coeffs / q).astype(np.int64)
-            zz = [int(quant[r, c]) for r, c in ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            s = _category(diff)
-            code, length = dc_codes[s]
+    for zz in zz_all:
+        diff = zz[0] - prev_dc
+        prev_dc = zz[0]
+        s = _category(diff)
+        code, length = dc_codes[s]
+        bw.write(code, length)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for coeff in zz[1:]:
+            if coeff == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                bw.write(code, length)
+                run -= 16
+            s = _category(coeff)
+            code, length = ac_codes[(run << 4) | s]
             bw.write(code, length)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            bw.write(coeff if coeff > 0 else coeff + (1 << s) - 1, s)
             run = 0
-            for coeff in zz[1:]:
-                if coeff == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]  # ZRL
-                    bw.write(code, length)
-                    run -= 16
-                s = _category(coeff)
-                code, length = ac_codes[(run << 4) | s]
-                bw.write(code, length)
-                bw.write(coeff if coeff > 0 else coeff + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, length = ac_codes[0x00]  # EOB
-                bw.write(code, length)
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            bw.write(code, length)
     bw.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
