@@ -202,3 +202,27 @@ def test_marker_layout_is_conventional():
         seen.append(data[pos + 1])
         pos += 2 + struct.unpack(">H", data[pos + 2 : pos + 4])[0]
     assert 0xDB in seen and 0xC0 in seen and seen.count(0xC4) == 2
+
+
+def test_encode_bitstream_is_stable_golden():
+    """The EXACT encoded bytes are pinned, not just the roundtrip: media
+    fixture caches are keyed by name only (operators/multimodal.py
+    _cached_fixture_dir), and exact-dedup digests payload bytes — a future
+    encoder 'optimization' that emits a different-but-valid bitstream
+    would silently desync cached fixtures from freshly computed values.
+    Hashes recorded from the r7 encoder (bit-identical to the original
+    bit-at-a-time implementation on a 68-case corpus)."""
+    import hashlib
+
+    rng = np.random.default_rng(1234)
+    img = rng.integers(0, 256, size=(32, 40)).astype(np.uint8)
+    assert (
+        hashlib.md5(encode_jpeg_gray(img)).hexdigest()
+        == "da1a45a94760ed9310c23f0fceee32f4"
+    )
+    tiles = (np.arange(64).reshape(8, 8) * 37 % 256).astype(np.int64)
+    img2 = np.kron(tiles, np.ones((8, 8), dtype=np.int64))
+    assert (
+        hashlib.md5(encode_jpeg_gray(img2)).hexdigest()
+        == "09ab7a5dfde14a36a07a4f6faac6b60b"
+    )
