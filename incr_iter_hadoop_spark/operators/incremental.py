@@ -1761,7 +1761,7 @@ def _customer_scd2_store(spark: SparkSession, sf_dir: str, tag: str):
     return store
 
 
-def _scd2_store_eras_read(store) -> DataFrame:
+def _scd2_store_eras_read(store, extra_cols: tuple = ()) -> DataFrame:
     h1 = store.history_as_of(1).withColumn(
         "as_of", F.lit(1).cast("bigint")
     )
@@ -1769,8 +1769,8 @@ def _scd2_store_eras_read(store) -> DataFrame:
         "as_of", F.lit(2).cast("bigint")
     )
     return h1.unionByName(h2).select(
-        "as_of", "c_custkey", "acctbal", "valid_from", "valid_to",
-        "is_current",
+        "as_of", "c_custkey", "acctbal", *extra_cols, "valid_from",
+        "valid_to", "is_current",
     )
 
 
@@ -1793,6 +1793,69 @@ def scd2_store_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _customer_scd2_store(spark, sf_dir, "snap_reads")
     store.snapshot(1)
     return _scd2_store_eras_read(store)
+
+
+@register(
+    "scd2_store_schema_evolution",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal,
+             CAST(NULL AS VARCHAR) AS segment, 0 AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6), NULL, 1
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, ROUND(c_acctbal, 6), NULL, 1
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 200, 6), c_mktsegment, 2
+      FROM customer WHERE c_custkey % 5 = 0
+    ),
+    h AS (
+      SELECT a.as_of, v.c_custkey, v.acctbal, v.segment, v.valid_from
+      FROM v
+      CROSS JOIN (SELECT unnest([1, 2]) AS as_of) a
+      WHERE v.valid_from <= a.as_of
+    )
+    SELECT CAST(as_of AS BIGINT) AS as_of, c_custkey, acctbal, segment,
+           CAST(valid_from AS BIGINT) AS valid_from,
+           CAST(COALESCE(
+             LEAD(valid_from) OVER (
+               PARTITION BY as_of, c_custkey ORDER BY valid_from),
+             999999) AS BIGINT) AS valid_to,
+           COALESCE(
+             LEAD(valid_from) OVER (
+               PARTITION BY as_of, c_custkey ORDER BY valid_from),
+             999999) = 999999 AS is_current
+    FROM h
+    """,
+    doc="Scd2Store ADDITIVE SCHEMA EVOLUTION (round 7): same customer "
+    "store, era 1 = the standard changes, era 2 additionally carries a "
+    "column the store has never seen (`segment` = c_mktsegment for every "
+    "5th key). The new column joins the stored schema in the SAME atomic "
+    "meta write as the era bump; reads at EVERY era — including "
+    "history_as_of(1), whose layers predate the column — return the "
+    "latest schema with NULL backfill (layers are scanned with the "
+    "current explicit schema, the lakehouse mergeSchema contract). The "
+    "oracle rebuilds both eras with the NULL-columned union. Rejections "
+    "(dropped columns, validity-name collisions) and "
+    "evolution-then-snapshot are pinned by tests/test_scd2_store.py.",
+)
+def scd2_store_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "evolve")
+    changes1, _ = _customer_era_changes(c)
+    store.apply_era(changes1)
+    store.apply_era(
+        c.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 200, 6).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return _scd2_store_eras_read(store, extra_cols=("segment",))
 
 
 @register(

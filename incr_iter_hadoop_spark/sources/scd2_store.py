@@ -176,7 +176,12 @@ class Scd2Store:
         # segment from the STORE ROOT's own path (e.g. a store created
         # inside another store's layer dir) and stamp the wrong
         # valid_from on every row with no error (ADVICE r6)
-        return self.spark.read.parquet(*paths).withColumn(
+        # explicit schema (the CURRENT one): no inference listing, and
+        # layers written before an additive evolution read their missing
+        # columns as NULL instead of whatever file the sampler picked
+        return self.spark.read.schema(self.meta["schema_ddl"]).parquet(
+            *paths
+        ).withColumn(
             "valid_from",
             F.regexp_extract(
                 F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
@@ -251,12 +256,14 @@ class Scd2Store:
         self._write_meta(meta)
         return self
 
-    def _write_layer(self, era: int, changes: DataFrame) -> None:
+    def _write_layer(
+        self, era: int, changes: DataFrame, cols: list[str] | None = None
+    ) -> None:
         """Layer write WITHOUT the meta bump — split out so the crash test
         can stop exactly between the two steps."""
-        changes.select(*self.meta["columns"]).write.mode("overwrite").parquet(
-            self._layer_path(era)
-        )
+        changes.select(*(cols or self.meta["columns"])).write.mode(
+            "overwrite"
+        ).parquet(self._layer_path(era))
 
     def apply_era(
         self,
@@ -266,7 +273,21 @@ class Scd2Store:
         snapshot_every: int | None = None,
     ) -> int:
         """Commit one era of changes (update rows for existing keys, insert
-        rows for new keys; same attribute schema as the base dimension).
+        rows for new keys; the attribute schema of the base dimension, plus
+        optionally NEW columns — see below).
+
+        **Additive schema evolution**: changes may carry attribute columns
+        the store has never seen (the lakehouse ``mergeSchema`` contract —
+        a dimension gains an attribute mid-history). The new columns are
+        appended to the stored schema IN THE SAME atomic meta write as the
+        era bump; every read from then on — any ``history_as_of`` era,
+        ``pit_join``, ``snapshot`` — returns the latest schema, with NULL
+        for versions written before the column existed (layers are read
+        with the current explicit schema, so old files null-fill). Columns
+        can only be ADDED: a change batch missing an existing column, or
+        colliding with the derived ``valid_from``/``valid_to``/
+        ``is_current`` names, is rejected loudly (dropping or retyping a
+        column would silently corrupt every earlier layer's read).
 
         **Contract: at most ONE row per key per era, and keys are non-NULL**
         — enforced here, not assumed. Two versions of a key in a single era
@@ -304,6 +325,20 @@ class Scd2Store:
             if token in seen:
                 return int(seen[token])
         keys = self.key_cols
+        cols = list(self.meta["columns"])
+        missing = [c for c in cols if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"Scd2Store.apply_era: changes are missing existing "
+                f"column(s) {missing}; schema evolution is additive only"
+            )
+        new_cols = [c for c in changes.columns if c not in cols]
+        clash = {"valid_from", "valid_to", "is_current"} & set(new_cols)
+        if clash:
+            raise ValueError(
+                f"Scd2Store.apply_era: new column(s) {sorted(clash)} "
+                f"collide with the store's derived validity columns"
+            )
         chk = changes.agg(
             F.count(F.lit(1)).alias("n"),
             F.count_distinct(*[F.col(k) for k in keys]).alias("n_keys"),
@@ -329,9 +364,24 @@ class Scd2Store:
                 f"to last-change-wins or split into multiple eras"
             )
         e = self.era + 1
-        self._write_layer(e, changes)
+        self._write_layer(e, changes, cols + new_cols)
         meta = dict(self.meta)
         meta["era"] = e
+        if new_cols:
+            meta["columns"] = cols + new_cols
+            meta["schema_ddl"] = (
+                meta["schema_ddl"]
+                + ", "
+                + _schema_ddl(changes.select(*new_cols))
+            )
+            # invalidate the session's catalog entries BEFORE the commit:
+            # the next read re-creates them from the (then-committed)
+            # evolved DDL; a crash in between re-creates from the old meta
+            # — consistent either way (the store is single-writer)
+            for g in self.snaps:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(g)}"
+                )
         if token is not None:
             # retain a bounded window of tokens: at-least-once callers only
             # ever replay their MOST RECENT uncommitted batch, so tokens

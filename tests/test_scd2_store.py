@@ -469,3 +469,107 @@ def test_pit_join_after_vacuum(spark, tmp_path):
     assert _pit_rows(store.pit_join(facts, "era", as_of=2)) == expected2
     with pytest.raises(ValueError, match="vacuumed"):
         store.pit_join(facts, "era", as_of=1)
+
+
+# ---------------------------------------------------------------------------
+# additive schema evolution (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_schema_evolution_null_backfills_every_era(spark, tmp_path):
+    """A column added mid-history joins the schema atomically with its
+    era: reads at EVERY era (including ones whose layers predate the
+    column) return the latest schema with NULL backfill; snapshot folds
+    the evolved schema; pit_join surfaces the new attribute."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    store.apply_era(
+        spark.createDataFrame(
+            [(2, 22.0, "gold"), (6, 60.0, "silver")],
+            "k bigint, v double, tier string",
+        )
+    )
+    h1 = store.history_as_of(1)
+    assert "tier" in h1.columns
+    assert h1.where(F.col("tier").isNotNull()).count() == 0
+    h2 = store.history_as_of(2)
+    tiers = {
+        r["k"]: r["tier"] for r in h2.where("is_current").collect()
+    }
+    assert tiers[2] == "gold" and tiers[6] == "silver"
+    assert tiers[1] is None and tiers[4] is None
+    # fold the evolved history; answers must not change
+    rows2 = _rows(h2)
+    store.snapshot(2)
+    assert _rows(store.history_as_of(2)) == rows2
+    assert _rows(store.history_as_of(1)) == _rows(h1)
+    # a later era keeps using the evolved schema, and pit_join joins it
+    store.apply_era(
+        spark.createDataFrame(
+            [(1, 12.0, "bronze")], "k bigint, v double, tier string"
+        )
+    )
+    facts = spark.createDataFrame(
+        [(1, 0, 100), (1, 3, 101), (2, 2, 102)],
+        "k bigint, era bigint, fid bigint",
+    )
+    got = {
+        r["fid"]: (r["v"], r["tier"])
+        for r in store.pit_join(facts, "era").collect()
+    }
+    assert got == {100: (10.0, None), 101: (12.0, "bronze"),
+                   102: (22.0, "gold")}
+
+
+def test_schema_evolution_is_additive_only(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="additive only"):
+        store.apply_era(
+            spark.createDataFrame([(9, "x")], "k bigint, tier string")
+        )
+    with pytest.raises(ValueError, match="derived validity"):
+        store.apply_era(
+            spark.createDataFrame(
+                [(9, 9.0, 5)], "k bigint, v double, valid_from int"
+            )
+        )
+    # both rejections left the store untouched
+    assert store.era == 0 and store.meta["columns"] == ["k", "v"]
+
+
+def test_schema_evolution_uncommitted_layer_keeps_old_schema(spark, tmp_path):
+    """Crash between the evolved layer write and the meta commit: the
+    orphan layer's extra column stays invisible — the store still reads
+    (and re-applies) with the pre-evolution schema."""
+    store = _store(spark, tmp_path)
+    orphan = spark.createDataFrame(
+        [(1, 11.0, "gold")], "k bigint, v double, tier string"
+    )
+    store._write_layer(1, orphan, ["k", "v", "tier"])  # no meta bump
+    assert store.meta["columns"] == ["k", "v"]
+    assert "tier" not in store.history_as_of().columns
+    # the retried apply overwrites the orphan and commits the evolution
+    store.apply_era(orphan)
+    assert store.meta["columns"] == ["k", "v", "tier"]
+    assert {r["k"]: r["tier"] for r in
+            store.history_as_of().where("is_current").collect()}[1] == "gold"
+
+
+def test_schema_evolution_survives_reload(spark, tmp_path):
+    """A fresh instance on the same path (new meta read + catalog
+    re-registration) sees the evolved schema, including the gen-0 base
+    table whose parquet files predate the column."""
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+
+    store = _store(spark, tmp_path)
+    store.apply_era(
+        spark.createDataFrame(
+            [(1, 11.0, "gold")], "k bigint, v double, tier string"
+        )
+    )
+    expected = _rows(store.history_as_of())
+    spark.sql(f"DROP TABLE IF EXISTS {store._table_name(0)}")
+    reopened = Scd2Store(spark, store.path)
+    h = reopened.history_as_of()
+    assert "tier" in h.columns
+    assert _rows(h) == expected
