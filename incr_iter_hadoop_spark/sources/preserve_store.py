@@ -244,8 +244,15 @@ class PreserveStore:
         era = int(self.meta["base_version"]) if era is None else era
         return os.path.join(self.path, f"layers/b{era}/v{v}", which)
 
+    def _reader(self, which: str):
+        """Parquet reader with the stored explicit schema where one exists
+        (contribs/results; r7 — no inference listing, no sampled-file
+        dependence); sides without a recorded DDL (affected) infer."""
+        ddl = self.meta["schema_ddl"].get(which)
+        return self.spark.read.schema(ddl) if ddl else self.spark.read
+
     def _layer(self, v: int, which: str, era: int | None = None) -> DataFrame:
-        return self.spark.read.parquet(self._layer_path(v, which, era))
+        return self._reader(which).parquet(self._layer_path(v, which, era))
 
     def _layers(self, n: int, which: str, era: int | None = None) -> DataFrame:
         """Layers 1..n as ONE multi-path scan, ``_v`` parsed from the layer
@@ -262,8 +269,9 @@ class PreserveStore:
         # anchored to the data-file position (layers/b<e>/v<N>/<which>/
         # part-*): an unanchored leftmost match would pick up a matching
         # segment from the store root's own path and stamp the wrong _v
-        # on every row with no error (ADVICE r6)
-        return self.spark.read.parquet(*paths).withColumn(
+        # on every row with no error (ADVICE r6). Explicit schema from
+        # meta where recorded (r7, see _reader).
+        return self._reader(which).parquet(*paths).withColumn(
             "_v",
             F.regexp_extract(
                 F.input_file_name(), r"/layers/b\d+/v(\d+)/[^/]+/[^/]+$", 1
