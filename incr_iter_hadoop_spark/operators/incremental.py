@@ -1859,6 +1859,75 @@ def scd2_store_schema_evolution(
 
 
 @register(
+    "scd2_store_deletes",
+    oracle="""
+    WITH v AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from,
+             FALSE AS tomb
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6), 1, FALSE
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000 AS c_custkey, ROUND(c_acctbal, 6), 1, FALSE
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 200, 6), 2, FALSE
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, NULL, 2, TRUE
+      FROM customer WHERE c_custkey % 11 = 0 AND c_custkey % 5 <> 0
+    ),
+    h AS (
+      SELECT a.as_of, v.c_custkey, v.acctbal, v.valid_from, v.tomb
+      FROM v
+      CROSS JOIN (SELECT unnest([1, 2]) AS as_of) a
+      WHERE v.valid_from <= a.as_of
+    ),
+    closed AS (
+      SELECT as_of, c_custkey, acctbal, tomb,
+             CAST(valid_from AS BIGINT) AS valid_from,
+             CAST(COALESCE(
+               LEAD(valid_from) OVER (
+                 PARTITION BY as_of, c_custkey ORDER BY valid_from),
+               999999) AS BIGINT) AS valid_to
+      FROM h
+    )
+    SELECT CAST(as_of AS BIGINT) AS as_of, c_custkey, acctbal, valid_from,
+           valid_to, valid_to = 999999 AS is_current
+    FROM closed WHERE NOT tomb
+    """,
+    doc="Scd2Store DELETES (round 7 — the I7 retraction side applied to "
+    "dimensions): era 1 = the standard changes; era 2 updates every 5th "
+    "key AND TERMINATES every 11th-not-5th key. The layer stores a "
+    "tombstone row (NULL attributes, _tombstone=true) that participates "
+    "in the read-time close window — the terminated key's current "
+    "version closes at era 2 exactly as an update would close it — and "
+    "is then filtered from every output, so layers stay append-only and "
+    "pre-delete eras are untouched (as_of=1 shows the key fully open). "
+    "The oracle rebuilds both eras with the same tombstone-in-window-"
+    "then-filter rule. Re-insert-after-delete, snapshot/vacuum "
+    "durability, and changed+deleted rejection are pinned by "
+    "tests/test_scd2_store.py.",
+)
+def scd2_store_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "deletes")
+    changes1, _ = _customer_era_changes(c)
+    store.apply_era(changes1)
+    store.apply_era(
+        c.where(F.col("c_custkey") % 5 == 0).select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") + 200, 6).alias("acctbal"),
+        ),
+        deletes=c.where(
+            (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 5 != 0)
+        ).select("c_custkey"),
+    )
+    return _scd2_store_eras_read(store)
+
+
+
+@register(
     "scd2_store_pit_join",
     oracle="""
     WITH history AS (

@@ -136,10 +136,15 @@ class Scd2Store:
 
     def _gen_ddl(self, gen: int) -> str:
         # generation 0 stores the bare dimension (valid_from is implicitly
-        # 0); snapshot generations persist the folded multi-version history,
-        # so valid_from is a real column
+        # 0, nothing is deleted yet); snapshot generations persist the
+        # folded multi-version history, so valid_from and the delete
+        # tombstones are real columns
         ddl = self.meta["schema_ddl"]
-        return ddl if gen == 0 else f"{ddl}, `valid_from` BIGINT"
+        return (
+            ddl
+            if gen == 0
+            else f"{ddl}, `valid_from` BIGINT, `_tombstone` BOOLEAN"
+        )
 
     def _base(self, gen: int = 0) -> DataFrame:
         name = self._table_name(gen)
@@ -177,15 +182,23 @@ class Scd2Store:
         # inside another store's layer dir) and stamp the wrong
         # valid_from on every row with no error (ADVICE r6)
         # explicit schema (the CURRENT one): no inference listing, and
-        # layers written before an additive evolution read their missing
-        # columns as NULL instead of whatever file the sampler picked
-        return self.spark.read.schema(self.meta["schema_ddl"]).parquet(
-            *paths
-        ).withColumn(
-            "valid_from",
-            F.regexp_extract(
-                F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
-            ).cast("bigint"),
+        # layers written before an additive evolution (or before delete
+        # support) read their missing columns as NULL instead of whatever
+        # file the sampler picked — tombstone NULL normalizes to False
+        ddl = self.meta["schema_ddl"] + ", `_tombstone` BOOLEAN"
+        return (
+            self.spark.read.schema(ddl)
+            .parquet(*paths)
+            .withColumn(
+                "valid_from",
+                F.regexp_extract(
+                    F.input_file_name(), r"/layers/e(\d+)/[^/]+$", 1
+                ).cast("bigint"),
+            )
+            .withColumn(
+                "_tombstone",
+                F.coalesce(F.col("_tombstone"), F.lit(False)),
+            )
         )
 
     def _gen_pieces(
@@ -198,7 +211,18 @@ class Scd2Store:
         g = self._gen_for(era)
         base = self._base(g)
         if g == 0:
-            base = base.withColumn("valid_from", F.lit(0).cast("bigint"))
+            base = base.withColumn(
+                "valid_from", F.lit(0).cast("bigint")
+            ).withColumn("_tombstone", F.lit(False))
+        else:
+            # a generation's parquet (or a catalog entry registered before
+            # delete support) may lack the column — normalize to False
+            base = base.withColumn(
+                "_tombstone",
+                F.coalesce(F.col("_tombstone"), F.lit(False))
+                if "_tombstone" in base.columns
+                else F.lit(False),
+            )
         return base, self._layers_df(g + 1, era)
 
     # -- lifecycle ---------------------------------------------------------
@@ -269,6 +293,7 @@ class Scd2Store:
         self,
         changes: DataFrame,
         *,
+        deletes: DataFrame | None = None,
         token: str | None = None,
         snapshot_every: int | None = None,
     ) -> int:
@@ -288,6 +313,20 @@ class Scd2Store:
         colliding with the derived ``valid_from``/``valid_to``/
         ``is_current`` names, is rejected loudly (dropping or retyping a
         column would silently corrupt every earlier layer's read).
+
+        **Deletes** (the I7 retraction side applied to dimensions): rows of
+        ``deletes`` (key columns; anything else is ignored) TERMINATE their
+        key at this era — the current version's ``valid_to`` closes at
+        ``era`` and no version is open afterwards, so the key vanishes
+        from ``is_current`` reads and from ``pit_join`` matches at
+        fact-eras ≥ the delete. Mechanism: the layer stores a TOMBSTONE
+        row (NULL attributes, ``_tombstone = true``) that participates in
+        the read-time close window — closing the prior version exactly
+        like an update would — and is then filtered from every output, so
+        layers stay append-only and history below the delete is
+        untouched. A later era may re-insert the key (a fresh version
+        opens; the gap stays unmatched). A key may not be both changed
+        and deleted in one era.
 
         **Contract: at most ONE row per key per era, and keys are non-NULL**
         — enforced here, not assumed. Two versions of a key in a single era
@@ -363,8 +402,53 @@ class Scd2Store:
                 f"era admits at most one version per key — pre-aggregate "
                 f"to last-change-wins or split into multiple eras"
             )
+        layer = changes.select(*cols, *new_cols).withColumn(
+            "_tombstone", F.lit(False)
+        )
+        if deletes is not None:
+            ks = deletes.select(*keys).distinct()
+            n_del = ks.count()
+            if n_del:
+                if ks.where(
+                    F.greatest(*[F.col(k).isNull() for k in keys])
+                    if len(keys) > 1
+                    else F.col(keys[0]).isNull()
+                ).limit(1).count():
+                    raise ValueError(
+                        f"Scd2Store.apply_era: deletes carry NULL key "
+                        f"values in {keys}"
+                    )
+                both = changes.join(ks, keys, "left_semi").limit(1).count()
+                if both:
+                    raise ValueError(
+                        "Scd2Store.apply_era: key(s) appear in BOTH "
+                        "changes and deletes for one era — a key is "
+                        "either updated or terminated, not both"
+                    )
+                types = {
+                    f.name: f.dataType.simpleString()
+                    for f in self.spark.createDataFrame(
+                        [], self.meta["schema_ddl"]
+                    ).schema.fields
+                }
+                types.update(
+                    {
+                        f.name: f.dataType.simpleString()
+                        for f in changes.schema.fields
+                        if f.name in new_cols
+                    }
+                )
+                tombs = ks.select(
+                    *keys,
+                    *[
+                        F.lit(None).cast(types[c]).alias(c)
+                        for c in cols + new_cols
+                        if c not in keys
+                    ],
+                ).withColumn("_tombstone", F.lit(True))
+                layer = layer.unionByName(tombs)
         e = self.era + 1
-        self._write_layer(e, changes, cols + new_cols)
+        self._write_layer(e, layer, cols + new_cols + ["_tombstone"])
         meta = dict(self.meta)
         meta["era"] = e
         if new_cols:
@@ -434,12 +518,19 @@ class Scd2Store:
         if layers is not None:
             h = h.unionByName(layers)
         w = Window.partitionBy(*self.key_cols).orderBy("valid_from")
-        return h.withColumn(
-            "valid_to",
-            F.coalesce(
-                F.lead("valid_from").over(w), F.lit(self.open_end)
-            ).cast("bigint"),
-        ).withColumn("is_current", F.col("valid_to") == self.open_end)
+        # tombstones participate in the window (closing the version they
+        # terminate) and are then dropped from the output
+        return (
+            h.withColumn(
+                "valid_to",
+                F.coalesce(
+                    F.lead("valid_from").over(w), F.lit(self.open_end)
+                ).cast("bigint"),
+            )
+            .where(~F.col("_tombstone"))
+            .drop("_tombstone")
+            .withColumn("is_current", F.col("valid_to") == self.open_end)
+        )
 
     # -- snapshot / vacuum (bounded-depth reads without losing history) ----
 
@@ -475,7 +566,9 @@ class Scd2Store:
         name = self._table_name(era)
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         (
-            h.select(*m["columns"], "valid_from")
+            # tombstones fold into the generation unfiltered — they keep
+            # closing the versions they terminated
+            h.select(*m["columns"], "valid_from", "_tombstone")
             .repartition(n, *keys)
             .write.format("parquet")
             .mode("overwrite")
@@ -576,9 +669,13 @@ class Scd2Store:
         )
         out_cols = facts.columns + attrs
 
+        # tombstones stay in until AFTER the window computes valid_to
+        # (they close the version they terminate), then leave the join
+        live = ~F.col("_tombstone")
+
         base, layers = self._gen_pieces(as_of)
         if layers is None:
-            hist = base.withColumn("valid_to", valid_to)
+            hist = base.withColumn("valid_to", valid_to).where(live)
             return facts.join(hist, keys).where(era_ok).select(*out_cols)
 
         # materialized once: three subtrees reference it (two broadcasts +
@@ -593,11 +690,13 @@ class Scd2Store:
         cold_hist = (
             base.join(F.broadcast(touched), keys, "left_anti")
             .withColumn("valid_to", valid_to)
+            .where(live)
         )
         hot_hist = (
             base.join(F.broadcast(touched), keys, "left_semi")
             .unionByName(layers)
             .withColumn("valid_to", valid_to)
+            .where(live)
         )
         cold = facts.join(cold_hist, keys).where(era_ok)
         hot = facts.join(F.broadcast(hot_hist), keys).where(era_ok)

@@ -573,3 +573,93 @@ def test_schema_evolution_survives_reload(spark, tmp_path):
     h = reopened.history_as_of()
     assert "tier" in h.columns
     assert _rows(h) == expected
+
+
+# ---------------------------------------------------------------------------
+# deletes: key termination via tombstones (round 7)
+# ---------------------------------------------------------------------------
+
+
+def test_delete_terminates_key_and_reinsert_reopens(spark, tmp_path):
+    """A delete closes the current version at its era and leaves the key
+    versionless until a later era re-inserts it: history shows the closed
+    version (never a tombstone row), is_current drops the key, pit_join
+    matches nothing in the gap, and reads below the delete era are
+    untouched."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    # era 2: delete key 2, update key 3 in the same era
+    store.apply_era(
+        spark.createDataFrame([(3, 33.0)], "k bigint, v double"),
+        deletes=spark.createDataFrame([(2,)], "k bigint"),
+    )
+    h2 = store.history_as_of(2)
+    two = [(r["valid_from"], r["valid_to"], r["is_current"])
+           for r in h2.where("k = 2").collect()]
+    assert two == [(0, 2, False)]
+    assert h2.where("k = 2 and is_current").count() == 0
+    # era 1 history is untouched by the later delete
+    assert [(r["valid_from"], r["valid_to"]) for r in
+            store.history_as_of(1).where("k = 2").collect()] == [(0, 999999)]
+    # era 3: re-insert key 2 — fresh version, the gap stays a gap
+    store.apply_era(spark.createDataFrame([(2, 25.0)], "k bigint, v double"))
+    three = sorted(
+        (r["valid_from"], r["valid_to"], r["is_current"])
+        for r in store.history_as_of(3).where("k = 2").collect()
+    )
+    assert three == [(0, 2, False), (3, 999999, True)]
+    facts = spark.createDataFrame(
+        [(2, 1, 100), (2, 2, 101), (2, 3, 102)],
+        "k bigint, era bigint, fid bigint",
+    )
+    got = {r["fid"]: r["v"] for r in store.pit_join(facts, "era").collect()}
+    assert got == {100: 20.0, 102: 25.0}  # fid 101 falls in the gap
+
+
+def test_delete_survives_snapshot_and_vacuum(spark, tmp_path):
+    """Tombstones fold into snapshot generations (still closing what they
+    terminated) and survive vacuum — the termination is as durable as any
+    version."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    store.apply_era(
+        spark.createDataFrame([], "k bigint, v double"),
+        deletes=spark.createDataFrame([(2,), (4,)], "k bigint"),
+    )
+    h2 = _rows(store.history_as_of(2))
+    store.snapshot(2)
+    assert _rows(store.history_as_of(2)) == h2
+    store.apply_era(spark.createDataFrame([(4, 44.0)], "k bigint, v double"))
+    expected3 = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in store.history_as_of(3)
+        .where("k in (2, 4)")
+        .collect()
+    )
+    assert expected3 == [
+        (2, 0, 2, False),
+        (4, 1, 2, False),
+        (4, 3, 999999, True),
+    ]
+    store.vacuum()
+    got3 = sorted(
+        (r["k"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in store.history_as_of(3).where("k in (2, 4)").collect()
+    )
+    assert got3 == expected3
+
+
+def test_delete_rejections_leave_store_untouched(spark, tmp_path):
+    store = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="BOTH changes and deletes"):
+        store.apply_era(
+            spark.createDataFrame([(1, 13.0)], "k bigint, v double"),
+            deletes=spark.createDataFrame([(1,)], "k bigint"),
+        )
+    with pytest.raises(ValueError, match="NULL key"):
+        store.apply_era(
+            spark.createDataFrame([(2, 2.0)], "k bigint, v double"),
+            deletes=spark.createDataFrame([(None,)], "k bigint"),
+        )
+    assert store.era == 0
+    assert not os.path.isdir(store._layer_path(1))
