@@ -1858,9 +1858,13 @@ def scd2_store_schema_evolution(
     return _scd2_store_eras_read(store, extra_cols=("segment",))
 
 
-@register(
-    "scd2_store_deletes",
-    oracle="""
+# Shared by scd2_store_deletes (batch) and scd2_store_cdc_streamed (the
+# CDC-stream twin): both build the same two eras — era 2 updates every 5th
+# key AND terminates every 11th-not-5th — so the independent DuckDB
+# rebuild (tombstone participates in the close window, then filtered) is
+# identical; the streamed variant committing via micro-batches must not
+# change any answer.
+_SCD2_DELETES_ORACLE = """
     WITH v AS (
       SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from,
              FALSE AS tomb
@@ -1896,7 +1900,23 @@ def scd2_store_schema_evolution(
     SELECT CAST(as_of AS BIGINT) AS as_of, c_custkey, acctbal, valid_from,
            valid_to, valid_to = 999999 AS is_current
     FROM closed WHERE NOT tomb
-    """,
+    """
+
+
+def _customer_delete_era2(c: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(era-2 updates, era-2 delete keys) of the deletes oracle."""
+    ups = c.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey", F.round(F.col("c_acctbal") + 200, 6).alias("acctbal")
+    )
+    dels = c.where(
+        (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 5 != 0)
+    ).select("c_custkey")
+    return ups, dels
+
+
+@register(
+    "scd2_store_deletes",
+    oracle=_SCD2_DELETES_ORACLE,
     doc="Scd2Store DELETES (round 7 — the I7 retraction side applied to "
     "dimensions): era 1 = the standard changes; era 2 updates every 5th "
     "key AND TERMINATES every 11th-not-5th key. The layer stores a "
@@ -1914,15 +1934,74 @@ def scd2_store_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, c, _root = _customer_scd2_base(spark, sf_dir, "deletes")
     changes1, _ = _customer_era_changes(c)
     store.apply_era(changes1)
-    store.apply_era(
-        c.where(F.col("c_custkey") % 5 == 0).select(
+    ups, dels = _customer_delete_era2(c)
+    store.apply_era(ups, deletes=dels)
+    return _scd2_store_eras_read(store)
+
+
+@register(
+    "scd2_store_cdc_streamed",
+    oracle=_SCD2_DELETES_ORACLE,
+    doc="CDC-STREAM maintenance of the Scd2Store (round 7): the same two "
+    "eras as scd2_store_deletes arrive as a change feed whose rows carry "
+    "a Debezium/DMS-style op marker ('u' upsert / 'd' delete); each "
+    "micro-batch (maxFilesPerTrigger=1) commits as ONE era holding both "
+    "sides atomically — the meta write that opens the batch's new "
+    "versions is the same one that terminates its deleted keys — with "
+    "the batch id as the idempotence token. The drained store must read "
+    "back identically to the batch-built deletes store, hence the "
+    "verbatim oracle. Unknown op values fail the batch loudly; restart/"
+    "replay is pinned by tests/test_streaming_restart.py.",
+)
+def scd2_store_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_scd2_cdc
+
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "cdc_streamed")
+    changes1, _ = _customer_era_changes(c)
+    ups2, dels2 = _customer_delete_era2(c)
+    batch1 = changes1.withColumn("cdc_op", F.lit("u"))
+    batch2 = ups2.withColumn("cdc_op", F.lit("u")).unionByName(
+        dels2.select(
             "c_custkey",
-            F.round(F.col("c_acctbal") + 200, 6).alias("acctbal"),
-        ),
-        deletes=c.where(
-            (F.col("c_custkey") % 11 == 0) & (F.col("c_custkey") % 5 != 0)
-        ).select("c_custkey"),
+            F.lit(None).cast("double").alias("acctbal"),
+            F.lit("d").alias("cdc_op"),
+        )
     )
+
+    root = tempfile.mkdtemp(prefix="scd2_cdc_stream_")
+    stream_dir = os.path.join(root, "feed")
+    os.makedirs(stream_dir)
+    q = None
+    try:
+        for i, ch in enumerate([batch1, batch2], start=1):
+            staging = os.path.join(root, f"stage{i}")
+            ch.coalesce(1).write.parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"batch{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (i, i))  # strictly increasing mtimes
+        stream = (
+            spark.readStream.schema(batch1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = streaming_scd2_cdc(
+            stream, store, os.path.join(root, "checkpoint")
+        )
+        drained = q.awaitTermination(120)
+        if not drained or store.era != 2:
+            raise RuntimeError(
+                f"streamed CDC application incomplete: era={store.era}, "
+                f"drained={drained}"
+            )
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(root, ignore_errors=True)
     return _scd2_store_eras_read(store)
 
 

@@ -120,18 +120,18 @@ def _load_all() -> None:
 # r6 ask #3 — `compute_first_window` below parses the CORRECTNESS files
 # instead of a hand-curated list; `tests/test_registry_window.py` pins
 # FIRST_WINDOW == the computation so the policy can't silently rot).
-# Priority slots: the five NEW round-7 store queries
+# Priority slots: the six NEW round-7 store queries
 # (scd2_store_snapshot_reads, scd2_store_pit_join,
 # scd2_store_streamed_eras, scd2_store_schema_evolution,
-# scd2_store_deletes) plus fresh
+# scd2_store_deletes, scd2_store_cdc_streamed) plus fresh
 # re-witnesses of the four queries sitting on round-7-touched store/SCD2
 # code paths (scd2_store_two_eras, incr_refresh_orders_disk,
-# scd2_point_in_time_join, scd2_customer_history). The remaining 41 slots
+# scd2_point_in_time_join, scd2_customer_history). The remaining 40 slots
 # fill with the OLDEST-witness oracle-checked names: all 15 whose latest
 # row is r2 — including incr_pagerank_reconverge, whose r5 exact
 # termination-rule oracle has never been driver-checked (its only rows
 # predate it; VERDICT r6 ask #2) — all 15 r3 names, and the 12
-# alphabetically-first r4 names (11 after the deletes slot landed).
+# alphabetically-first r4 names (10 after the late store slots landed).
 # agg_approx_distinct (no oracle — HLL, rows-only by design) is excluded:
 # a weaker rows-only row adds no evidence, and the window invariant is
 # that every slot gets the full three-way check. After a green round 7,
@@ -148,6 +148,7 @@ WINDOW_PRIORITY: list[str] = [
     "scd2_store_streamed_eras",
     "scd2_store_schema_evolution",
     "scd2_store_deletes",
+    "scd2_store_cdc_streamed",
     "scd2_store_two_eras",
     "incr_refresh_orders_disk",
     "scd2_point_in_time_join",
@@ -204,6 +205,7 @@ FIRST_WINDOW: list[str] = [
     "scd2_store_streamed_eras",
     "scd2_store_schema_evolution",
     "scd2_store_deletes",
+    "scd2_store_cdc_streamed",
     "scd2_store_two_eras",
     "incr_refresh_orders_disk",
     "scd2_point_in_time_join",
@@ -251,7 +253,6 @@ FIRST_WINDOW: list[str] = [
     "dedup_minhash_pairs",
     "doc_fingerprint",
     "embedding_top_pairs_lsh",
-    "events_tumbling",
 ]
 
 

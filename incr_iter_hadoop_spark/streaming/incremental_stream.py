@@ -180,3 +180,49 @@ def streaming_scd2_eras(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_scd2_cdc(
+    cdc_stream: DataFrame,
+    store,
+    checkpoint_dir: str,
+    op_col: str = "cdc_op",
+) -> StreamingQuery:
+    """Maintain an ``Scd2Store`` from a CDC stream (round 7): each row
+    carries an op marker — ``'u'`` upsert / ``'d'`` delete, the
+    Debezium/DMS change-feed shape — and each micro-batch commits as ONE
+    era holding BOTH sides atomically (``apply_era(changes,
+    deletes=...)``): the era bump that opens the batch's new versions is
+    the same meta write that terminates its deleted keys, so a reader can
+    never observe a half-applied batch.
+
+    Exactly-once under foreachBatch's at-least-once contract by the same
+    token mechanism as ``streaming_scd2_eras`` (micro-batch id recorded in
+    the atomic commit). Unknown op values fail the batch loudly — a CDC
+    feed emitting ops this sink doesn't understand (e.g. a truncate) must
+    not be silently narrowed to the ones it does."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # an empty trigger is not an era
+        bad = (
+            batch_df.where(~F.col(op_col).isin("u", "d")).limit(1).count()
+        )
+        if bad:
+            raise ValueError(
+                f"streaming_scd2_cdc: batch {batch_id} carries op values "
+                f"outside {{'u', 'd'}} in column {op_col!r}"
+            )
+        ups = batch_df.where(F.col(op_col) == "u").drop(op_col)
+        dels = batch_df.where(F.col(op_col) == "d").select(*store.key_cols)
+        store.apply_era(
+            ups, deletes=dels, token=f"stream-batch-{batch_id}"
+        )
+
+    return (
+        cdc_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -9,6 +9,7 @@ must equal the batch chain refresh(refresh(s0, d1), d2)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from incr_iter_hadoop_spark.operators.incremental import preserve, refresh
@@ -396,6 +397,98 @@ def test_streamed_eras_survive_snapshot_between_batches(spark, tmp_path):
     )
     for ch in eras:
         batch.apply_era(spark.createDataFrame(ch, schema))
+
+    def rows(s):
+        return sorted(tuple(r) for r in s.history_as_of().collect())
+
+    assert rows(store) == rows(batch)
+
+
+def test_streaming_cdc_restart_replay_and_bad_op(spark, tmp_path):
+    """streaming_scd2_cdc: (1) restart from the same checkpoint skips the
+    drained batch; (2) a mixed upsert+delete batch commits as ONE era —
+    the delete is visible exactly when the upsert is; (3) a token replay
+    of a committed CDC batch is a no-op; (4) an unknown op value fails
+    the batch without committing an era; (5) the final store equals the
+    batch-built apply_era(changes, deletes=...) chain."""
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_cdc,
+    )
+
+    schema = "k bigint, v double, cdc_op string"
+
+    def write_feed_file(rows, n):
+        ch = spark.createDataFrame(rows, schema)
+        staging = str(tmp_path / f"stage{n}")
+        ch.coalesce(1).write.parquet(staging)
+        import glob as g
+
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(tmp_path / "feed" / f"batch{n}.parquet")
+        os.makedirs(str(tmp_path / "feed"), exist_ok=True)
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    dim = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame(dim, "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain(expect_error=False):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / "feed"))
+        )
+        q = streaming_scd2_cdc(stream, store, ckpt)
+        if expect_error:
+            with pytest.raises(Exception, match="outside"):
+                q.awaitTermination(60)
+            q.stop()
+        else:
+            q.awaitTermination(60)
+
+    write_feed_file([(1, 11.0, "u")], 1)
+    drain()
+    assert store.era == 1
+
+    # mixed batch: update key 3, DELETE key 2 — one era, both sides
+    write_feed_file([(3, 33.0, "u"), (2, None, "d")], 2)
+    drain()  # restart from the same checkpoint: batch 1 must be skipped
+    assert store.era == 2
+    cur = {r["k"]: r["v"] for r in
+           store.history_as_of().where("is_current").collect()}
+    assert cur == {1: 11.0, 3: 33.0}  # key 2 terminated
+
+    # token replay of the committed mixed batch: no phantom era
+    replay = spark.createDataFrame([(3, 33.0)], "k bigint, v double")
+    assert store.apply_era(replay, token="stream-batch-1") == 2
+    assert store.era == 2
+
+    # an unknown op fails the batch loudly and commits nothing
+    write_feed_file([(4, 40.0, "truncate")], 3)
+    drain(expect_error=True)
+    assert store.era == 2
+
+    # final history equals the batch-built chain
+    batch = Scd2Store(spark, str(tmp_path / "batch_store"))
+    batch.initialize(
+        spark.createDataFrame(dim, "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    batch.apply_era(spark.createDataFrame([(1, 11.0)], "k bigint, v double"))
+    batch.apply_era(
+        spark.createDataFrame([(3, 33.0)], "k bigint, v double"),
+        deletes=spark.createDataFrame([(2,)], "k bigint"),
+    )
 
     def rows(s):
         return sorted(tuple(r) for r in s.history_as_of().collect())
