@@ -413,6 +413,16 @@ def main() -> None:
         # explicit key is authoritative; the legacy key is kept so older
         # trend lines still parse, with the protocol field disambiguating.
         "incr_disk_refresh_vs_full_recompute": disk_ratio,
+        # the sf echoed NEXT TO the ratio (r8, VERDICT r7 ask #6): the
+        # ratio is meaningful at sf>=0.1 only — at sf0.01 both sides sit
+        # on Spark's fixed per-job overhead floor and draws read 2.1-2.4
+        # regardless of code quality (see BASELINE.md protocol note)
+        "incr_disk_ratio_at_sf": float(sf)
+        if sf.replace(".", "").isdigit()
+        else sf,
+        "incr_disk_ratio_meaningful": (
+            float(sf) >= 0.1 if sf.replace(".", "").isdigit() else False
+        ),
         "incr_refresh_vs_full_recompute": disk_ratio,
         "incr_disk_refresh_sec": disk_refresh_sec,
         "incr_disk_refresh_runs": disk_refresh_runs,

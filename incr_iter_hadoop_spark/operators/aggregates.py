@@ -215,6 +215,37 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_distinct_bounded",
+    oracle="""
+    SELECT event_type, TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+    doc="The driver-checkable twin of agg_approx_distinct (VERDICT r7 ask "
+    "#2 — HLL estimates can't hash-match across engines, but the ERROR "
+    "BOUND can): per event_type, compute approx_count_distinct(rsd=0.01) "
+    "AND the exact count_distinct in the SAME single-pass plan (one "
+    "shuffle, both aggregates partial-merged map-side) and return the "
+    "boolean |approx - exact| / exact <= 0.05 — five standard errors at "
+    "rsd=0.01, so a sketch regression fails loudly while engine-specific "
+    "register noise cannot. The DuckDB oracle emits the all-true frame, "
+    "making this the 186th exact-hash-checked registration and closing "
+    "the ledger's last rows-only entry.",
+)
+def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.01)
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id")
+            <= F.lit(0.05)
+        ).alias("within_bound")
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT o_orderpriority,

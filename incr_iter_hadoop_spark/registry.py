@@ -54,6 +54,7 @@ def _load_all() -> None:
         pipeline,
         relational,
         sampling,
+        scd2_queries,
         setops,
         similarity,
         textops,
@@ -138,21 +139,42 @@ def _load_all() -> None:
 # max witness age across the oracle-checked ledger = 3 rounds (the r4
 # tail), with every name still locally re-verified per pytest run.
 
-WINDOW_ROUND = 7
+# ROTATION (round 8): retire the witness-staleness tail (VERDICT r7 ask
+# #1). Priority: the two NEW r8 queries (agg_approx_distinct_bounded —
+# the bounded-error HLL twin closing the last rows-only entry — and
+# scd2_store_cdc_full_ops — the full Debezium op alphabet through the CDC
+# sink, which also exercises this round's NULL-op guard and
+# checkpoint-namespaced tokens by proxy) plus the nine JPEG-consuming
+# queries whose r5/r6 witnesses predate the round-7 codec rewrite
+# (decode: multimodal_jpeg_decode, media_dedup_exact/phash,
+# incr_media_dedup_phash, video_frames; encode-side fixtures:
+# multimodal_resize/frames, scan_webdataset_shards,
+# pipeline_build_multimodal_set). The staleness fill then takes the
+# ENTIRE 38-query r4 cohort plus the alphabetically-first r5 name —
+# after a green round 8, no registered query's latest witness is older
+# than r5. The seven r7-witnessed scd2_store_* queries sit on the
+# round-8 OCC commit path but stay out of the window: they are
+# re-verified against DuckDB on every pytest run, the OCC race/crash
+# contracts are pinned by tests/test_store_adversarial.py, and
+# scd2_store_cdc_full_ops drives the same store + sink code end-to-end
+# inside the window.
+
+WINDOW_ROUND = 8
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "scd2_store_snapshot_reads",
-    "scd2_store_pit_join",
-    "scd2_store_streamed_eras",
-    "scd2_store_schema_evolution",
-    "scd2_store_deletes",
-    "scd2_store_cdc_streamed",
-    "scd2_store_two_eras",
-    "incr_refresh_orders_disk",
-    "scd2_point_in_time_join",
-    "scd2_customer_history",
+    "agg_approx_distinct_bounded",
+    "scd2_store_cdc_full_ops",
+    "multimodal_jpeg_decode",
+    "media_dedup_phash",
+    "media_dedup_exact",
+    "incr_media_dedup_phash",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_video_frames",
+    "scan_webdataset_shards",
+    "pipeline_build_multimodal_set",
 ]
 
 
@@ -199,60 +221,57 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-7 priority: new store queries + touched-code re-witnesses
-    "scd2_store_snapshot_reads",
-    "scd2_store_pit_join",
-    "scd2_store_streamed_eras",
-    "scd2_store_schema_evolution",
-    "scd2_store_deletes",
-    "scd2_store_cdc_streamed",
-    "scd2_store_two_eras",
-    "incr_refresh_orders_disk",
-    "scd2_point_in_time_join",
-    "scd2_customer_history",
-    # stalest: latest witness r2
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_rollup",
-    "dedup_ngram_pairs",
-    "dedup_simhash_pairs",
-    "incr_pagerank_reconverge",
-    "join_anti",
-    "join_left_outer",
-    "json_extract",
-    "nmf_bounded2",
-    "power_bounded3",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_multiway_join",
-    # stalest: latest witness r3
-    "agg_global",
-    "ann_bruteforce_topk",
-    "dedup_exact",
-    "events_pivot",
-    "field_selection",
-    "gen_random_kv",
-    "incr_refresh_orders",
-    "join_override",
-    "kmeans_assign",
-    "projection_inverse_map",
-    "secondary_sort_top3",
-    "setop_union",
-    "total_sort_top100",
-    "udf_scalar_pandas",
-    "wordcount",
-    # stalest: latest witness r4
-    "agg_cube",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_value_battery",
-    "ann_lsh_topk",
-    "decontaminate_overlap",
-    "dedup_cc_clusters",
-    "dedup_minhash_pairs",
-    "doc_fingerprint",
-    "embedding_top_pairs_lsh",
+    # round-8 priority: new queries + jpeg-codec-rewrite re-witnesses
+    "agg_approx_distinct_bounded",
+    "scd2_store_cdc_full_ops",
+    "multimodal_jpeg_decode",
+    "media_dedup_phash",
+    "media_dedup_exact",
+    "incr_media_dedup_phash",
+    "multimodal_resize",
+    "multimodal_frames",
+    "multimodal_video_frames",
+    "scan_webdataset_shards",
+    "pipeline_build_multimodal_set",
+    "events_tumbling",
+    "events_tumbling_streamed",
+    "gen_graph_degrees",
+    "grep_regex",
+    "incr_dedup_minhash_pairs",
+    "incr_pagerank_delta5",
+    "incr_pagerank_pruned4",
+    "incr_refresh_orders_linear",
+    "incr_sssp_delete3",
+    "join_broadcast_chain",
+    "join_inner",
+    "join_nonequi_range",
+    "join_semi",
+    "join_skew_salted",
+    "kmeans_bounded2",
+    "loop_iteration_counters",
+    "pagerank_bounded5",
+    "pipe_external_transform",
+    "pipeline_clean_corpus",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "sample_documents_10pct",
+    "scalar_battery",
+    "scan_pruned_filter",
+    "scan_text_kv_roundtrip",
+    "setop_except",
+    "sort_validate",
+    "spmv_bounded2",
+    "sssp_bounded4",
+    "sssp_converged",
+    "streaming_refresh_orders",
+    "text_chunk_windows",
+    "text_quality",
+    "text_token_stats",
+    "topk_customers",
+    "udf_grouped_agg",
+    "udtf_explode_bigrams",
+    "window_battery",
+    "ann_ivf_topk",
 ]
 
 

@@ -51,6 +51,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import occ
+
 _META = "meta.json"
 # max #affected group keys collected to the driver for isin() pushdown; above
 # this the store falls back to a co-bucketed semi-join (still exchange-free
@@ -128,13 +130,34 @@ class PreserveStore:
                 self._meta = json.load(f)
         return self._meta
 
-    def _write_meta(self, meta: dict) -> None:
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, _META)
+
+    def _occ_begin(self) -> int | None:
+        """Begin a mutation (single-writer OCC, round 8): drop the cached
+        meta so the operation reads the CURRENT committed state, and
+        capture the on-disk commit sequence the commit will be validated
+        against (``_write_meta(..., expect=...)``). Same contract as
+        ``Scd2Store`` — see ``sources/occ.py``."""
+        self._meta = None
+        return occ.disk_seq(self._meta_path())
+
+    def _write_meta(
+        self, meta: dict, *, expect: int | None, op: str = "PreserveStore"
+    ) -> int:
+        """Atomic commit point with the OCC compare step (round 8): of two
+        concurrent writers exactly one wins; the loser raises
+        ``ConcurrentWriteError`` instead of silently clobbering the
+        winner's version bump. Returns the new commit sequence so
+        multi-commit operations (``initialize``) can thread it."""
+        occ.stamp_or_raise(meta, self._meta_path(), expect, op)
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, _META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
         os.replace(tmp, self.path + "/" + _META)
         self._meta = meta
+        return int(meta["commit_seq"])
 
     @property
     def group_keys(self) -> list[str]:
@@ -212,7 +235,7 @@ class PreserveStore:
     ) -> "PreserveStore":
         """I6 preserve run: materialize contributions and their aggregated
         results as the version-0 base. One full shuffle — paid exactly once."""
-        self._meta = None
+        v0 = self._occ_begin()
         meta = {
             "group_keys": list(group_keys),
             "source_keys": list(source_keys),
@@ -225,7 +248,7 @@ class PreserveStore:
             # disk; readers pinned to an old era keep working until vacuum()
             "retired": {},
         }
-        self._write_meta(meta)
+        v0 = self._write_meta(meta, expect=v0, op="PreserveStore.initialize")
         results = contribs.groupBy(*group_keys).agg(
             *[F.expr(sql).alias(name) for name, sql in agg_sql.items()]
         )
@@ -233,7 +256,7 @@ class PreserveStore:
             "contribs": _schema_ddl(contribs),
             "results": _schema_ddl(results),
         }
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="PreserveStore.initialize")
         self._write_base("contribs", contribs)
         self._write_base("results", results)
         return self
@@ -426,6 +449,7 @@ class PreserveStore:
         # inFilterThreshold is mutated inside (probe-dependent) and listed
         # here at its current value so the exit restores BOTH to the
         # session's prior settings (ADVICE r03: no session-global leaks).
+        v0 = self._occ_begin()
         if token is not None:
             seen = self.meta.get("refresh_tokens", {})
             if token in seen:
@@ -444,6 +468,7 @@ class PreserveStore:
                 inline_keys=inline_keys,
                 max_layers=max_layers,
                 token=token,
+                occ_expect=v0,
             )
 
     def _refresh_locked(
@@ -454,6 +479,7 @@ class PreserveStore:
         inline_keys: int = DEFAULT_INLINE_KEYS,
         max_layers: int | None = None,
         token: str | None = None,
+        occ_expect: int | None = None,
     ) -> int:
         gk, sk = self.group_keys, self.source_keys
         delta = delta.persist()
@@ -537,7 +563,7 @@ class PreserveStore:
             }
             tokens[token] = v
             meta["refresh_tokens"] = tokens
-        self._write_meta(meta)
+        self._write_meta(meta, expect=occ_expect, op="PreserveStore.refresh")
         if max_layers is not None and v >= max_layers:
             self.compact()
         return self.version
@@ -555,10 +581,11 @@ class PreserveStore:
         reconstruction DataFrame planned before the compaction never loses
         its files mid-query. ``vacuum()`` is the explicit delete step —
         the same rewrite-then-vacuum split lakehouse table formats use."""
+        v0 = self._occ_begin()
         with self._scoped_confs({self._BUCKETED_SCAN_CONF: "false"}):
-            self._compact_locked()
+            self._compact_locked(occ_expect=v0)
 
-    def _compact_locked(self) -> None:
+    def _compact_locked(self, *, occ_expect: int | None = None) -> None:
         contribs = self.current_contribs()
         results = self.current_results()
         meta = dict(self.meta)
@@ -574,7 +601,7 @@ class PreserveStore:
         self._meta = meta  # _write_base/_table_name read the new base_version
         self._write_base("contribs", contribs)
         self._write_base("results", results)
-        self._write_meta(meta)
+        self._write_meta(meta, expect=occ_expect, op="PreserveStore.compact")
 
     def vacuum(self) -> None:
         """Delete every retired era's base + layers and drop their catalog
@@ -583,6 +610,7 @@ class PreserveStore:
         them forever leaks O(|state|) disk per compaction."""
         import shutil
 
+        v0 = self._occ_begin()
         meta = dict(self.meta)
         retired = dict(meta.get("retired", {}))
         for era_str in retired:
@@ -598,4 +626,4 @@ class PreserveStore:
                 os.path.join(self.path, f"base_v{era}"), ignore_errors=True
             )
         meta["retired"] = {}
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")

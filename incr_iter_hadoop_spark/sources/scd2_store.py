@@ -49,6 +49,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import occ
+
 _META = "meta.json"
 # idempotence tokens retained for this many trailing eras/versions (replays
 # only ever target the most recent uncommitted batch; see apply_era)
@@ -81,12 +83,31 @@ class Scd2Store:
                 self._meta = json.load(f)
         return self._meta
 
-    def _write_meta(self, meta: dict) -> None:
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, _META)
+
+    def _occ_begin(self) -> int | None:
+        """Begin a mutation (single-writer OCC, round 8): drop the cached
+        meta so the operation reads the CURRENT committed state, and
+        capture the on-disk commit sequence the commit will be validated
+        against (``_write_meta(..., expect=...)``)."""
+        self._meta = None
+        return occ.disk_seq(self._meta_path())
+
+    def _write_meta(
+        self, meta: dict, *, expect: int | None, op: str = "Scd2Store"
+    ) -> None:
+        """Atomic commit point, now with the OCC compare step: if another
+        writer committed since ``expect`` was captured at ``_occ_begin``,
+        raise ``ConcurrentWriteError`` instead of silently clobbering the
+        winner's era (exactly-one-of-two-writers-wins contract; pinned by
+        tests/test_store_adversarial.py)."""
+        occ.stamp_or_raise(meta, self._meta_path(), expect, op)
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, _META + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f, indent=1)
-        os.replace(tmp, os.path.join(self.path, _META))
+        os.replace(tmp, self._meta_path())
         self._meta = meta
 
     @property
@@ -248,7 +269,7 @@ class Scd2Store:
         NULL key values are rejected (same contract as ``apply_era`` and
         ``PreserveStore``): a NULL-keyed version can never be closed by the
         key window nor matched by a point-in-time equi-join."""
-        self._meta = None
+        v0 = self._occ_begin()
         null_pred = None
         for k in key_cols:
             c = F.col(k).isNull()
@@ -277,7 +298,7 @@ class Scd2Store:
             .option("path", self._base_path())
             .saveAsTable(self._table_name())
         )
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="Scd2Store.initialize")
         return self
 
     def _write_layer(
@@ -359,6 +380,7 @@ class Scd2Store:
         to know which keys exist. The meta era bump at the end is the
         atomic commit point — a crash before it leaves the history exactly
         at the previous era."""
+        v0 = self._occ_begin()
         if token is not None:
             seen = self.meta.get("era_tokens", {})
             if token in seen:
@@ -372,11 +394,19 @@ class Scd2Store:
                 f"column(s) {missing}; schema evolution is additive only"
             )
         new_cols = [c for c in changes.columns if c not in cols]
-        clash = {"valid_from", "valid_to", "is_current"} & set(new_cols)
+        # reserved names: the derived validity columns AND the internal
+        # tombstone marker — a changes batch smuggling '_tombstone' in
+        # would otherwise be treated as a schema-evolution column, have
+        # its values clobbered by the lit(False) below, and then crash
+        # the layer write with an opaque duplicate-column error (ADVICE r7)
+        clash = {
+            "valid_from", "valid_to", "is_current", "_tombstone"
+        } & set(new_cols)
         if clash:
             raise ValueError(
                 f"Scd2Store.apply_era: new column(s) {sorted(clash)} "
-                f"collide with the store's derived validity columns"
+                f"collide with the store's derived validity / internal "
+                f"tombstone columns"
             )
         chk = changes.agg(
             F.count(F.lit(1)).alias("n"),
@@ -461,7 +491,9 @@ class Scd2Store:
             # invalidate the session's catalog entries BEFORE the commit:
             # the next read re-creates them from the (then-committed)
             # evolved DDL; a crash in between re-creates from the old meta
-            # — consistent either way (the store is single-writer)
+            # — consistent either way (the single-writer contract is now
+            # ENFORCED at the commit below: _write_meta's OCC compare
+            # fails any writer whose begin-state was superseded, r8)
             for g in self.snaps:
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_name(g)}"
@@ -479,7 +511,7 @@ class Scd2Store:
             }
             tokens[token] = e
             meta["era_tokens"] = tokens
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="Scd2Store.apply_era")
         if (
             snapshot_every is not None
             and e - max(self.snaps) >= snapshot_every
@@ -549,6 +581,7 @@ class Scd2Store:
         is written first, the meta ``snaps`` append is the atomic commit
         point, and a crashed snapshot leaves only an invisible orphan
         ``base_s<era>`` directory that a retry overwrites."""
+        v0 = self._occ_begin()
         era = self._check_era(era)
         if era in self.snaps:
             return era  # already a generation boundary — idempotent
@@ -579,7 +612,7 @@ class Scd2Store:
         )
         meta = dict(self.meta)
         meta["snaps"] = sorted(set(self.snaps) | {era})
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="Scd2Store.snapshot")
         return era
 
     def vacuum(self) -> None:
@@ -594,6 +627,7 @@ class Scd2Store:
         caller explicitly vacuums."""
         import shutil
 
+        v0 = self._occ_begin()
         newest = max(self.snaps)
         if newest == 0:
             return  # nothing folded yet — nothing to reclaim
@@ -608,7 +642,7 @@ class Scd2Store:
         meta = dict(self.meta)
         meta["snaps"] = [newest]
         meta["vacuumed_below"] = newest
-        self._write_meta(meta)
+        self._write_meta(meta, expect=v0, op="Scd2Store.vacuum")
 
     # -- point-in-time join ------------------------------------------------
 

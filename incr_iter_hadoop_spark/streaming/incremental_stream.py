@@ -145,6 +145,26 @@ def stream_static_enrich(
     return stream.join(F.broadcast(dim), key)
 
 
+def _stream_token(checkpoint_dir: str, batch_id: int) -> str:
+    """Idempotence token for a store commit driven by foreachBatch.
+
+    Namespaced by the checkpoint location, not the bare micro-batch id:
+    batch ids restart at 0 for every new checkpoint, so a fresh
+    checkpoint/stream pointed at an EXISTING store would otherwise collide
+    with retained tokens from the previous stream and silently skip its
+    first batches as replays (ADVICE r7). The checkpoint path is the one
+    identifier that is (a) stable across restarts of the SAME logical
+    stream — which is exactly when a replayed batch id must dedupe — and
+    (b) necessarily different for a different stream."""
+    import hashlib
+    import os
+
+    ns = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+    return f"stream-{ns}-batch-{batch_id}"
+
+
 def streaming_scd2_eras(
     changes_stream: DataFrame,
     store,
@@ -161,7 +181,10 @@ def streaming_scd2_eras(
     recorded IN THE SAME atomic meta write as the era bump — a replayed
     batch (crash between the era commit and the checkpoint commit) finds
     its token and returns the already-committed era instead of
-    double-applying the same changes as a phantom era.
+    double-applying the same changes as a phantom era. Tokens are
+    namespaced by checkpoint location (``_stream_token``) so a NEW stream
+    (fresh checkpoint, batch ids restarting at 0) against an existing
+    store never mistakes its first batches for replays (ADVICE r7).
     ``tests/test_streaming_restart.py`` pins the restart behavior.
 
     Pair the source with ``maxFilesPerTrigger=1`` so each arriving change
@@ -171,7 +194,9 @@ def streaming_scd2_eras(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
-        store.apply_era(batch_df, token=f"stream-batch-{batch_id}")
+        store.apply_era(
+            batch_df, token=_stream_token(checkpoint_dir, batch_id)
+        )
 
     return (
         changes_stream.writeStream.foreachBatch(apply_batch)
@@ -189,34 +214,52 @@ def streaming_scd2_cdc(
     op_col: str = "cdc_op",
 ) -> StreamingQuery:
     """Maintain an ``Scd2Store`` from a CDC stream (round 7): each row
-    carries an op marker — ``'u'`` upsert / ``'d'`` delete, the
-    Debezium/DMS change-feed shape — and each micro-batch commits as ONE
-    era holding BOTH sides atomically (``apply_era(changes,
+    carries a Debezium/DMS-style op marker and each micro-batch commits as
+    ONE era holding BOTH sides atomically (``apply_era(changes,
     deletes=...)``): the era bump that opens the batch's new versions is
     the same meta write that terminates its deleted keys, so a reader can
     never observe a half-applied batch.
 
+    Op mapping (round 8 widens to the full Debezium alphabet): ``'c'``
+    (create), ``'u'`` (update) and ``'r'`` (snapshot read) all route to
+    the upsert side — for an SCD2 sink every one of them means "this is
+    the key's current version as of this batch", and ``apply_era`` derives
+    open-vs-supersede at read time, so no insert/update distinction is
+    needed on the write path; ``'d'`` routes to tombstone deletes.
+
     Exactly-once under foreachBatch's at-least-once contract by the same
-    token mechanism as ``streaming_scd2_eras`` (micro-batch id recorded in
-    the atomic commit). Unknown op values fail the batch loudly — a CDC
-    feed emitting ops this sink doesn't understand (e.g. a truncate) must
-    not be silently narrowed to the ones it does."""
+    token mechanism as ``streaming_scd2_eras`` (checkpoint-namespaced
+    micro-batch token recorded in the atomic commit). Unknown AND NULL op
+    values fail the batch loudly — a CDC feed emitting ops this sink
+    doesn't understand (e.g. a truncate, or a malformed row with a NULL
+    op) must not be silently narrowed to the ones it does: note
+    ``~isin(...)`` alone is NULL for NULL ops under three-valued logic,
+    which would drop the row from BOTH sides without tripping the guard
+    (ADVICE r7), hence the explicit ``isNull()`` arm."""
+
+    _UPSERT_OPS = ("c", "u", "r")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
         bad = (
-            batch_df.where(~F.col(op_col).isin("u", "d")).limit(1).count()
+            batch_df.where(
+                F.col(op_col).isNull()
+                | ~F.col(op_col).isin(*_UPSERT_OPS, "d")
+            )
+            .limit(1)
+            .count()
         )
         if bad:
             raise ValueError(
                 f"streaming_scd2_cdc: batch {batch_id} carries op values "
-                f"outside {{'u', 'd'}} in column {op_col!r}"
+                f"outside {{'c', 'u', 'r', 'd'}} (or NULL) in column "
+                f"{op_col!r}"
             )
-        ups = batch_df.where(F.col(op_col) == "u").drop(op_col)
+        ups = batch_df.where(F.col(op_col).isin(*_UPSERT_OPS)).drop(op_col)
         dels = batch_df.where(F.col(op_col) == "d").select(*store.key_cols)
         store.apply_era(
-            ups, deletes=dels, token=f"stream-batch-{batch_id}"
+            ups, deletes=dels, token=_stream_token(checkpoint_dir, batch_id)
         )
 
     return (

@@ -191,6 +191,7 @@ EVENT_QUERIES = [
     "json_extract",
     "join_null_safe",
     "join_asof",
+    "agg_approx_distinct_bounded",
 ]
 
 

@@ -149,7 +149,7 @@ def test_crashed_initialize_leaves_store_uninitialized(spark, tmp_path):
     store = Scd2Store(spark, str(tmp_path / "scd2"))
     orig = Scd2Store._write_meta
     try:
-        def boom(self, meta):
+        def boom(self, meta, **kwargs):
             raise RuntimeError("simulated crash before commit")
 
         Scd2Store._write_meta = boom
@@ -258,7 +258,7 @@ def test_crashed_snapshot_is_invisible_and_retry_heals(spark, tmp_path):
 
     orig = Scd2Store._write_meta
 
-    def boom(self, meta):
+    def boom(self, meta, **kwargs):
         raise RuntimeError("crash before commit")
 
     Scd2Store._write_meta = boom
@@ -663,3 +663,112 @@ def test_delete_rejections_leave_store_untouched(spark, tmp_path):
         )
     assert store.era == 0
     assert not os.path.isdir(store._layer_path(1))
+
+
+# ---------------------------------------------------------------------------
+# pit_join interplay matrix (VERDICT r7 ask #4): x schema evolution,
+# x deletes — both across the hot/cold branch split and a snapshot
+# ---------------------------------------------------------------------------
+
+
+def _pit_all_attrs(store, history, facts, era_col):
+    """Naive oracle: facts x full history range-join, selecting every
+    dimension attribute the store currently carries."""
+    attrs = [c for c in store.meta["columns"] if c not in store.key_cols]
+    j = facts.join(history, store.key_cols).where(
+        (F.col(era_col) >= F.col("valid_from"))
+        & (F.col(era_col) < F.col("valid_to"))
+    )
+    return j.select(*facts.columns, *attrs)
+
+
+def test_pit_join_after_schema_evolution_null_backfills(spark, tmp_path):
+    """Facts whose era predates a schema evolution must see NULL for the
+    evolved attribute (the version they match was written before the
+    column existed); facts at or after the evolution era see its values.
+    Checked against the naive history join in BOTH store shapes: layered
+    (hot/cold split) and post-snapshot (evolved column folded into the
+    bucketed generation base)."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))  # era 1: pre-evolution
+    # era 2 evolves the schema with 'w' (update key 1, insert key 7)
+    store.apply_era(
+        spark.createDataFrame(
+            [(1, 13.0, 7.5), (7, 70.0, 9.5)], "k bigint, v double, w double"
+        )
+    )
+    facts = spark.createDataFrame(
+        [(k, e, 10 * k + e) for k in [1, 2, 4, 7, 99] for e in [0, 1, 2, 3]],
+        "k bigint, era bigint, fid bigint",
+    )
+    expected = _pit_rows(
+        _pit_all_attrs(store, store.history_as_of(), facts, "era")
+    )
+    got = _pit_rows(store.pit_join(facts, "era"))
+    assert got == expected
+    by_fid = {
+        r["fid"]: (r["v"], r["w"])
+        for r in store.pit_join(facts, "era").collect()
+    }
+    # key 1 before the evolution: evolved attr NULL-backfilled
+    assert by_fid[10] == (10.0, None)  # era 0 version
+    assert by_fid[11] == (11.0, None)  # era-1 version
+    # key 1 at/after the evolution: evolved value visible
+    assert by_fid[12] == (13.0, 7.5)
+    # a key never touched since initialize: NULL at every era
+    assert by_fid[20] == (20.0, None) and by_fid[23] == (20.0, None)
+    # matrix cell: snapshot folds the evolved column into the generation
+    # base — the COLD branch must serve the same NULL backfill
+    store.snapshot(2)
+    store.apply_era(
+        spark.createDataFrame([(4, 44.0, 4.5)], "k bigint, v double, w double")
+    )
+    expected3 = _pit_rows(
+        _pit_all_attrs(store, store.history_as_of(3), facts, "era")
+    )
+    assert _pit_rows(store.pit_join(facts, "era")) == expected3
+    cold = {
+        r["fid"]: (r["v"], r["w"])
+        for r in store.pit_join(facts, "era").collect()
+    }
+    assert cold[20] == (20.0, None)  # untouched key via the cold branch
+    assert cold[43] == (44.0, 4.5)  # post-snapshot layer via the hot branch
+
+
+def test_pit_join_delete_gap_matrix(spark, tmp_path):
+    """Facts landing in a delete gap must match nothing — in the layered
+    hot branch, in the post-snapshot cold branch (tombstone folded into
+    the generation base), and under as_of time travel."""
+    store = _store(spark, tmp_path)
+    # era 1: delete key 2, update key 1
+    store.apply_era(
+        spark.createDataFrame([(1, 11.0)], "k bigint, v double"),
+        deletes=spark.createDataFrame([(2,)], "k bigint"),
+    )
+    # era 2: re-insert key 2
+    store.apply_era(spark.createDataFrame([(2, 200.0)], "k bigint, v double"))
+    facts = spark.createDataFrame(
+        [(2, 0, 1), (2, 1, 2), (2, 2, 3), (1, 1, 4), (3, 1, 5)],
+        "k bigint, era bigint, fid bigint",
+    )
+    expected = _pit_rows(
+        _pit_all_attrs(store, store.history_as_of(), facts, "era")
+    )
+    got = {r["fid"]: r["v"] for r in store.pit_join(facts, "era").collect()}
+    assert _pit_rows(store.pit_join(facts, "era")) == expected
+    assert got == {1: 20.0, 3: 200.0, 4: 11.0, 5: 30.0}  # fid 2: the gap
+    # as_of the delete era: the gap is open-ended — nothing at era >= 1
+    got1 = {
+        r["fid"]: r["v"]
+        for r in store.pit_join(facts, "era", as_of=1).collect()
+    }
+    assert got1 == {1: 20.0, 4: 11.0, 5: 30.0}
+    # matrix cell: snapshot(2) folds the tombstone into the generation
+    # base; the gap must hold on the COLD branch (key 2 untouched after)
+    store.snapshot(2)
+    store.apply_era(spark.createDataFrame([(3, 33.0)], "k bigint, v double"))
+    got3 = {r["fid"]: r["v"] for r in store.pit_join(facts, "era").collect()}
+    assert got3 == {1: 20.0, 3: 200.0, 4: 11.0, 5: 30.0}
+    assert _pit_rows(store.pit_join(facts, "era")) == _pit_rows(
+        _pit_all_attrs(store, store.history_as_of(3), facts, "era")
+    )

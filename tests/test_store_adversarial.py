@@ -316,3 +316,141 @@ def test_preserve_slug_colliding_paths_are_distinct_stores(spark, tmp_path):
     assert {r["g"]: r["total"] for r in p2.current_results().collect()} == {
         2: pytest.approx(9.0)
     }
+
+
+# ---------------------------------------------------------------------------
+# Single-writer contract: optimistic concurrency (VERDICT r7 ask #3)
+# ---------------------------------------------------------------------------
+#
+# Every mutation captures the store's on-disk commit sequence when it
+# BEGINS and re-checks it at the atomic meta commit: of two concurrent
+# writers exactly one wins and the loser raises ConcurrentWriteError — the
+# lakehouse optimistic-commit discipline, replacing the previously
+# documented-but-unenforced single-writer note. The tests interleave
+# deterministically by hooking the loser's commit to let the winner land
+# first (the realistic race window is the seconds of Spark work between
+# begin and commit).
+
+from incr_iter_hadoop_spark.sources.occ import ConcurrentWriteError  # noqa: E402
+
+
+def test_scd2_two_writer_race_exactly_one_wins(spark, tmp_path):
+    path = str(tmp_path / "s")
+    a = Scd2Store(spark, path)
+    a.initialize(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    b = Scd2Store(spark, path)
+
+    real_write = b._write_meta
+
+    def hooked(meta, *, expect, op="Scd2Store"):
+        # the competing writer commits while b sits between its layer
+        # write and its meta commit
+        a.apply_era(
+            spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+        )
+        return real_write(meta, expect=expect, op=op)
+
+    b._write_meta = hooked
+    with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        b.apply_era(
+            spark.createDataFrame([(1, 99.0)], "k bigint, v double")
+        )
+    # the store holds exactly the winner's commit; the loser's layer is an
+    # invisible orphan (era count did not double-advance)
+    fresh = Scd2Store(spark, path)
+    assert fresh.era == 1
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 10.0, 1, OPEN_END, True),
+        (2, 2.0, 0, OPEN_END, True),
+    ]
+
+
+def test_scd2_snapshot_loses_race_to_apply_era(spark, tmp_path):
+    path = str(tmp_path / "s")
+    a = Scd2Store(spark, path)
+    a.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    a.apply_era(spark.createDataFrame([(1, 2.0)], "k bigint, v double"))
+    b = Scd2Store(spark, path)
+    real_write = b._write_meta
+
+    def hooked(meta, *, expect, op="Scd2Store"):
+        a.apply_era(
+            spark.createDataFrame([(1, 3.0)], "k bigint, v double")
+        )
+        return real_write(meta, expect=expect, op=op)
+
+    b._write_meta = hooked
+    with pytest.raises(ConcurrentWriteError):
+        b.snapshot(1)
+    fresh = Scd2Store(spark, path)
+    assert fresh.era == 2
+    assert fresh.snaps == [0]  # the losing snapshot never became visible
+
+
+def test_preserve_two_writer_race_exactly_one_wins(spark, tmp_path):
+    path = str(tmp_path / "p")
+    a = PreserveStore(spark, path)
+    a.initialize(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 2, 2.0)], "g bigint, s bigint, v double"
+        ),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    b = PreserveStore(spark, path)
+    real_write = b._write_meta
+
+    def hooked(meta, *, expect, op="PreserveStore"):
+        a.refresh(
+            spark.createDataFrame(
+                [(1, 10, 5.0, "+")], "g bigint, s bigint, v double, op string"
+            )
+        )
+        return real_write(meta, expect=expect, op=op)
+
+    b._write_meta = hooked
+    with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        b.refresh(
+            spark.createDataFrame(
+                [(2, 20, 9.0, "+")], "g bigint, s bigint, v double, op string"
+            )
+        )
+    fresh = PreserveStore(spark, path)
+    assert fresh.version == 1
+    got = {r["g"]: r["total"] for r in fresh.current_results().collect()}
+    # only the winner's delta is in the state
+    assert got == {1: pytest.approx(6.0), 2: pytest.approx(2.0)}
+
+
+def test_occ_pre_r8_meta_reads_as_seq_zero_and_upgrades(spark, tmp_path):
+    """A store written before OCC existed (no commit_seq in meta.json) is
+    still writable: its sequence reads as 0 and the first post-upgrade
+    commit stamps 1."""
+    import json
+
+    path = str(tmp_path / "s")
+    store = Scd2Store(spark, path)
+    store.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    mp = os.path.join(path, "meta.json")
+    with open(mp) as f:
+        meta = json.load(f)
+    meta.pop("commit_seq", None)
+    with open(mp, "w") as f:
+        json.dump(meta, f)
+    fresh = Scd2Store(spark, path)
+    assert fresh.apply_era(
+        spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    ) == 1
+    assert int(fresh.meta["commit_seq"]) == 1

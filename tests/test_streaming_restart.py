@@ -291,8 +291,12 @@ def test_streaming_scd2_eras_restart_and_replay_are_exactly_once(
 
     # direct token replay = the crash window between era commit and
     # checkpoint commit: same token → same era, no phantom layer
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        _stream_token,
+    )
+
     replay = spark.createDataFrame([(1, 11.0)], "k bigint, v double")
-    assert store.apply_era(replay, token="stream-batch-0") == 1
+    assert store.apply_era(replay, token=_stream_token(ckpt, 0)) == 1
     assert store.era == 2
 
     # final history equals the batch-built chain
@@ -377,8 +381,12 @@ def test_streamed_eras_survive_snapshot_between_batches(spark, tmp_path):
 
     # (2) replay of a PRE-snapshot batch (crash window: era committed,
     # checkpoint commit lost) — token survived the snapshot's meta copy
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        _stream_token,
+    )
+
     replay = spark.createDataFrame(eras[0], schema)
-    assert store.apply_era(replay, token="stream-batch-0") == 1
+    assert store.apply_era(replay, token=_stream_token(ckpt, 0)) == 1
     assert store.era == 2
 
     # (1) the stream continues from the same checkpoint onto generation 2
@@ -467,9 +475,15 @@ def test_streaming_cdc_restart_replay_and_bad_op(spark, tmp_path):
            store.history_as_of().where("is_current").collect()}
     assert cur == {1: 11.0, 3: 33.0}  # key 2 terminated
 
-    # token replay of the committed mixed batch: no phantom era
+    # token replay of the committed mixed batch: no phantom era (tokens
+    # are namespaced by checkpoint location since r8 — a replay carries
+    # the same checkpoint, so it dedupes; see the fresh-checkpoint test)
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        _stream_token,
+    )
+
     replay = spark.createDataFrame([(3, 33.0)], "k bigint, v double")
-    assert store.apply_era(replay, token="stream-batch-1") == 2
+    assert store.apply_era(replay, token=_stream_token(ckpt, 1)) == 2
     assert store.era == 2
 
     # an unknown op fails the batch loudly and commits nothing
@@ -494,3 +508,98 @@ def test_streaming_cdc_restart_replay_and_bad_op(spark, tmp_path):
         return sorted(tuple(r) for r in s.history_as_of().collect())
 
     assert rows(store) == rows(batch)
+
+
+def test_streaming_cdc_full_op_matrix_and_fresh_checkpoint(spark, tmp_path):
+    """Round-8 CDC op alphabet + token namespacing.
+
+    (1) 'c' (create) and 'r' (snapshot read) route to the upsert side
+    exactly like 'u' — for an SCD2 sink all three mean "this is the key's
+    version as of this batch" — while 'd' still terminates; (2) a NULL op
+    fails the batch loudly (three-valued logic would otherwise drop the
+    row from BOTH sides silently — ADVICE r7); (3) a FRESH checkpoint
+    (new stream, batch ids restarting at 0) against the SAME store must
+    apply its batches, not skip them as token replays of the first
+    stream's batch ids."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_cdc,
+    )
+
+    schema = "k bigint, v double, cdc_op string"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def write_feed_file(rows, n):
+        ch = spark.createDataFrame(rows, schema)
+        staging = str(tmp_path / f"stage{n}")
+        ch.coalesce(1).write.parquet(staging)
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(feed / f"batch{n}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+
+    def drain(ckpt, expect_error=None):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = streaming_scd2_cdc(stream, store, ckpt)
+        if expect_error:
+            with pytest.raises(Exception, match=expect_error):
+                q.awaitTermination(60)
+            q.stop()
+        else:
+            assert q.awaitTermination(60)
+
+    ckpt1 = str(tmp_path / "ckpt1")
+    # one batch, every op: 'c' inserts key 4, 'r' re-reads key 1 with a
+    # new value, 'u' updates key 3, 'd' deletes key 2
+    write_feed_file(
+        [(4, 40.0, "c"), (1, 11.0, "r"), (3, 33.0, "u"), (2, None, "d")], 1
+    )
+    drain(ckpt1)
+    assert store.era == 1
+    cur = {
+        r["k"]: r["v"]
+        for r in store.history_as_of().where("is_current").collect()
+    }
+    assert cur == {1: 11.0, 3: 33.0, 4: 40.0}  # key 2 terminated
+    # key 1's 'r' row versioned (not overwritten): old version closed at 1
+    one = sorted(
+        (r["valid_from"], r["valid_to"])
+        for r in store.history_as_of().where("k = 1").collect()
+    )
+    assert one == [(0, 1), (1, 999999)]
+
+    # NULL op: loud failure, nothing committed
+    write_feed_file([(5, 50.0, None)], 2)
+    drain(ckpt1, expect_error="outside")
+    assert store.era == 1
+    os.remove(str(feed / "batch2.parquet"))
+
+    # a FRESH checkpoint re-reads the feed from scratch; its batch 0
+    # carries the same micro-batch id as stream 1's — the namespaced
+    # token must NOT mistake it for a replay, so the era advances
+    ckpt2 = str(tmp_path / "ckpt2")
+    drain(ckpt2)
+    assert store.era == 2  # batch1.parquet re-applied as a NEW era
+    # idempotent content: same upserts again → same current values
+    cur2 = {
+        r["k"]: r["v"]
+        for r in store.history_as_of().where("is_current").collect()
+    }
+    assert cur2 == {1: 11.0, 3: 33.0, 4: 40.0}
