@@ -223,23 +223,30 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The driver-checkable twin of agg_approx_distinct (VERDICT r7 ask "
     "#2 — HLL estimates can't hash-match across engines, but the ERROR "
     "BOUND can): per event_type, compute approx_count_distinct(rsd=0.01) "
-    "AND the exact count_distinct in the SAME single-pass plan (one "
-    "shuffle, both aggregates partial-merged map-side) and return the "
-    "boolean |approx - exact| / exact <= 0.05 — five standard errors at "
-    "rsd=0.01, so a sketch regression fails loudly while engine-specific "
-    "register noise cannot. The DuckDB oracle emits the all-true frame, "
-    "making this the 186th exact-hash-checked registration and closing "
-    "the ledger's last rows-only entry.",
+    "AND the exact distinct count over the SAME deduped (type, user) "
+    "pairs and return the boolean |approx - exact| / exact <= 0.05 — "
+    "five standard errors at rsd=0.01, so a sketch regression fails "
+    "loudly while engine-specific register noise cannot. Plan: a "
+    "partial-aggregated DISTINCT on the pairs (first exchange carries "
+    "bare (type, user) rows), then one per-group pass where count(*) IS "
+    "the exact distinct count and the HLL sketch is built from already-"
+    "unique users (HLL is duplicate-insensitive, so the estimate is "
+    "identical) — the second exchange carries one sketch per group per "
+    "map partition, never per row. Spark's own count_distinct-plus-"
+    "approx rewrite was measured shipping a ~13KB MS[] sketch buffer "
+    "per (type, user) pair through the first exchange; this shape "
+    "avoids that. The DuckDB oracle emits the all-true frame, making "
+    "this the 186th exact-hash-checked registration and closing the "
+    "ledger's last rows-only entry.",
 )
 def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    pairs = ev.select("event_type", "user_id").distinct()
+    exact = F.count(F.lit(1))
+    return pairs.groupBy("event_type").agg(
         (
-            F.abs(
-                F.approx_count_distinct("user_id", rsd=0.01)
-                - F.count_distinct("user_id")
-            )
-            / F.count_distinct("user_id")
+            F.abs(F.approx_count_distinct("user_id", rsd=0.01) - exact)
+            / exact
             <= F.lit(0.05)
         ).alias("within_bound")
     )

@@ -360,17 +360,19 @@ def scd2_store_cdc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_cdc_batches(spark, store, [batch1, batch2])
 
 
-def _drain_cdc_batches(spark, store, batches) -> DataFrame:
-    """Write each batch as one feed file, drain the CDC stream through
-    ``streaming_scd2_cdc`` (one era per micro-batch), return the standard
+def _drain_batches(spark, store, batches, start_stream) -> DataFrame:
+    """Shared one-file-per-micro-batch drain scaffolding (r8 dedupe): write
+    each batch as its own feed file (strictly increasing mtimes, so the
+    file source delivers them in commit order and maxFilesPerTrigger=1
+    makes each one micro-batch = one era), start the sink via
+    ``start_stream(stream, store, checkpoint_dir)``, drain with
+    availableNow, verify one era landed per batch, and return the standard
     two-era history read."""
     import glob
     import shutil
     import tempfile
 
-    from ..streaming.incremental_stream import streaming_scd2_cdc
-
-    root = tempfile.mkdtemp(prefix="scd2_cdc_stream_")
+    root = tempfile.mkdtemp(prefix="scd2_stream_")
     stream_dir = os.path.join(root, "feed")
     os.makedirs(stream_dir)
     q = None
@@ -387,20 +389,28 @@ def _drain_cdc_batches(spark, store, batches) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(stream_dir)
         )
-        q = streaming_scd2_cdc(
-            stream, store, os.path.join(root, "checkpoint")
-        )
+        q = start_stream(stream, store, os.path.join(root, "checkpoint"))
         drained = q.awaitTermination(120)
         if not drained or store.era != len(batches):
             raise RuntimeError(
-                f"streamed CDC application incomplete: era={store.era}, "
+                f"streamed era application incomplete: era={store.era}, "
                 f"drained={drained}"
             )
     finally:
+        # stop BEFORE deleting the query's source/checkpoint dirs: a
+        # timed-out (still running) query would otherwise fail in the
+        # background against vanishing files — or race a checkpoint
+        # commit mid-delete
         if q is not None:
             q.stop()
         shutil.rmtree(root, ignore_errors=True)
     return _scd2_store_eras_read(store)
+
+
+def _drain_cdc_batches(spark, store, batches) -> DataFrame:
+    from ..streaming.incremental_stream import streaming_scd2_cdc
+
+    return _drain_batches(spark, store, batches, streaming_scd2_cdc)
 
 
 @register(
@@ -544,50 +554,10 @@ def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "replay behavior is pinned by tests/test_streaming_restart.py.",
 )
 def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-    import tempfile
-
     from ..streaming.incremental_stream import streaming_scd2_eras
 
     store, c, _root = _customer_scd2_base(spark, sf_dir, "streamed")
     changes1, changes2 = _customer_era_changes(c)
-
-    root = tempfile.mkdtemp(prefix="scd2_stream_")
-    stream_dir = os.path.join(root, "changes")
-    os.makedirs(stream_dir)
-    q = None
-    try:
-        # one FILE per era, written in commit order (the file stream source
-        # delivers oldest-first, and maxFilesPerTrigger=1 makes each file
-        # its own micro-batch → its own era)
-        for i, ch in enumerate([changes1, changes2], start=1):
-            staging = os.path.join(root, f"stage{i}")
-            ch.coalesce(1).write.parquet(staging)
-            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"era{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (i, i))  # strictly increasing mtimes
-        stream = (
-            spark.readStream.schema(changes1.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stream_dir)
-        )
-        q = streaming_scd2_eras(
-            stream, store, os.path.join(root, "checkpoint")
-        )
-        drained = q.awaitTermination(120)
-        if not drained or store.era != 2:
-            raise RuntimeError(
-                f"streamed era application incomplete: era={store.era}, "
-                f"drained={drained}"
-            )
-    finally:
-        # stop BEFORE deleting the query's source/checkpoint dirs: a
-        # timed-out (still running) query would otherwise fail in the
-        # background against vanishing files — or race a checkpoint commit
-        # mid-delete
-        if q is not None:
-            q.stop()
-        shutil.rmtree(root, ignore_errors=True)
-    return _scd2_store_eras_read(store)
+    return _drain_batches(
+        spark, store, [changes1, changes2], streaming_scd2_eras
+    )

@@ -601,7 +601,17 @@ class PreserveStore:
         self._meta = meta  # _write_base/_table_name read the new base_version
         self._write_base("contribs", contribs)
         self._write_base("results", results)
-        self._write_meta(meta, expect=occ_expect, op="PreserveStore.compact")
+        try:
+            self._write_meta(
+                meta, expect=occ_expect, op="PreserveStore.compact"
+            )
+        except BaseException:
+            # the cached meta above is UNCOMMITTED — if the OCC compare (or
+            # the write itself) fails, drop it so subsequent reads on this
+            # object re-read the committed state instead of silently
+            # serving the orphan base (which lacks the winner's commit)
+            self._meta = None
+            raise
 
     def vacuum(self) -> None:
         """Delete every retired era's base + layers and drop their catalog
@@ -613,6 +623,14 @@ class PreserveStore:
         v0 = self._occ_begin()
         meta = dict(self.meta)
         retired = dict(meta.get("retired", {}))
+        # COMMIT FIRST, DELETE AFTER (r8): the OCC compare must precede
+        # the irreversible deletes — a vacuum losing the race to a
+        # concurrent refresh/compact fails with NOTHING deleted; a crash
+        # between the commit and the deletes leaves unreferenced orphan
+        # directories (disk leak only — readers only follow meta). Same
+        # ordering as Scd2Store.vacuum.
+        meta["retired"] = {}
+        self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")
         for era_str in retired:
             era = int(era_str)
             shutil.rmtree(
@@ -625,5 +643,3 @@ class PreserveStore:
             shutil.rmtree(
                 os.path.join(self.path, f"base_v{era}"), ignore_errors=True
             )
-        meta["retired"] = {}
-        self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")

@@ -631,18 +631,25 @@ class Scd2Store:
         newest = max(self.snaps)
         if newest == 0:
             return  # nothing folded yet — nothing to reclaim
-        for g in self.snaps:
-            if g < newest:
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self._table_name(g)}"
-                )
-                shutil.rmtree(self._base_path(g), ignore_errors=True)
-        for e in range(self.vacuumed_below + 1, newest + 1):
-            shutil.rmtree(self._layer_path(e), ignore_errors=True)
+        # COMMIT FIRST, DELETE AFTER (r8): vacuum is the one mutation whose
+        # side effects are irreversible, so the OCC compare must happen
+        # before any file is touched — a vacuum losing the race to a
+        # concurrent apply_era would otherwise destroy generations the
+        # winner's committed meta still references. Committing first makes
+        # the loser fail with NOTHING deleted; a crash between the commit
+        # and the deletes leaves unreferenced orphan directories (a disk
+        # leak, never a correctness loss — readers only follow meta).
+        old_gens = [g for g in self.snaps if g < newest]
+        old_layers = list(range(self.vacuumed_below + 1, newest + 1))
         meta = dict(self.meta)
         meta["snaps"] = [newest]
         meta["vacuumed_below"] = newest
         self._write_meta(meta, expect=v0, op="Scd2Store.vacuum")
+        for g in old_gens:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(g)}")
+            shutil.rmtree(self._base_path(g), ignore_errors=True)
+        for e in old_layers:
+            shutil.rmtree(self._layer_path(e), ignore_errors=True)
 
     # -- point-in-time join ------------------------------------------------
 

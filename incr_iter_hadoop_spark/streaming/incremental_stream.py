@@ -165,6 +165,17 @@ def _stream_token(checkpoint_dir: str, batch_id: int) -> str:
     return f"stream-{ns}-batch-{batch_id}"
 
 
+def _committed_pre_r8(store, batch_id: int) -> bool:
+    """Upgrade compat: a store written by a pre-r8 stream may hold this
+    batch id under the LEGACY un-namespaced token (``stream-batch-<id>``).
+    If so, the batch was already committed (the at-least-once crash window
+    these tokens exist for) and must be skipped — replaying it under the
+    new namespaced token would double-apply it as a phantom era. Legacy
+    tokens age out of the bounded retention window, after which only
+    namespaced tokens exist and this check is always False."""
+    return f"stream-batch-{batch_id}" in store.meta.get("era_tokens", {})
+
+
 def streaming_scd2_eras(
     changes_stream: DataFrame,
     store,
@@ -194,6 +205,8 @@ def streaming_scd2_eras(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
+        if _committed_pre_r8(store, batch_id):
+            return  # committed by a pre-r8 stream under the legacy token
         store.apply_era(
             batch_df, token=_stream_token(checkpoint_dir, batch_id)
         )
@@ -242,6 +255,8 @@ def streaming_scd2_cdc(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
+        if _committed_pre_r8(store, batch_id):
+            return  # committed by a pre-r8 stream under the legacy token
         bad = (
             batch_df.where(
                 F.col(op_col).isNull()

@@ -380,3 +380,20 @@ def test_data_quality_fk_check_is_anti_join(spark, sf_dir):
     plan = _executed_plan(spark, sf_dir, "data_quality_report")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_approx_distinct_bounded_dedups_before_sketching(spark, sf_dir):
+    """The bounded-error HLL twin (r8) must shuffle bare (type, user)
+    pairs, never per-row sketch buffers: Spark's own count_distinct +
+    approx rewrite ships a ~13KB MS[] buffer per pair through the first
+    exchange, which is a scale-killer at 100 TB. The chosen shape dedups
+    first (partial-aggregated distinct), so MS[] columns may appear only
+    ABOVE the pair exchange — in the per-group partial aggregate."""
+    plan = _executed_plan(spark, sf_dir, "agg_approx_distinct_bounded")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the section below the pair-level exchange (the LAST exchange printed,
+    # since plans print top-down) must carry no sketch buffers
+    below_pair_exchange = plan.rsplit("Exchange hashpartitioning", 1)[1]
+    assert "MS[" not in below_pair_exchange, plan
+    # map-side combine on the distinct: partial agg below that exchange
+    assert "HashAggregate" in below_pair_exchange, plan

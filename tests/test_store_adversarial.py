@@ -454,3 +454,82 @@ def test_occ_pre_r8_meta_reads_as_seq_zero_and_upgrades(spark, tmp_path):
         spark.createDataFrame([(1, 2.0)], "k bigint, v double")
     ) == 1
     assert int(fresh.meta["commit_seq"]) == 1
+
+
+def test_scd2_vacuum_loses_race_deletes_nothing(spark, tmp_path):
+    """vacuum commits BEFORE deleting (r8): the OCC compare precedes the
+    irreversible rmtree, so a vacuum losing the race to a concurrent
+    apply_era fails with every generation and layer still on disk —
+    committed data referenced by the winner's meta is never destroyed."""
+    path = str(tmp_path / "s")
+    a = Scd2Store(spark, path)
+    a.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    a.apply_era(spark.createDataFrame([(1, 2.0)], "k bigint, v double"))
+    a.snapshot(1)
+    b = Scd2Store(spark, path)
+    real_write = b._write_meta
+
+    def hooked(meta, *, expect, op="Scd2Store"):
+        a.apply_era(
+            spark.createDataFrame([(1, 3.0)], "k bigint, v double")
+        )
+        return real_write(meta, expect=expect, op=op)
+
+    b._write_meta = hooked
+    with pytest.raises(ConcurrentWriteError):
+        b.vacuum()
+    # nothing was deleted: the pre-snapshot generation and its layers are
+    # intact and every era is still readable through a fresh open
+    fresh = Scd2Store(spark, path)
+    assert os.path.isdir(fresh._base_path(0))
+    assert fresh.vacuumed_below == 0
+    assert fresh.era == 2
+    cur = {r["k"]: r["v"] for r in
+           fresh.history_as_of(1).where("is_current").collect()}
+    assert cur == {1: 2.0}
+
+
+def test_preserve_compact_loses_race_serves_committed_state(spark, tmp_path):
+    """A compact that loses the OCC race must not leave its UNCOMMITTED
+    meta cached on the store object: reads after the failure must serve
+    the committed state (which includes the winner's refresh), not the
+    orphan base the loser wrote."""
+    path = str(tmp_path / "p")
+    a = PreserveStore(spark, path)
+    a.initialize(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 2, 2.0)], "g bigint, s bigint, v double"
+        ),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    a.refresh(
+        spark.createDataFrame(
+            [(1, 10, 5.0, "+")], "g bigint, s bigint, v double, op string"
+        )
+    )
+    b = PreserveStore(spark, path)
+    real_write = b._write_meta
+
+    def hooked(meta, *, expect, op="PreserveStore"):
+        a.refresh(
+            spark.createDataFrame(
+                [(2, 20, 9.0, "+")], "g bigint, s bigint, v double, op string"
+            )
+        )
+        return real_write(meta, expect=expect, op=op)
+
+    b._write_meta = hooked
+    with pytest.raises(ConcurrentWriteError):
+        b.compact()
+    # the SAME loser object must now read the committed state — base_v0 +
+    # both refreshes — not its orphan compacted base (which lacks the
+    # winner's group-2 delta)
+    got = {r["g"]: r["total"] for r in b.current_results().collect()}
+    assert got == {1: pytest.approx(6.0), 2: pytest.approx(11.0)}
+    assert b.version == 2  # committed meta, not the orphan's version 0

@@ -603,3 +603,50 @@ def test_streaming_cdc_full_op_matrix_and_fresh_checkpoint(spark, tmp_path):
         for r in store.history_as_of().where("is_current").collect()
     }
     assert cur2 == {1: 11.0, 3: 33.0, 4: 40.0}
+
+
+def test_streaming_legacy_token_batch_skipped(spark, tmp_path):
+    """Upgrade compat (r8): a store written by a pre-r8 stream holds its
+    committed batch under the LEGACY un-namespaced token
+    ('stream-batch-<id>'). A post-upgrade restart replaying that batch id
+    must skip it — re-applying under the new namespaced token would
+    double-apply the batch as a phantom era."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_eras,
+    )
+
+    schema = "k bigint, v double"
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame([(1, 10.0)], schema), key_cols=["k"],
+        num_buckets=2,
+    )
+    changes = spark.createDataFrame([(1, 11.0)], schema)
+    # the pre-r8 stream committed this batch (id 0) under the legacy token
+    # — the at-least-once crash window: era committed, checkpoint lost
+    assert store.apply_era(changes, token="stream-batch-0") == 1
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    staging = str(tmp_path / "stage")
+    changes.coalesce(1).write.parquet(staging)
+    part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+    os.rename(part, str(feed / "batch1.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = streaming_scd2_eras(stream, store, str(tmp_path / "ckpt"))
+    assert q.awaitTermination(60)
+    # the replayed batch was recognized as committed — no phantom era
+    assert store.era == 1
+    assert sorted(
+        (r["valid_from"], r["v"])
+        for r in store.history_as_of().where("k = 1").collect()
+    ) == [(0, 10.0), (1, 11.0)]
