@@ -455,9 +455,11 @@ def scd2_store_cdc_full_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_cdc_batches(spark, store, [batch1, batch2])
 
 
-@register(
-    "scd2_store_pit_join",
-    oracle="""
+# shared by scd2_store_pit_join (facts at rest, co-bucketed) and
+# scd2_store_pit_streamed (facts arriving as micro-batches): identical
+# semantics, so the independent DuckDB rebuild is identical — streaming
+# the facts must not change any answer.
+_PIT_ORACLE = """
     WITH history AS (
       SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal,
              0 AS valid_from,
@@ -483,7 +485,12 @@ def scd2_store_cdc_full_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON h.c_custkey = f.o_custkey
      AND f.era >= h.valid_from AND f.era < h.valid_to
     GROUP BY f.era
-    """,
+    """
+
+
+@register(
+    "scd2_store_pit_join",
+    oracle=_PIT_ORACLE,
     doc="STORE-BACKED point-in-time join (round 7, VERDICT r6 ask #4): "
     "same query as scd2_point_in_time_join (same oracle — each order "
     "joins the customer version valid in the order's pre/post-1996 era), "
@@ -496,11 +503,29 @@ def scd2_store_cdc_full_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tests/test_scd2_store.py::test_pit_join_cold_branch_no_exchange.",
 )
 def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store, c, root = _customer_scd2_base(spark, sf_dir, "pit")
-    # era 1: only the %7 balance updates (the oracle's history) — the %13
-    # spawned keys of the standard second batch would be dropped by the
-    # inner fact join anyway (no orders carry a +1M custkey), but keeping
-    # the layer minimal keeps the oracle's history literal
+    store, facts, root = _pit_store_and_facts(spark, sf_dir, "pit")
+    # facts at rest, co-bucketed with the store (the 100 TB premise: facts
+    # are bucketed on the dimension key at ingestion, joins never move them)
+    tbl = f"pit_facts_{os.path.basename(root)}"
+    (
+        facts.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(root, "facts"))
+        .saveAsTable(tbl)
+    )
+    joined = store.pit_join(spark.table(tbl), "era")
+    return _pit_aggregate(joined)
+
+
+def _pit_store_and_facts(spark: SparkSession, sf_dir: str, tag: str):
+    """The PIT scenario both the at-rest and the streamed variant share:
+    a one-era customer store (every 7th balance +100 — the oracle's
+    history literal; the %13 spawned keys of the standard second batch
+    would be dropped by the inner fact join anyway) and the orders facts
+    keyed by customer with a pre/post-1996 era column."""
+    store, c, root = _customer_scd2_base(spark, sf_dir, tag)
     store.apply_era(
         c.where(F.col("c_custkey") % 7 == 0).select(
             "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
@@ -519,22 +544,79 @@ def scd2_store_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("era"),
         "o_totalprice",
     )
-    # facts at rest, co-bucketed with the store (the 100 TB premise: facts
-    # are bucketed on the dimension key at ingestion, joins never move them)
-    tbl = f"pit_facts_{os.path.basename(root)}"
-    (
-        facts.write.format("parquet")
-        .mode("overwrite")
-        .bucketBy(8, "c_custkey")
-        .sortBy("c_custkey")
-        .option("path", os.path.join(root, "facts"))
-        .saveAsTable(tbl)
-    )
-    joined = store.pit_join(spark.table(tbl), "era")
+    return store, facts, root
+
+
+def _pit_aggregate(joined: DataFrame) -> DataFrame:
     return joined.groupBy("era").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
     )
+
+
+@register(
+    "scd2_store_pit_streamed",
+    oracle=_PIT_ORACLE,
+    doc="STREAMED point-in-time enrichment (round 8 — the Kappa pattern "
+    "completing the store's streaming surface: streaming_scd2_cdc keeps "
+    "the dimension current, streaming_pit_enrich joins ARRIVING facts to "
+    "the version valid at each fact's era): the same orders facts as "
+    "scd2_store_pit_join arrive as two file-source micro-batches; each "
+    "batch runs Scd2Store.pit_join via foreachBatch and lands in a "
+    "per-batch parquet partition whose overwrite makes replays "
+    "idempotent (exactly-once output under foreachBatch's at-least-once "
+    "contract). The union of the partitions must aggregate identically "
+    "to the at-rest join, hence the verbatim oracle. An in-flight "
+    "micro-batch is small, so its cold-branch shuffle is O(batch) — the "
+    "zero-Exchange co-bucketed path remains the at-rest story.",
+)
+def scd2_store_pit_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_pit_enrich
+
+    store, facts, _root = _pit_store_and_facts(spark, sf_dir, "pit_stream")
+    root = tempfile.mkdtemp(prefix="scd2_pit_stream_")
+    feed = os.path.join(root, "feed")
+    sink = os.path.join(root, "sink")
+    os.makedirs(feed)
+    q = None
+    try:
+        # two deterministic micro-batches split by customer-key parity
+        for i, half in enumerate(
+            [facts.where(F.col("c_custkey") % 2 == 0),
+             facts.where(F.col("c_custkey") % 2 == 1)],
+            start=1,
+        ):
+            staging = os.path.join(root, f"stage{i}")
+            half.coalesce(1).write.parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"batch{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (i, i))
+        stream = (
+            spark.readStream.schema(facts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_pit_enrich(
+            stream, store, "era", sink, os.path.join(root, "checkpoint")
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("streamed PIT enrichment did not drain")
+        enriched = spark.read.parquet(
+            *sorted(glob.glob(os.path.join(sink, "batch=*")))
+        )
+        # aggregate BEFORE the temp dir vanishes (collect via localCheckpoint
+        # would also work; the aggregate is 2 rows, so materialize eagerly)
+        out = _pit_aggregate(enriched).localCheckpoint(eager=True)
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 @register(

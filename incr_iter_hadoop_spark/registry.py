@@ -140,19 +140,19 @@ def _load_all() -> None:
 # tail), with every name still locally re-verified per pytest run.
 
 # ROTATION (round 8): retire the witness-staleness tail (VERDICT r7 ask
-# #1). Priority: the two NEW r8 queries (agg_approx_distinct_bounded —
-# the bounded-error HLL twin closing the last rows-only entry — and
+# #1). Priority: the three NEW r8 queries (agg_approx_distinct_bounded —
+# the bounded-error HLL twin closing the last rows-only entry;
 # scd2_store_cdc_full_ops — the full Debezium op alphabet through the CDC
 # sink, which also exercises this round's NULL-op guard and
-# checkpoint-namespaced tokens by proxy) plus the nine JPEG-consuming
+# checkpoint-namespaced tokens by proxy; scd2_store_pit_streamed — the
+# Kappa-pattern streamed PIT enrichment) plus the nine JPEG-consuming
 # queries whose r5/r6 witnesses predate the round-7 codec rewrite
 # (decode: multimodal_jpeg_decode, media_dedup_exact/phash,
 # incr_media_dedup_phash, video_frames; encode-side fixtures:
 # multimodal_resize/frames, scan_webdataset_shards,
-# pipeline_build_multimodal_set). The staleness fill then takes the
-# ENTIRE 38-query r4 cohort plus the alphabetically-first r5 name —
-# after a green round 8, no registered query's latest witness is older
-# than r5. The seven r7-witnessed scd2_store_* queries sit on the
+# pipeline_build_multimodal_set). The staleness fill then takes EXACTLY
+# the 38-query r4 cohort — after a green round 8, no registered query's
+# latest witness is older than r5. The seven r7-witnessed scd2_store_* queries sit on the
 # round-8 OCC commit path but stay out of the window: they are
 # re-verified against DuckDB on every pytest run, the OCC race/crash
 # contracts are pinned by tests/test_store_adversarial.py, and
@@ -166,6 +166,7 @@ WINDOW_ROUND = 8
 WINDOW_PRIORITY: list[str] = [
     "agg_approx_distinct_bounded",
     "scd2_store_cdc_full_ops",
+    "scd2_store_pit_streamed",
     "multimodal_jpeg_decode",
     "media_dedup_phash",
     "media_dedup_exact",
@@ -224,6 +225,7 @@ FIRST_WINDOW: list[str] = [
     # round-8 priority: new queries + jpeg-codec-rewrite re-witnesses
     "agg_approx_distinct_bounded",
     "scd2_store_cdc_full_ops",
+    "scd2_store_pit_streamed",
     "multimodal_jpeg_decode",
     "media_dedup_phash",
     "media_dedup_exact",
@@ -271,7 +273,6 @@ FIRST_WINDOW: list[str] = [
     "udf_grouped_agg",
     "udtf_explode_bigrams",
     "window_battery",
-    "ann_ivf_topk",
 ]
 
 

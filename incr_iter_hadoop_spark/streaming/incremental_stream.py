@@ -284,3 +284,48 @@ def streaming_scd2_cdc(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_pit_enrich(
+    fact_stream: DataFrame,
+    store,
+    era_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    as_of: int | None = None,
+) -> StreamingQuery:
+    """Enrich a STREAM of fact micro-batches against the ``Scd2Store``'s
+    point-in-time history (round 8) — the Kappa-architecture pattern that
+    completes the store's streaming surface: ``streaming_scd2_cdc`` keeps
+    the dimension current from a change feed, and this query joins
+    arriving facts to the version valid at each fact's own era.
+
+    Each micro-batch runs ``store.pit_join`` (the split-by-touched plan;
+    an in-flight micro-batch is small, so the cold-branch shuffle is
+    O(batch) — the zero-exchange co-bucketed path is for facts AT REST)
+    and lands in a per-batch parquet directory (``sink_dir/batch=<id>``,
+    mode=overwrite). foreachBatch is at-least-once; the per-batch
+    overwrite makes a replay rewrite its own partition instead of
+    appending duplicates — an idempotent sink, hence exactly-once output.
+
+    ``as_of`` pins one dimension era for the whole stream (audit
+    semantics: every batch sees the same history). The default ``None``
+    resolves at each micro-batch to the store's latest COMMITTED era, so
+    a dimension concurrently maintained by a CDC stream enriches facts
+    with the versions current at their arrival."""
+    import os
+
+    def enrich(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.pit_join(batch_df, era_col, as_of=as_of).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink_dir, f"batch={batch_id}"))
+
+    return (
+        fact_stream.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -650,3 +650,82 @@ def test_streaming_legacy_token_batch_skipped(spark, tmp_path):
         (r["valid_from"], r["v"])
         for r in store.history_as_of().where("k = 1").collect()
     ) == [(0, 10.0), (1, 11.0)]
+
+
+def test_streaming_pit_enrich_replay_idempotent_and_as_of(spark, tmp_path):
+    """streaming_pit_enrich (r8): (1) a full replay (fresh checkpoint over
+    the same feed) rewrites each batch's sink partition instead of
+    appending duplicates — the per-batch overwrite IS the exactly-once
+    mechanism; (2) as_of pins the dimension era for the whole stream."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_pit_enrich,
+    )
+
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    store.apply_era(spark.createDataFrame([(1, 11.0)], "k bigint, v double"))
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    fact_schema = "k bigint, era bigint, fid bigint"
+    for i, rows in enumerate(
+        [[(1, 0, 1), (1, 1, 2)], [(2, 1, 3), (9, 1, 4)]], start=1
+    ):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows, fact_schema).coalesce(1).write.parquet(
+            staging
+        )
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(feed / f"batch{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (i, i))
+
+    sink = str(tmp_path / "sink")
+
+    def drain(ckpt, as_of=None):
+        stream = (
+            spark.readStream.schema(fact_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = streaming_pit_enrich(
+            stream, store, "era", sink, str(tmp_path / ckpt), as_of=as_of
+        )
+        assert q.awaitTermination(60)
+
+    def sink_rows():
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                *sorted(g.glob(os.path.join(sink, "batch=*")))
+            ).collect()
+        )
+
+    drain("ckpt1")
+    first = sink_rows()
+    # fid 1: era-0 version of key 1; fid 2: era-1 version; fid 3: key 2
+    # open since 0; fid 4: no such key — dropped (inner PIT)
+    by_fid = {r[2]: r[3] for r in first}  # (k, era, fid, v)
+    assert by_fid == {1: 10.0, 2: 11.0, 3: 20.0}
+    # full replay under a FRESH checkpoint: batch ids repeat, partitions
+    # overwrite, content identical — no duplicates
+    drain("ckpt2")
+    assert sink_rows() == first
+    # as_of=0: the era-1 version is invisible stream-wide; era-1 facts
+    # match the era-0 open version instead
+    import shutil
+
+    shutil.rmtree(sink)
+    drain("ckpt3", as_of=0)
+    by_fid0 = {r[2]: r[3] for r in sink_rows()}
+    assert by_fid0 == {1: 10.0, 2: 10.0, 3: 20.0}
