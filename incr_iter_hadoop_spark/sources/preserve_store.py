@@ -80,6 +80,12 @@ class PreserveStore:
     ``agg_sql`` maps output column name -> SQL aggregate expression over the
     contribution columns (stored in the metadata so a fresh session can
     re-derive results without Python state).
+
+    CONCURRENCY CONTRACT (r8): single writer, many readers — enforced
+    optimistically at every mutation's atomic meta commit; of two
+    concurrent writers exactly one wins and the loser raises
+    ``ConcurrentWriteError`` with the store unharmed (``sources/occ.py``).
+    Readers never block and never observe partial commits.
     """
 
     def __init__(self, spark: SparkSession, path: str):

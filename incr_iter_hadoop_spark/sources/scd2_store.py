@@ -64,7 +64,14 @@ def _schema_ddl(df: DataFrame) -> str:
 class Scd2Store:
     """On-disk SCD Type-2 history: era-layered, crash-consistent,
     time-traveling. One instance per store path; safe to re-open across
-    sessions (meta.json carries the schema and bucketing spec)."""
+    sessions (meta.json carries the schema and bucketing spec).
+
+    CONCURRENCY CONTRACT (r8): single writer, many readers. The contract
+    is ENFORCED optimistically — every mutation validates at its atomic
+    meta commit that no other writer advanced the store since the
+    mutation began, and the loser raises ``ConcurrentWriteError`` with
+    the store unharmed (see ``sources/occ.py``). Readers never block and
+    never observe partial commits."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

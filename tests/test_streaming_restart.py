@@ -729,3 +729,70 @@ def test_streaming_pit_enrich_replay_idempotent_and_as_of(spark, tmp_path):
     drain("ckpt3", as_of=0)
     by_fid0 = {r[2]: r[3] for r in sink_rows()}
     assert by_fid0 == {1: 10.0, 2: 10.0, 3: 20.0}
+
+
+def test_streaming_pit_enrich_picks_up_era_between_batches(spark, tmp_path):
+    """as_of=None resolves per MICRO-BATCH to the store's latest committed
+    era (r8): a dimension era applied while the stream is between batches
+    must be visible to the next batch and invisible to the previous one —
+    the 'versions as-of arrival' semantics of a live Kappa pipeline where
+    a CDC stream maintains the dimension concurrently."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_pit_enrich,
+    )
+
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame([(1, 10.0)], "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    fact_schema = "k bigint, era bigint, fid bigint"
+
+    def write_fact_file(rows, n):
+        staging = str(tmp_path / f"stage{n}")
+        spark.createDataFrame(rows, fact_schema).coalesce(1).write.parquet(
+            staging
+        )
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(feed / f"batch{n}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(fact_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        q = streaming_pit_enrich(stream, store, "era", sink, ckpt)
+        assert q.awaitTermination(60)
+
+    # batch 1 arrives and drains against era 0: a fact stamped era 1
+    # cannot see the not-yet-committed era-1 version
+    write_fact_file([(1, 0, 1), (1, 1, 2)], 1)
+    drain()
+    # the dimension advances BETWEEN batches (a CDC commit lands)
+    store.apply_era(spark.createDataFrame([(1, 11.0)], "k bigint, v double"))
+    # batch 2 drains from the SAME checkpoint against era 1
+    write_fact_file([(1, 0, 3), (1, 1, 4)], 2)
+    drain()
+    got = {
+        r["fid"]: r["v"]
+        for r in spark.read.parquet(
+            *sorted(g.glob(os.path.join(sink, "batch=*")))
+        ).collect()
+    }
+    # batch 1 (era 0 visible): both facts matched the open era-0 version;
+    # batch 2 (era 1 visible): the era-1 fact now matches the new version
+    assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 11.0}
