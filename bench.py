@@ -387,6 +387,12 @@ def main() -> None:
         # write + the split-by-touched join; the delta vs the pure-
         # transformation line above is the durability cost
         ("scd2_store_pit_join", "scd2_store_pit_join_sec"),
+        # r8: the streamed variant — adds the feed-file write, a
+        # two-micro-batch drain (checkpoint + per-batch sink overwrite),
+        # and the sink re-read; the delta vs the store line above is the
+        # streaming-machinery cost, recorded from day one so the trend
+        # never starts at a single point
+        ("scd2_store_pit_streamed", "scd2_store_pit_streamed_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -499,6 +505,7 @@ def _write_trend_table(results_dir: str) -> None:
         "scan_webdataset_shards_sec",
         "scd2_point_in_time_join_sec",
         "scd2_store_pit_join_sec",
+        "scd2_store_pit_streamed_sec",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",
