@@ -218,7 +218,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_approx_distinct_bounded",
     oracle="""
     SELECT event_type, TRUE AS within_bound
-    FROM events GROUP BY event_type
+    FROM events WHERE user_id IS NOT NULL GROUP BY event_type
     """,
     doc="The driver-checkable twin of agg_approx_distinct (VERDICT r7 ask "
     "#2 — HLL estimates can't hash-match across engines, but the ERROR "
@@ -237,11 +237,18 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per (type, user) pair through the first exchange; this shape "
     "avoids that. The DuckDB oracle emits the all-true frame, making "
     "this the 186th exact-hash-checked registration and closing the "
-    "ledger's last rows-only entry.",
+    "ledger's last rows-only entry. NULL user_ids are filtered BEFORE "
+    "the distinct (ADVICE r8): count(*) over deduped pairs would count "
+    "a (type, NULL) pair while approx_count_distinct ignores NULLs, "
+    "skewing the bound's denominator if the generator ever emits one.",
 )
 def agg_approx_distinct_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    pairs = ev.select("event_type", "user_id").distinct()
+    pairs = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
     exact = F.count(F.lit(1))
     return pairs.groupBy("event_type").agg(
         (

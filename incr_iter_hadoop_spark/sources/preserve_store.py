@@ -155,15 +155,12 @@ class PreserveStore:
         concurrent writers exactly one wins; the loser raises
         ``ConcurrentWriteError`` instead of silently clobbering the
         winner's version bump. Returns the new commit sequence so
-        multi-commit operations (``initialize``) can thread it."""
-        occ.stamp_or_raise(meta, self._meta_path(), expect, op)
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(tmp, self.path + "/" + _META)
+        multi-commit operations (``initialize``) can thread it. The whole
+        compare+stamp+replace runs under the store's ``flock`` with a
+        unique per-writer tmp file (``occ.commit_meta``, r9)."""
+        seq = occ.commit_meta(meta, self._meta_path(), expect, op)
         self._meta = meta
-        return int(meta["commit_seq"])
+        return seq
 
     @property
     def group_keys(self) -> list[str]:

@@ -104,17 +104,15 @@ class Scd2Store:
     def _write_meta(
         self, meta: dict, *, expect: int | None, op: str = "Scd2Store"
     ) -> None:
-        """Atomic commit point, now with the OCC compare step: if another
+        """Atomic commit point with the OCC compare step: if another
         writer committed since ``expect`` was captured at ``_occ_begin``,
         raise ``ConcurrentWriteError`` instead of silently clobbering the
         winner's era (exactly-one-of-two-writers-wins contract; pinned by
-        tests/test_store_adversarial.py)."""
-        occ.stamp_or_raise(meta, self._meta_path(), expect, op)
-        os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, _META + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f, indent=1)
-        os.replace(tmp, self._meta_path())
+        tests/test_store_adversarial.py). The whole compare+stamp+replace
+        runs under the store's ``flock`` with a unique per-writer tmp
+        file (``occ.commit_meta``, r9), so the round-8 microsecond
+        compare-vs-replace window is closed on POSIX filesystems."""
+        occ.commit_meta(meta, self._meta_path(), expect, op)
         self._meta = meta
 
     @property

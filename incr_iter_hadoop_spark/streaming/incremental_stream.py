@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..operators.incremental import PreservedState, refresh
+from ..sources import occ
 
 
 def streaming_refresh(
@@ -165,21 +166,46 @@ def _stream_token(checkpoint_dir: str, batch_id: int) -> str:
     return f"stream-{ns}-batch-{batch_id}"
 
 
-def _committed_pre_r8(store, batch_id: int) -> bool:
-    """Upgrade compat: a store written by a pre-r8 stream may hold this
-    batch id under the LEGACY un-namespaced token (``stream-batch-<id>``).
-    If so, the batch was already committed (the at-least-once crash window
-    these tokens exist for) and must be skipped — replaying it under the
-    new namespaced token would double-apply it as a phantom era. Legacy
-    tokens age out of the bounded retention window, after which only
-    namespaced tokens exist and this check is always False."""
-    return f"stream-batch-{batch_id}" in store.meta.get("era_tokens", {})
+def _legacy_collision(
+    store, batch_id: int, *, legacy_token_compat: bool
+) -> bool:
+    """Upgrade compat, made LOUD (ADVICE r8): a store written by a pre-r8
+    stream may hold this batch id under the LEGACY un-namespaced token
+    (``stream-batch-<id>``). Two streams are indistinguishable here: the
+    UPGRADED continuation of that pre-r8 stream replaying its in-flight
+    batch (which must be skipped — it already committed), and a genuinely
+    NEW stream whose fresh checkpoint restarts batch ids at 0 (which must
+    NOT be skipped — that would silently drop its first batches, the
+    exact data-loss bug namespaced tokens were built to fix). Only the
+    operator knows which, so the default is to fail the query loudly;
+    ``legacy_token_compat=True`` is the explicit attestation that this
+    stream resumes the pre-r8 checkpoint, making the skip safe. Legacy
+    tokens age out of the bounded retention window, after which this
+    check is always False and the flag is inert."""
+    if f"stream-batch-{batch_id}" not in store.meta.get("era_tokens", {}):
+        return False
+    if legacy_token_compat:
+        return True  # committed by the pre-r8 stream — skip the replay
+    raise RuntimeError(
+        f"micro-batch {batch_id} collides with a retained legacy "
+        f"(pre-r8, un-namespaced) idempotence token "
+        f"'stream-batch-{batch_id}' in store {store.path!r}. If this "
+        f"stream is the upgraded continuation of the pre-r8 stream that "
+        f"wrote the store (resuming its checkpoint), pass "
+        f"legacy_token_compat=True to skip the already-committed batch; "
+        f"if it is a NEW stream, let the legacy era_tokens age out of "
+        f"the store's bounded retention window (commit a few more eras) "
+        f"before starting it. Guessing silently would risk either "
+        f"double-apply or silent data loss."
+    )
 
 
 def streaming_scd2_eras(
     changes_stream: DataFrame,
     store,
     checkpoint_dir: str,
+    *,
+    legacy_token_compat: bool = False,
 ) -> StreamingQuery:
     """Maintain an on-disk ``Scd2Store`` from a stream of dimension-change
     batches: each micro-batch commits as ONE era (round 7 — the streaming
@@ -195,8 +221,16 @@ def streaming_scd2_eras(
     double-applying the same changes as a phantom era. Tokens are
     namespaced by checkpoint location (``_stream_token``) so a NEW stream
     (fresh checkpoint, batch ids restarting at 0) against an existing
-    store never mistakes its first batches for replays (ADVICE r7).
+    store never mistakes its first batches for replays (ADVICE r7); a
+    collision with a retained LEGACY pre-r8 token fails the query loudly
+    unless ``legacy_token_compat=True`` attests this stream resumes the
+    pre-r8 checkpoint (ADVICE r8 — see ``_legacy_collision``).
     ``tests/test_streaming_restart.py`` pins the restart behavior.
+
+    A store commit that loses an OCC race to another writer (e.g. a
+    manual backfill racing this sink) is retried against fresh state via
+    ``occ.retrying`` — safe because the token makes a replayed commit a
+    no-op (r9, VERDICT ask #4).
 
     Pair the source with ``maxFilesPerTrigger=1`` so each arriving change
     file becomes its own era; batches must respect ``apply_era``'s
@@ -205,10 +239,14 @@ def streaming_scd2_eras(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
-        if _committed_pre_r8(store, batch_id):
+        if _legacy_collision(
+            store, batch_id, legacy_token_compat=legacy_token_compat
+        ):
             return  # committed by a pre-r8 stream under the legacy token
-        store.apply_era(
-            batch_df, token=_stream_token(checkpoint_dir, batch_id)
+        occ.retrying(
+            lambda: store.apply_era(
+                batch_df, token=_stream_token(checkpoint_dir, batch_id)
+            )
         )
 
     return (
@@ -225,6 +263,8 @@ def streaming_scd2_cdc(
     store,
     checkpoint_dir: str,
     op_col: str = "cdc_op",
+    *,
+    legacy_token_compat: bool = False,
 ) -> StreamingQuery:
     """Maintain an ``Scd2Store`` from a CDC stream (round 7): each row
     carries a Debezium/DMS-style op marker and each micro-batch commits as
@@ -242,7 +282,10 @@ def streaming_scd2_cdc(
 
     Exactly-once under foreachBatch's at-least-once contract by the same
     token mechanism as ``streaming_scd2_eras`` (checkpoint-namespaced
-    micro-batch token recorded in the atomic commit). Unknown AND NULL op
+    micro-batch token recorded in the atomic commit; legacy pre-r8 token
+    collisions fail loudly unless ``legacy_token_compat=True``, and an
+    OCC race lost to another writer is retried via ``occ.retrying`` —
+    token-idempotent, r9). Unknown AND NULL op
     values fail the batch loudly — a CDC feed emitting ops this sink
     doesn't understand (e.g. a truncate, or a malformed row with a NULL
     op) must not be silently narrowed to the ones it does: note
@@ -255,7 +298,9 @@ def streaming_scd2_cdc(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # an empty trigger is not an era
-        if _committed_pre_r8(store, batch_id):
+        if _legacy_collision(
+            store, batch_id, legacy_token_compat=legacy_token_compat
+        ):
             return  # committed by a pre-r8 stream under the legacy token
         bad = (
             batch_df.where(
@@ -273,8 +318,12 @@ def streaming_scd2_cdc(
             )
         ups = batch_df.where(F.col(op_col).isin(*_UPSERT_OPS)).drop(op_col)
         dels = batch_df.where(F.col(op_col) == "d").select(*store.key_cols)
-        store.apply_era(
-            ups, deletes=dels, token=_stream_token(checkpoint_dir, batch_id)
+        occ.retrying(
+            lambda: store.apply_era(
+                ups,
+                deletes=dels,
+                token=_stream_token(checkpoint_dir, batch_id),
+            )
         )
 
     return (
@@ -310,14 +359,22 @@ def streaming_pit_enrich(
 
     ``as_of`` pins one dimension era for the whole stream (audit
     semantics: every batch sees the same history). The default ``None``
-    resolves at each micro-batch to the store's latest COMMITTED era, so
-    a dimension concurrently maintained by a CDC stream enriches facts
-    with the versions current at their arrival."""
+    resolves at each micro-batch to the store's latest COMMITTED era —
+    the cached meta is invalidated at the top of every batch (ADVICE r8:
+    the cache only refreshes when THIS object mutates, so a dimension
+    maintained by a different ``Scd2Store`` instance/process would
+    otherwise be served at the era cached on the first batch for the
+    whole stream), so a dimension concurrently maintained by a CDC
+    stream enriches facts with the versions current at their arrival."""
     import os
 
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if as_of is None:
+            # re-read the committed era from disk: another writer may
+            # have advanced the store since the last batch
+            store._meta = None
         store.pit_join(batch_df, era_col, as_of=as_of).write.mode(
             "overwrite"
         ).parquet(os.path.join(sink_dir, f"batch={batch_id}"))

@@ -605,14 +605,18 @@ def test_streaming_cdc_full_op_matrix_and_fresh_checkpoint(spark, tmp_path):
     assert cur2 == {1: 11.0, 3: 33.0, 4: 40.0}
 
 
-def test_streaming_legacy_token_batch_skipped(spark, tmp_path):
-    """Upgrade compat (r8): a store written by a pre-r8 stream holds its
-    committed batch under the LEGACY un-namespaced token
-    ('stream-batch-<id>'). A post-upgrade restart replaying that batch id
-    must skip it — re-applying under the new namespaced token would
-    double-apply the batch as a phantom era."""
+def test_streaming_legacy_token_collision_loud_and_compat(spark, tmp_path):
+    """Upgrade compat, hardened r9 (ADVICE r8): a store written by a
+    pre-r8 stream holds its committed batch under the LEGACY
+    un-namespaced token ('stream-batch-<id>'). A replayed batch id
+    colliding with it is ambiguous — an upgraded stream's safe skip vs a
+    NEW stream's silent first-batch data loss — so the DEFAULT fails the
+    query loudly, and ``legacy_token_compat=True`` is the operator's
+    attestation that the skip is the right call (no phantom era)."""
     import glob as g
     import os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
 
     from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
     from incr_iter_hadoop_spark.streaming.incremental_stream import (
@@ -637,14 +641,25 @@ def test_streaming_legacy_token_batch_skipped(spark, tmp_path):
     part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
     os.rename(part, str(feed / "batch1.parquet"))
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(feed))
-    )
-    q = streaming_scd2_eras(stream, store, str(tmp_path / "ckpt"))
+    def start(ckpt: str, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        return streaming_scd2_eras(stream, store, str(tmp_path / ckpt), **kw)
+
+    # default: the collision fails the query loudly — neither a silent
+    # skip (data loss for a new stream) nor a double-apply
+    q = start("ckpt_loud")
+    with pytest.raises(StreamingQueryException, match="legacy"):
+        q.awaitTermination(60)
+    assert store.era == 1  # nothing committed by the failed query
+
+    # explicit attestation: the upgraded stream skips its already-
+    # committed batch — no phantom era
+    q = start("ckpt_compat", legacy_token_compat=True)
     assert q.awaitTermination(60)
-    # the replayed batch was recognized as committed — no phantom era
     assert store.era == 1
     assert sorted(
         (r["valid_from"], r["v"])
