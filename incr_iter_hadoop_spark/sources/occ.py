@@ -78,13 +78,35 @@ def disk_seq(meta_path: str) -> int | None:
 
 
 def commit_meta(
-    meta: dict, meta_path: str, expect: int | None, op: str
+    meta: dict,
+    meta_path: str,
+    expect: int | None,
+    op: str,
+    publish=None,
 ) -> int:
     """The atomic commit: under the store's ``flock`` (where available),
     re-read the on-disk sequence, fail loudly if it moved since
-    ``expect`` was captured, else stamp ``meta`` with the next sequence
-    number and publish it via a unique-tmp ``os.replace``. Returns the
-    new committed sequence."""
+    ``expect`` was captured, else run ``publish()`` (the data-file
+    rename step — see below), stamp ``meta`` with the next sequence
+    number, and publish the meta via a unique-tmp ``os.replace``.
+    Returns the new committed sequence.
+
+    ``publish`` (r9) is how mutations move their staged data directories
+    into their final era/version-numbered locations ATOMICALLY WITH the
+    commit: the mutation's Spark writes target a unique staging path
+    (outside the lock — that is where the seconds of work happen), and
+    the O(1) renames into the final path run here, after the compare has
+    proven the begin-state is still current. Without this, a loser whose
+    data write lands AFTER the winner's commit would clobber the
+    winner's same-numbered era directory — the files are only
+    "invisible orphans" if they can never land on a committed name.
+    Ordering within the critical section: compare → publish data → meta
+    replace; a crash between publish and the meta replace leaves final-
+    positioned but UNCOMMITTED directories, which readers never follow
+    (they read only era numbers ≤ the committed meta's) and the retried
+    mutation republishes over. On an object store the same protocol is
+    "stage under unique keys, conditional-put the manifest" — Delta/
+    Iceberg's actual commit discipline."""
     store_dir = os.path.dirname(meta_path)
     os.makedirs(store_dir, exist_ok=True)
     lock_fd = None
@@ -106,6 +128,8 @@ def commit_meta(
                 f"contract); re-open the store and retry against its "
                 f"current state"
             )
+        if publish is not None:
+            publish()
         meta["commit_seq"] = (expect or 0) + 1
         # unique per-writer tmp: a loser that raced past a (missing/
         # unhonored) lock can clobber only its OWN tmp, never the bytes
@@ -121,6 +145,31 @@ def commit_meta(
         if lock_fd is not None:
             fcntl.flock(lock_fd, fcntl.LOCK_UN)
             os.close(lock_fd)
+
+
+def stage_name(tag: str) -> str:
+    """Unique staging directory name for one mutation attempt's data
+    files (pid + a process-wide counter: unique across processes AND
+    across threads of one process). Staged directories are invisible to
+    every reader — readers only follow committed era/version numbers —
+    and are reclaimed by the stores' ``_sweep_orphans``."""
+    return f".stage-{tag}-{os.getpid()}-{next(_TMP_COUNTER)}"
+
+
+def publish_dir(staging: str, final: str) -> None:
+    """Move a staged directory onto its final (committed) name — the
+    O(1) rename step run inside ``commit_meta``'s critical section.
+    Anything already at the final name is an orphan (a crash between a
+    previous publish and its meta replace, or a pre-r9 crashed write):
+    it was never committed — committed era numbers are never re-targeted,
+    the compare just proved this mutation's begin-state is current — so
+    removing it first is reclamation, not data loss."""
+    import shutil
+
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    os.replace(staging, final)
 
 
 def retrying(fn, *, attempts: int = 3):

@@ -47,6 +47,7 @@ import hashlib
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -149,7 +150,12 @@ class PreserveStore:
         return occ.disk_seq(self._meta_path())
 
     def _write_meta(
-        self, meta: dict, *, expect: int | None, op: str = "PreserveStore"
+        self,
+        meta: dict,
+        *,
+        expect: int | None,
+        op: str = "PreserveStore",
+        publish=None,
     ) -> int:
         """Atomic commit point with the OCC compare step (round 8): of two
         concurrent writers exactly one wins; the loser raises
@@ -157,8 +163,10 @@ class PreserveStore:
         winner's version bump. Returns the new commit sequence so
         multi-commit operations (``initialize``) can thread it. The whole
         compare+stamp+replace runs under the store's ``flock`` with a
-        unique per-writer tmp file (``occ.commit_meta``, r9)."""
-        seq = occ.commit_meta(meta, self._meta_path(), expect, op)
+        unique per-writer tmp file (``occ.commit_meta``, r9); ``publish``
+        renames this mutation's STAGED data directories onto their final
+        version names inside the same critical section."""
+        seq = occ.commit_meta(meta, self._meta_path(), expect, op, publish)
         self._meta = meta
         return seq
 
@@ -488,11 +496,21 @@ class PreserveStore:
         delta = delta.persist()
         affected = delta.select(*gk).distinct().persist()
         v = self.version + 1
+        # all three layer sides write into ONE unique staging directory
+        # (r9) renamed onto layers/b<B>/v<N> inside the commit's critical
+        # section — a loser's write can never land on a committed version
+        # name (see occ.commit_meta)
+        bv = int(self.meta["base_version"])
+        stage_parent = os.path.join(
+            self.path, f"layers/b{bv}", occ.stage_name(f"v{v}")
+        )
         # write the affected-key layer FIRST: the write materializes the
         # persisted `affected`, so the strategy probe below is a cache hit
-        # instead of a second shuffle job. Crash-safe: layer dirs are
-        # invisible until the meta version bump at the end.
-        affected.write.mode("overwrite").parquet(self._layer_path(v, "affected"))
+        # instead of a second shuffle job. Crash-safe: staged dirs are
+        # invisible until published at the meta version bump.
+        affected.write.mode("overwrite").parquet(
+            os.path.join(stage_parent, "affected")
+        )
 
         # the probe decides the pruning strategy AND yields the key list
         # (limit(n+1) instead of count()+collect(): one job, not two —
@@ -545,9 +563,11 @@ class PreserveStore:
         recomputed = new_contribs.groupBy(*gk).agg(*self._agg_cols())
 
         new_contribs.write.mode("overwrite").parquet(
-            self._layer_path(v, "contribs")
+            os.path.join(stage_parent, "contribs")
         )
-        recomputed.write.mode("overwrite").parquet(self._layer_path(v, "results"))
+        recomputed.write.mode("overwrite").parquet(
+            os.path.join(stage_parent, "results")
+        )
         new_contribs.unpersist()
         affected.unpersist()
         delta.unpersist()
@@ -566,7 +586,17 @@ class PreserveStore:
             }
             tokens[token] = v
             meta["refresh_tokens"] = tokens
-        self._write_meta(meta, expect=occ_expect, op="PreserveStore.refresh")
+        final_parent = os.path.join(self.path, f"layers/b{bv}/v{v}")
+        try:
+            self._write_meta(
+                meta,
+                expect=occ_expect,
+                op="PreserveStore.refresh",
+                publish=lambda: occ.publish_dir(stage_parent, final_parent),
+            )
+        except BaseException:
+            shutil.rmtree(stage_parent, ignore_errors=True)
+            raise
         if max_layers is not None and v >= max_layers:
             self.compact()
         return self.version
@@ -593,20 +623,38 @@ class PreserveStore:
         results = self.current_results()
         meta = dict(self.meta)
         old_base_version = int(meta["base_version"])
-        meta["base_version"] = old_base_version + 1
+        new_base_version = old_base_version + 1
+        meta["base_version"] = new_base_version
         old_version = meta["version"]
         meta["version"] = 0
         retired = dict(meta.get("retired", {}))
         retired[str(old_base_version)] = old_version
         meta["retired"] = retired
-        # write to the NEW base dirs before flipping meta so a crash leaves
-        # the old base intact (meta flip is the atomic commit point)
-        self._meta = meta  # _write_base/_table_name read the new base_version
-        self._write_base("contribs", contribs)
-        self._write_base("results", results)
+        # stage the NEW base under a unique directory before flipping meta
+        # (r9): a crash leaves the old base intact and only a .stage
+        # orphan; the rename onto base_v<n+1> happens inside the commit's
+        # critical section, so a losing compact can never clobber a
+        # committed base of the same number
+        stage_root = os.path.join(
+            self.path, occ.stage_name(f"base_v{new_base_version}")
+        )
+        self._meta = meta  # _stage_base/_table_name read the new version
+        self._stage_base("contribs", contribs, stage_root)
+        self._stage_base("results", results, stage_root)
+        final_root = os.path.join(self.path, f"base_v{new_base_version}")
+        # stale catalog entries for the new version's names (a crashed
+        # pre-staging attempt) must not survive the publish — drop BEFORE
+        # the commit; readers lazily re-register from committed meta
+        for which in ("contribs", "results"):
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._table_name(which)}"
+            )
         try:
             self._write_meta(
-                meta, expect=occ_expect, op="PreserveStore.compact"
+                meta,
+                expect=occ_expect,
+                op="PreserveStore.compact",
+                publish=lambda: occ.publish_dir(stage_root, final_root),
             )
         except BaseException:
             # the cached meta above is UNCOMMITTED — if the OCC compare (or
@@ -614,35 +662,111 @@ class PreserveStore:
             # object re-read the committed state instead of silently
             # serving the orphan base (which lacks the winner's commit)
             self._meta = None
+            shutil.rmtree(stage_root, ignore_errors=True)
             raise
+
+    def _stage_base(
+        self, which: str, df: DataFrame, stage_root: str
+    ) -> str:
+        """Bucketed base write into a staging subdirectory (r9):
+        ``bucketBy`` requires ``saveAsTable``, so the write goes through a
+        throwaway catalog name pointed at the staging path (dropped
+        immediately — the final location is lazily re-registered from
+        meta by ``_base`` after the commit renames it into place)."""
+        m = self.meta
+        keys = m["group_keys"]
+        n = int(m["num_buckets"])
+        staging = os.path.join(stage_root, which)
+        stage_tbl = (
+            f"{self._table_name(which)}_stg"
+            f"{hashlib.md5(staging.encode()).hexdigest()[:8]}"
+        )
+        try:
+            (
+                df.repartition(n, *keys)
+                .write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(n, *keys)
+                .sortBy(*keys)
+                .option("path", staging)
+                .saveAsTable(stage_tbl)
+            )
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        return staging
 
     def vacuum(self) -> None:
         """Delete every retired era's base + layers and drop their catalog
         registrations. Call once no reader still needs pre-compaction
         versions — retired eras are a full state snapshot each, so leaving
-        them forever leaks O(|state|) disk per compaction."""
-        import shutil
+        them forever leaks O(|state|) disk per compaction.
 
+        COMMIT FIRST, DELETE AFTER (r8): the OCC compare must precede the
+        irreversible deletes — a vacuum losing the race to a concurrent
+        refresh/compact fails with NOTHING deleted. The delete phase is a
+        disk-scan sweep of every era directory the committed meta no
+        longer references (``_sweep_orphans``, r9), so a crash between
+        the commit and the deletes is healed by the next ``vacuum()``
+        instead of leaking disk forever. Same ordering and sweep contract
+        as ``Scd2Store.vacuum``."""
         v0 = self._occ_begin()
-        meta = dict(self.meta)
-        retired = dict(meta.get("retired", {}))
-        # COMMIT FIRST, DELETE AFTER (r8): the OCC compare must precede
-        # the irreversible deletes — a vacuum losing the race to a
-        # concurrent refresh/compact fails with NOTHING deleted; a crash
-        # between the commit and the deletes leaves unreferenced orphan
-        # directories (disk leak only — readers only follow meta). Same
-        # ordering as Scd2Store.vacuum.
-        meta["retired"] = {}
-        self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")
-        for era_str in retired:
-            era = int(era_str)
-            shutil.rmtree(
-                os.path.join(self.path, f"layers/b{era}"), ignore_errors=True
-            )
-            for which in ("contribs", "results"):
-                self.spark.sql(
-                    f"DROP TABLE IF EXISTS {self._table_name(which, era)}"
+        if self.meta.get("retired", {}):
+            meta = dict(self.meta)
+            meta["retired"] = {}
+            self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Reclaim every era directory the COMMITTED meta does not
+        reference (r9): ``base_v<e>`` / ``layers/b<e>`` where ``e`` is
+        neither the live base version nor a retired-but-still-readable
+        era. Covers both the crashed-vacuum residue (retired cleared in
+        meta, directories still on disk) and a crashed ``compact()``'s
+        half-written next base (a retry rewrites it). Orphans are
+        invisible to readers — deleting them needs no commit. Also
+        reclaims ``.stage-*`` directories left by crashed mutation
+        attempts (r9 staged writes) — under the single-writer contract no
+        other mutation of this store is in flight during a vacuum."""
+        keep = {int(self.meta["base_version"])} | {
+            int(e) for e in self.meta.get("retired", {})
+        }
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith(".stage-"):
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
+                    continue
+                m = re.fullmatch(r"base_v(\d+)", d)
+                if not m or int(m.group(1)) in keep:
+                    continue
+                era = int(m.group(1))
+                for which in ("contribs", "results"):
+                    self.spark.sql(
+                        f"DROP TABLE IF EXISTS "
+                        f"{self._table_name(which, era)}"
+                    )
+                shutil.rmtree(
+                    os.path.join(self.path, d), ignore_errors=True
                 )
-            shutil.rmtree(
-                os.path.join(self.path, f"base_v{era}"), ignore_errors=True
-            )
+        lroot = os.path.join(self.path, "layers")
+        if os.path.isdir(lroot):
+            for d in os.listdir(lroot):
+                m = re.fullmatch(r"b(\d+)", d)
+                if d.startswith(".stage-"):
+                    shutil.rmtree(
+                        os.path.join(lroot, d), ignore_errors=True
+                    )
+                elif m and int(m.group(1)) not in keep:
+                    shutil.rmtree(
+                        os.path.join(lroot, d), ignore_errors=True
+                    )
+                elif m:
+                    # refresh staging lives INSIDE the live era's dir
+                    bdir = os.path.join(lroot, d)
+                    for sub in os.listdir(bdir):
+                        if sub.startswith(".stage-"):
+                            shutil.rmtree(
+                                os.path.join(bdir, sub),
+                                ignore_errors=True,
+                            )

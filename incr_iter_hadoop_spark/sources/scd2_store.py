@@ -24,9 +24,12 @@ mapred/IFile.java:478-1100 — re-expressed as immutable layers):
   close with a semi-join; deriving it keeps layers strictly append-only,
   which is what makes the commit trivial.)
 - **The meta era bump is the atomic commit point** (the preserve store's
-  version-bump discipline): a crash after the layer write but before the
-  bump leaves an orphan layer directory that is INVISIBLE to every reader
-  and simply overwritten by the retried ``apply_era``.
+  version-bump discipline), and since r9 the layer write itself targets a
+  UNIQUE STAGING directory renamed onto ``layers/e<N>`` inside the same
+  commit critical section (``occ.commit_meta``): a crash before the
+  commit leaves only an invisible ``.stage-*`` orphan (reclaimed by
+  ``vacuum()``), and a concurrent loser's data files physically cannot
+  land on a committed era name.
 - **Time travel for free**: ``history_as_of(era)`` folds base + layers
   1..era; every committed era stays readable forever (layers are
   immutable and never compacted away — an SCD2 history IS its layers).
@@ -45,6 +48,7 @@ import hashlib
 import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -102,7 +106,12 @@ class Scd2Store:
         return occ.disk_seq(self._meta_path())
 
     def _write_meta(
-        self, meta: dict, *, expect: int | None, op: str = "Scd2Store"
+        self,
+        meta: dict,
+        *,
+        expect: int | None,
+        op: str = "Scd2Store",
+        publish=None,
     ) -> None:
         """Atomic commit point with the OCC compare step: if another
         writer committed since ``expect`` was captured at ``_occ_begin``,
@@ -111,8 +120,11 @@ class Scd2Store:
         tests/test_store_adversarial.py). The whole compare+stamp+replace
         runs under the store's ``flock`` with a unique per-writer tmp
         file (``occ.commit_meta``, r9), so the round-8 microsecond
-        compare-vs-replace window is closed on POSIX filesystems."""
-        occ.commit_meta(meta, self._meta_path(), expect, op)
+        compare-vs-replace window is closed on POSIX filesystems.
+        ``publish`` renames this mutation's STAGED data directories onto
+        their final era names inside the same critical section — see
+        ``occ.commit_meta``."""
+        occ.commit_meta(meta, self._meta_path(), expect, op, publish)
         self._meta = meta
 
     @property
@@ -265,11 +277,11 @@ class Scd2Store:
         ``[0, open_end)``. One bucketed shuffle — paid exactly once.
 
         Same commit discipline as ``apply_era``: the base snapshot is
-        written FIRST and the meta write is the atomic commit point, so a
-        crash mid-snapshot leaves ``exists() == False`` (an uninitialized
-        store with orphan data files) rather than a committed store over a
-        partial base. The retry drops the half-created catalog entry and
-        overwrites the orphan files.
+        STAGED first (unique directory, throwaway catalog entry) and
+        renamed onto ``base`` inside the meta commit's critical section
+        (r9), so a crash mid-write leaves ``exists() == False`` with only
+        an invisible ``.stage-*`` orphan, and a concurrent initialize
+        loser can never clobber the winner's published base.
 
         NULL key values are rejected (same contract as ``apply_era`` and
         ``PreserveStore``): a NULL-keyed version can never be closed by the
@@ -292,28 +304,75 @@ class Scd2Store:
             "era": 0,
             "schema_ddl": _schema_ddl(dim),
         }
-        n = num_buckets
-        self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name()}")
-        (
-            dim.repartition(n, *key_cols)
-            .write.format("parquet")
-            .mode("overwrite")
-            .bucketBy(n, *key_cols)
-            .sortBy(*key_cols)
-            .option("path", self._base_path())
-            .saveAsTable(self._table_name())
+        staging = self._stage_bucketed(
+            dim, num_buckets, key_cols, tag="base"
         )
-        self._write_meta(meta, expect=v0, op="Scd2Store.initialize")
+        # a stale catalog entry from a previous store at this path may
+        # carry the wrong schema/bucketing — drop it BEFORE the commit so
+        # no window exists where it could serve the new files with the
+        # old DDL; the first read re-registers from the committed meta
+        # (_base), whichever meta that turns out to be
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name()}")
+        try:
+            self._write_meta(
+                meta,
+                expect=v0,
+                op="Scd2Store.initialize",
+                publish=lambda: occ.publish_dir(staging, self._base_path()),
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         return self
 
-    def _write_layer(
-        self, era: int, changes: DataFrame, cols: list[str] | None = None
-    ) -> None:
-        """Layer write WITHOUT the meta bump — split out so the crash test
-        can stop exactly between the two steps."""
+    def _stage_bucketed(
+        self, df: DataFrame, n: int, keys: list[str], *, tag: str
+    ) -> str:
+        """Bucketed write into a UNIQUE STAGING directory (r9):
+        ``bucketBy`` requires ``saveAsTable``, so the write goes through a
+        throwaway catalog name pointed at the staging path and the entry
+        is dropped immediately (the bucketing spec survives in meta — the
+        final location is lazily re-registered by ``_base``). The O(data)
+        Spark work happens here, outside the commit lock; the O(1) rename
+        onto the final generation name happens inside the commit
+        (``occ.commit_meta``'s publish step), so these files can never
+        land on a committed name unless THIS mutation wins."""
+        staging = os.path.join(self.path, occ.stage_name(tag))
+        stage_tbl = (
+            f"{self._table_name()}_stg"
+            f"{hashlib.md5(staging.encode()).hexdigest()[:8]}"
+        )
+        try:
+            (
+                df.repartition(n, *keys)
+                .write.format("parquet")
+                .mode("overwrite")
+                .bucketBy(n, *keys)
+                .sortBy(*keys)
+                .option("path", staging)
+                .saveAsTable(stage_tbl)
+            )
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+        return staging
+
+    def _stage_layer(
+        self, changes: DataFrame, cols: list[str] | None = None
+    ) -> str:
+        """Layer write into a UNIQUE STAGING directory (r9) — the Spark
+        work runs outside the commit lock; the O(1) rename onto
+        ``layers/e<N>`` happens inside the commit (``occ.commit_meta``'s
+        publish step). Pre-r9 the write targeted the final era path
+        directly, so a loser whose write landed after the winner's commit
+        could clobber the winner's same-numbered layer; staged files can
+        never land on a committed name unless this mutation wins."""
+        staging = os.path.join(
+            self.path, "layers", occ.stage_name("layer")
+        )
         changes.select(*(cols or self.meta["columns"])).write.mode(
             "overwrite"
-        ).parquet(self._layer_path(era))
+        ).parquet(staging)
+        return staging
 
     def apply_era(
         self,
@@ -483,7 +542,7 @@ class Scd2Store:
                 ).withColumn("_tombstone", F.lit(True))
                 layer = layer.unionByName(tombs)
         e = self.era + 1
-        self._write_layer(e, layer, cols + new_cols + ["_tombstone"])
+        staging = self._stage_layer(layer, cols + new_cols + ["_tombstone"])
         meta = dict(self.meta)
         meta["era"] = e
         if new_cols:
@@ -516,7 +575,18 @@ class Scd2Store:
             }
             tokens[token] = e
             meta["era_tokens"] = tokens
-        self._write_meta(meta, expect=v0, op="Scd2Store.apply_era")
+        try:
+            self._write_meta(
+                meta,
+                expect=v0,
+                op="Scd2Store.apply_era",
+                publish=lambda: occ.publish_dir(
+                    staging, self._layer_path(e)
+                ),
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         if (
             snapshot_every is not None
             and e - max(self.snaps) >= snapshot_every
@@ -583,9 +653,11 @@ class Scd2Store:
         generation (time travel survives a snapshot) until ``vacuum()``.
 
         Same commit discipline as every other mutation: the new generation
-        is written first, the meta ``snaps`` append is the atomic commit
-        point, and a crashed snapshot leaves only an invisible orphan
-        ``base_s<era>`` directory that a retry overwrites."""
+        is STAGED first and renamed onto ``base_s<era>`` inside the meta
+        commit's critical section (r9); a crashed snapshot leaves only an
+        invisible ``.stage-*`` (or, if it died between publish and the
+        meta replace, an uncommitted ``base_s<era>``) orphan that a retry
+        republishes over and ``vacuum()`` reclaims."""
         v0 = self._occ_begin()
         era = self._check_era(era)
         if era in self.snaps:
@@ -601,23 +673,32 @@ class Scd2Store:
         m = self.meta
         n = int(m["num_buckets"])
         keys = self.key_cols
-        name = self._table_name(era)
-        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            # tombstones fold into the generation unfiltered — they keep
-            # closing the versions they terminated
-            h.select(*m["columns"], "valid_from", "_tombstone")
-            .repartition(n, *keys)
-            .write.format("parquet")
-            .mode("overwrite")
-            .bucketBy(n, *keys)
-            .sortBy(*keys)
-            .option("path", self._base_path(era))
-            .saveAsTable(name)
+        # tombstones fold into the generation unfiltered — they keep
+        # closing the versions they terminated
+        staging = self._stage_bucketed(
+            h.select(*m["columns"], "valid_from", "_tombstone"),
+            n,
+            keys,
+            tag=f"base_s{era}",
         )
         meta = dict(self.meta)
         meta["snaps"] = sorted(set(self.snaps) | {era})
-        self._write_meta(meta, expect=v0, op="Scd2Store.snapshot")
+        # drop a stale catalog entry for this generation name (e.g. from a
+        # pre-crash attempt) BEFORE the commit — no window may exist where
+        # an old entry serves the new files; reads re-register from meta
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(era)}")
+        try:
+            self._write_meta(
+                meta,
+                expect=v0,
+                op="Scd2Store.snapshot",
+                publish=lambda: occ.publish_dir(
+                    staging, self._base_path(era)
+                ),
+            )
+        except BaseException:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         return era
 
     def vacuum(self) -> None:
@@ -629,32 +710,67 @@ class Scd2Store:
         loudly. Same rewrite-then-vacuum split as ``PreserveStore`` and
         lakehouse table formats: ``snapshot()`` never deletes, so a reader
         holding a plan over the old generation keeps its files until the
-        caller explicitly vacuums."""
-        import shutil
+        caller explicitly vacuums.
 
+        COMMIT FIRST, DELETE AFTER (r8): vacuum is the one mutation whose
+        side effects are irreversible, so the OCC compare must happen
+        before any file is touched — a vacuum losing the race to a
+        concurrent apply_era would otherwise destroy generations the
+        winner's committed meta still references. Committing first makes
+        the loser fail with NOTHING deleted. The delete phase is a
+        DISK-SCAN SWEEP of everything the committed meta does not
+        reference (``_sweep_orphans``, r9), not a precomputed list — so a
+        crash between the commit and the deletes is no longer a permanent
+        disk leak (the r8 residue): the next ``vacuum()`` re-derives the
+        same orphan set from disk and reclaims it."""
         v0 = self._occ_begin()
         newest = max(self.snaps)
-        if newest == 0:
-            return  # nothing folded yet — nothing to reclaim
-        # COMMIT FIRST, DELETE AFTER (r8): vacuum is the one mutation whose
-        # side effects are irreversible, so the OCC compare must happen
-        # before any file is touched — a vacuum losing the race to a
-        # concurrent apply_era would otherwise destroy generations the
-        # winner's committed meta still references. Committing first makes
-        # the loser fail with NOTHING deleted; a crash between the commit
-        # and the deletes leaves unreferenced orphan directories (a disk
-        # leak, never a correctness loss — readers only follow meta).
-        old_gens = [g for g in self.snaps if g < newest]
-        old_layers = list(range(self.vacuumed_below + 1, newest + 1))
-        meta = dict(self.meta)
-        meta["snaps"] = [newest]
-        meta["vacuumed_below"] = newest
-        self._write_meta(meta, expect=v0, op="Scd2Store.vacuum")
-        for g in old_gens:
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._table_name(g)}")
-            shutil.rmtree(self._base_path(g), ignore_errors=True)
-        for e in old_layers:
-            shutil.rmtree(self._layer_path(e), ignore_errors=True)
+        if self.snaps != [newest] or self.vacuumed_below < newest:
+            meta = dict(self.meta)
+            meta["snaps"] = [newest]
+            meta["vacuumed_below"] = newest
+            self._write_meta(meta, expect=v0, op="Scd2Store.vacuum")
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        """Reclaim every directory the COMMITTED meta no longer references
+        (r9): generation bases not in ``snaps`` (retired by a vacuum that
+        died between its commit and its deletes, or left by a crashed
+        ``snapshot()`` — a retry rewrites them from scratch) and layer
+        directories at or below ``vacuumed_below``. Orphans are invisible
+        to every reader — readers only follow meta — so deleting them
+        needs no commit and cannot race a reader onto missing files.
+        Also reclaims ``.stage-*`` directories left by crashed mutation
+        attempts (r9 staged writes) — under the single-writer contract no
+        other mutation of this store is in flight during a vacuum."""
+        snaps = set(self.snaps)
+        vb = self.vacuumed_below
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                if d.startswith(".stage-"):
+                    shutil.rmtree(
+                        os.path.join(self.path, d), ignore_errors=True
+                    )
+                    continue
+                m = re.fullmatch(r"base_s(\d+)", d)
+                g = int(m.group(1)) if m else (0 if d == "base" else None)
+                if g is None or g in snaps:
+                    continue
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(g)}"
+                )
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        lroot = os.path.join(self.path, "layers")
+        if os.path.isdir(lroot):
+            for d in os.listdir(lroot):
+                m = re.fullmatch(r"e(\d+)", d)
+                if (
+                    d.startswith(".stage-")
+                    or (m and int(m.group(1)) <= vb)
+                ):
+                    shutil.rmtree(
+                        os.path.join(lroot, d), ignore_errors=True
+                    )
 
     # -- point-in-time join ------------------------------------------------
 

@@ -96,15 +96,19 @@ def test_time_travel_reads_every_era(spark, tmp_path):
 
 
 def test_orphan_layer_from_crashed_apply_is_invisible(spark, tmp_path):
-    """Crash between the layer write and the meta bump: the orphan layer
-    must be invisible to every read, the uncommitted era unreadable, and a
-    retried apply_era must heal by overwriting the orphan."""
+    """Crash between the publish rename and the meta replace (r9 staged
+    writes — the only crash window that leaves a FINAL-positioned layer
+    dir): the orphan layer must be invisible to every read, the
+    uncommitted era unreadable, and a retried apply_era must heal by
+    republishing over the orphan."""
     store = _store(spark, tmp_path)
     store.apply_era(_changes1(spark))
     before = _rows(store.history_as_of())
 
-    # simulate the crash: layer written, no commit
-    store._write_layer(2, spark.createDataFrame([(1, 99.0)], "k bigint, v double"))
+    # simulate the crash: layer published at its final path, no commit
+    spark.createDataFrame([(1, 99.0)], "k bigint, v double").select(
+        "k", "v"
+    ).write.parquet(store._layer_path(2))
     assert os.path.isdir(store._layer_path(2))
     assert store.era == 1
     assert _rows(store.history_as_of()) == before
@@ -248,10 +252,10 @@ def test_snapshot_idempotent_and_behind_newest_rejected(spark, tmp_path):
 
 
 def test_crashed_snapshot_is_invisible_and_retry_heals(spark, tmp_path):
-    """Same commit discipline as apply_era: generation data written first,
-    meta append is the commit point. A crash between them leaves an orphan
-    base_s dir that changes NO read, and the retried snapshot overwrites
-    it."""
+    """Same commit discipline as apply_era: generation data STAGED first
+    (r9), the publish rename + meta append form the commit point. A crash
+    before the commit leaves only a .stage orphan that changes NO read,
+    and the retried snapshot republishes cleanly."""
     store = _store(spark, tmp_path)
     store.apply_era(_changes1(spark))
     before = _rows(store.history_as_of())
@@ -267,10 +271,14 @@ def test_crashed_snapshot_is_invisible_and_retry_heals(spark, tmp_path):
             store.snapshot(1)
     finally:
         Scd2Store._write_meta = orig
-    assert os.path.isdir(store._base_path(1))  # orphan data on disk
-    assert store.snaps == [0]  # but NOT committed
+    # the failed attempt cleaned its own staging (a kill -9 would leave
+    # a .stage orphan for vacuum's sweep) and never published to base_s1
+    assert not [d for d in os.listdir(store.path) if d.startswith(".stage-")]
+    assert not os.path.isdir(store._base_path(1))
+    assert store.snaps == [0]  # NOT committed
     assert _rows(store.history_as_of()) == before
     assert store.snapshot(1) == 1  # retry heals
+    assert os.path.isdir(store._base_path(1))
     assert _rows(store.history_as_of()) == before
 
 
@@ -538,14 +546,15 @@ def test_schema_evolution_is_additive_only(spark, tmp_path):
 
 
 def test_schema_evolution_uncommitted_layer_keeps_old_schema(spark, tmp_path):
-    """Crash between the evolved layer write and the meta commit: the
+    """Crash between the evolved layer's publish and the meta commit: the
     orphan layer's extra column stays invisible — the store still reads
     (and re-applies) with the pre-evolution schema."""
     store = _store(spark, tmp_path)
     orphan = spark.createDataFrame(
         [(1, 11.0, "gold")], "k bigint, v double, tier string"
     )
-    store._write_layer(1, orphan, ["k", "v", "tier"])  # no meta bump
+    # published at its final path, no meta bump
+    orphan.select("k", "v", "tier").write.parquet(store._layer_path(1))
     assert store.meta["columns"] == ["k", "v"]
     assert "tier" not in store.history_as_of().columns
     # the retried apply overwrites the orphan and commits the evolution

@@ -345,13 +345,13 @@ def test_scd2_two_writer_race_exactly_one_wins(spark, tmp_path):
 
     real_write = b._write_meta
 
-    def hooked(meta, *, expect, op="Scd2Store"):
+    def hooked(meta, *, expect, op="Scd2Store", **kw):
         # the competing writer commits while b sits between its layer
         # write and its meta commit
         a.apply_era(
             spark.createDataFrame([(1, 10.0)], "k bigint, v double")
         )
-        return real_write(meta, expect=expect, op=op)
+        return real_write(meta, expect=expect, op=op, **kw)
 
     b._write_meta = hooked
     with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
@@ -380,11 +380,11 @@ def test_scd2_snapshot_loses_race_to_apply_era(spark, tmp_path):
     b = Scd2Store(spark, path)
     real_write = b._write_meta
 
-    def hooked(meta, *, expect, op="Scd2Store"):
+    def hooked(meta, *, expect, op="Scd2Store", **kw):
         a.apply_era(
             spark.createDataFrame([(1, 3.0)], "k bigint, v double")
         )
-        return real_write(meta, expect=expect, op=op)
+        return real_write(meta, expect=expect, op=op, **kw)
 
     b._write_meta = hooked
     with pytest.raises(ConcurrentWriteError):
@@ -409,13 +409,13 @@ def test_preserve_two_writer_race_exactly_one_wins(spark, tmp_path):
     b = PreserveStore(spark, path)
     real_write = b._write_meta
 
-    def hooked(meta, *, expect, op="PreserveStore"):
+    def hooked(meta, *, expect, op="PreserveStore", **kw):
         a.refresh(
             spark.createDataFrame(
                 [(1, 10, 5.0, "+")], "g bigint, s bigint, v double, op string"
             )
         )
-        return real_write(meta, expect=expect, op=op)
+        return real_write(meta, expect=expect, op=op, **kw)
 
     b._write_meta = hooked
     with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
@@ -472,11 +472,11 @@ def test_scd2_vacuum_loses_race_deletes_nothing(spark, tmp_path):
     b = Scd2Store(spark, path)
     real_write = b._write_meta
 
-    def hooked(meta, *, expect, op="Scd2Store"):
+    def hooked(meta, *, expect, op="Scd2Store", **kw):
         a.apply_era(
             spark.createDataFrame([(1, 3.0)], "k bigint, v double")
         )
-        return real_write(meta, expect=expect, op=op)
+        return real_write(meta, expect=expect, op=op, **kw)
 
     b._write_meta = hooked
     with pytest.raises(ConcurrentWriteError):
@@ -516,13 +516,13 @@ def test_preserve_compact_loses_race_serves_committed_state(spark, tmp_path):
     b = PreserveStore(spark, path)
     real_write = b._write_meta
 
-    def hooked(meta, *, expect, op="PreserveStore"):
+    def hooked(meta, *, expect, op="PreserveStore", **kw):
         a.refresh(
             spark.createDataFrame(
                 [(2, 20, 9.0, "+")], "g bigint, s bigint, v double, op string"
             )
         )
-        return real_write(meta, expect=expect, op=op)
+        return real_write(meta, expect=expect, op=op, **kw)
 
     b._write_meta = hooked
     with pytest.raises(ConcurrentWriteError):
@@ -533,3 +533,270 @@ def test_preserve_compact_loses_race_serves_committed_state(spark, tmp_path):
     got = {r["g"]: r["total"] for r in b.current_results().collect()}
     assert got == {1: pytest.approx(6.0), 2: pytest.approx(11.0)}
     assert b.version == 2  # committed meta, not the orphan's version 0
+
+
+# ---------------------------------------------------------------------------
+# vacuum orphan reclamation (r9, VERDICT r8 ask #3): a crash between
+# vacuum's commit and its deletes must be a TEMPORARY disk leak — the next
+# vacuum re-derives the orphan set from disk and reclaims it.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_vacuum_crash_after_commit_heals_on_next_vacuum(
+    spark, tmp_path
+):
+    path = str(tmp_path / "s")
+    store = Scd2Store(spark, path)
+    store.initialize(
+        spark.createDataFrame([(1, 1.0), (2, 2.0)], "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    store.apply_era(spark.createDataFrame([(1, 10.0)], "k bigint, v double"))
+    store.apply_era(spark.createDataFrame([(2, 20.0)], "k bigint, v double"))
+    store.snapshot(2)
+    # crash between the meta commit and the sweep
+    real_sweep = store._sweep_orphans
+    store._sweep_orphans = lambda: (_ for _ in ()).throw(
+        RuntimeError("simulated crash after commit, before deletes")
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.vacuum()
+    # the commit landed; the orphans are still on disk (the r8 leak)
+    fresh = Scd2Store(spark, path)
+    assert fresh.snaps == [2] and fresh.vacuumed_below == 2
+    assert os.path.isdir(os.path.join(path, "base"))  # retired gen 0
+    assert os.path.isdir(os.path.join(path, "layers/e1"))
+    # every read still answers from meta
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 10.0, 1, OPEN_END, True),
+        (2, 2.0, 0, 2, False),
+        (2, 20.0, 2, OPEN_END, True),
+    ]
+    # the next vacuum reclaims the orphans from the disk scan
+    fresh.vacuum()
+    assert not os.path.isdir(os.path.join(path, "base"))
+    assert not os.path.isdir(os.path.join(path, "layers/e1"))
+    assert not os.path.isdir(os.path.join(path, "layers/e2"))
+    assert os.path.isdir(os.path.join(path, "base_s2"))  # live generation
+    assert _hist_rows(Scd2Store(spark, path).history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 10.0, 1, OPEN_END, True),
+        (2, 2.0, 0, 2, False),
+        (2, 20.0, 2, OPEN_END, True),
+    ]
+    store._sweep_orphans = real_sweep
+
+
+def test_scd2_crashed_snapshot_orphans_swept_by_vacuum(spark, tmp_path):
+    """A snapshot() that dies mid-flight leaves either a ``.stage-*``
+    orphan (died before publish — simulated by crashing the commit) or a
+    final-positioned but UNCOMMITTED ``base_s<era>`` (died between the
+    publish rename and the meta replace — simulated by writing the dir
+    directly). Both are invisible to every reader and the next vacuum
+    reclaims both."""
+    path = str(tmp_path / "s")
+    store = Scd2Store(spark, path)
+    store.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    store.apply_era(spark.createDataFrame([(1, 2.0)], "k bigint, v double"))
+    real_write = store._write_meta
+
+    def crash(meta, *, expect, op="Scd2Store", **kw):
+        raise RuntimeError("simulated crash before snapshot commit")
+
+    store._write_meta = crash
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.snapshot(1)
+    store._write_meta = real_write
+    # the exception path cleaned its own staging; a kill -9 could not —
+    # plant the .stage orphan a killed attempt would leave
+    os.makedirs(os.path.join(path, ".stage-base_s1-99999-0"))
+    # died-between-publish-and-meta-replace: final-positioned orphan
+    spark.createDataFrame([(9, 9.0)], "k bigint, v double").write.parquet(
+        os.path.join(path, "base_s1")
+    )
+    fresh = Scd2Store(spark, path)
+    assert fresh.snaps == [0]  # neither orphan was ever committed
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 2.0, 1, OPEN_END, True),
+    ]
+    fresh.vacuum()
+    assert not os.path.isdir(os.path.join(path, "base_s1"))
+    assert not [d for d in os.listdir(path) if d.startswith(".stage-")]
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 2.0, 1, OPEN_END, True),
+    ]
+
+
+def test_preserve_vacuum_crash_after_commit_heals_on_next_vacuum(
+    spark, tmp_path
+):
+    path = str(tmp_path / "p")
+    store = PreserveStore(spark, path)
+    store.initialize(
+        spark.createDataFrame(
+            [(1, 1, 1.0), (2, 2, 2.0)], "g bigint, s bigint, v double"
+        ),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    store.refresh(
+        spark.createDataFrame(
+            [(1, 10, 5.0, "+")], "g bigint, s bigint, v double, op string"
+        )
+    )
+    store.compact()
+    assert store.meta["retired"] == {"0": 1}
+    real_sweep = store._sweep_orphans
+    store._sweep_orphans = lambda: (_ for _ in ()).throw(
+        RuntimeError("simulated crash after commit, before deletes")
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        store.vacuum()
+    fresh = PreserveStore(spark, path)
+    assert fresh.meta.get("retired", {}) == {}  # the commit landed
+    assert os.path.isdir(os.path.join(path, "base_v0"))  # the r8 leak
+    fresh.vacuum()  # heals: re-derives orphans from disk
+    assert not os.path.isdir(os.path.join(path, "base_v0"))
+    assert not os.path.isdir(os.path.join(path, "layers/b0"))
+    assert os.path.isdir(os.path.join(path, "base_v1"))  # live base
+    got = {r["g"]: r["total"] for r in fresh.current_results().collect()}
+    assert got == {1: pytest.approx(6.0), 2: pytest.approx(2.0)}
+    store._sweep_orphans = real_sweep
+
+
+# ---------------------------------------------------------------------------
+# threaded OCC contention (r9, VERDICT r8 ask #2): measure the contract
+# under real thread interleaving instead of constructing it. The r9 commit
+# runs under a per-store flock on a FRESH fd (excludes sibling threads) and
+# data files stage+rename inside the critical section, so N retrying
+# writers must converge to exactly the serial model.
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_threaded_contention_retry_converges(spark, tmp_path):
+    import threading
+
+    from incr_iter_hadoop_spark.sources import occ
+
+    path = str(tmp_path / "s")
+    Scd2Store(spark, path).initialize(
+        spark.createDataFrame(
+            [(k, -1.0) for k in range(4)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    n_threads, n_ops = 4, 3
+    errors = []
+
+    def worker(t: int) -> None:
+        try:
+            st = Scd2Store(spark, path)  # one instance per writer
+            for i in range(n_ops):
+                df = spark.createDataFrame(
+                    [(t, float(i))], "k bigint, v double"
+                )
+                occ.retrying(
+                    lambda df=df, i=i: st.apply_era(
+                        df, token=f"w{t}-op{i}"
+                    ),
+                    attempts=200,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,))
+        for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    fresh = Scd2Store(spark, path)
+    total = n_threads * n_ops
+    # every op committed exactly once: the era count and the commit
+    # sequence both equal the number of successful commits
+    assert fresh.era == total
+    assert int(fresh.meta["commit_seq"]) == 1 + total
+    # per-key history equals the thread's serial submission order (eras
+    # interleave across threads, but each thread's ops are ordered)
+    hist = fresh.history_as_of()
+    for t in range(n_threads):
+        vals = [
+            r["v"]
+            for r in hist.where(f"k = {t}").orderBy("valid_from").collect()
+        ]
+        assert vals == [-1.0] + [float(i) for i in range(n_ops)], (t, vals)
+    # and no staged directory leaked into a committed layer name
+    eras = {
+        int(d[1:])
+        for d in os.listdir(os.path.join(path, "layers"))
+        if d.startswith("e")
+    }
+    assert eras == set(range(1, total + 1))
+
+
+def test_preserve_threaded_contention_retry_converges(spark, tmp_path):
+    import threading
+
+    from incr_iter_hadoop_spark.sources import occ
+
+    path = str(tmp_path / "p")
+    PreserveStore(spark, path).initialize(
+        spark.createDataFrame(
+            [(g, 0, 0.0) for g in range(3)], "g bigint, s bigint, v double"
+        ),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)"},
+        num_buckets=2,
+    )
+    n_threads, n_ops = 3, 2
+    errors = []
+
+    def worker(t: int) -> None:
+        try:
+            st = PreserveStore(spark, path)
+            for i in range(n_ops):
+                df = spark.createDataFrame(
+                    [(t, 10 + i, float(i + 1), "+")],
+                    "g bigint, s bigint, v double, op string",
+                )
+                occ.retrying(
+                    lambda df=df, i=i: st.refresh(df, token=f"w{t}-op{i}"),
+                    attempts=200,
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,))
+        for t in range(n_threads)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    fresh = PreserveStore(spark, path)
+    total = n_threads * n_ops
+    assert fresh.version == total
+    # initialize commits twice (meta skeleton + schema_ddl)
+    assert int(fresh.meta["commit_seq"]) == 2 + total
+    got = {r["g"]: r["total"] for r in fresh.current_results().collect()}
+    # each group's final total = its thread's serial sum (0 base + 1 + 2)
+    assert got == {g: pytest.approx(3.0) for g in range(n_threads)}
