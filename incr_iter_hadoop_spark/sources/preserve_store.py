@@ -82,11 +82,15 @@ class PreserveStore:
     contribution columns (stored in the metadata so a fresh session can
     re-derive results without Python state).
 
-    CONCURRENCY CONTRACT (r8): single writer, many readers — enforced
-    optimistically at every mutation's atomic meta commit; of two
-    concurrent writers exactly one wins and the loser raises
-    ``ConcurrentWriteError`` with the store unharmed (``sources/occ.py``).
-    Readers never block and never observe partial commits.
+    CONCURRENCY CONTRACT (r8, hardened r9): single writer, many readers —
+    enforced optimistically at every mutation's atomic meta commit
+    (flock-guarded compare + staged-data publish + meta replace,
+    ``occ.commit_meta``); of two concurrent writers exactly one wins and
+    the loser raises ``ConcurrentWriteError`` with the store unharmed —
+    its staged data can never land on a committed version name. Readers
+    never block and never observe partial commits. Token-carrying
+    mutations are safely retried via ``occ.retrying`` (the streaming
+    sinks do this), idempotent under replay.
     """
 
     def __init__(self, spark: SparkSession, path: str):

@@ -70,12 +70,16 @@ class Scd2Store:
     time-traveling. One instance per store path; safe to re-open across
     sessions (meta.json carries the schema and bucketing spec).
 
-    CONCURRENCY CONTRACT (r8): single writer, many readers. The contract
-    is ENFORCED optimistically — every mutation validates at its atomic
-    meta commit that no other writer advanced the store since the
-    mutation began, and the loser raises ``ConcurrentWriteError`` with
-    the store unharmed (see ``sources/occ.py``). Readers never block and
-    never observe partial commits."""
+    CONCURRENCY CONTRACT (r8, hardened r9): single writer, many readers.
+    The contract is ENFORCED optimistically — every mutation validates at
+    its atomic meta commit (flock-guarded compare + staged-data publish +
+    meta replace, ``occ.commit_meta``) that no other writer advanced the
+    store since the mutation began, and the loser raises
+    ``ConcurrentWriteError`` with the store unharmed: its staged data can
+    never land on a committed era name. Readers never block and never
+    observe partial commits. A loser can always re-run against fresh
+    state — wrap token-carrying mutations in ``occ.retrying`` (the
+    streaming sinks do) and the retry is idempotent under replay."""
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark

@@ -800,3 +800,53 @@ def test_preserve_threaded_contention_retry_converges(spark, tmp_path):
     got = {r["g"]: r["total"] for r in fresh.current_results().collect()}
     # each group's final total = its thread's serial sum (0 base + 1 + 2)
     assert got == {g: pytest.approx(3.0) for g in range(n_threads)}
+
+
+def test_occ_retrying_loser_lands_as_next_era(spark, tmp_path):
+    """occ.retrying (r9, VERDICT r8 ask #4): a ConcurrentWriteError loser
+    re-runs against fresh state and lands as the NEXT era after the
+    winner's; the token keeps the retry idempotent."""
+    from incr_iter_hadoop_spark.sources import occ
+
+    path = str(tmp_path / "s")
+    a = Scd2Store(spark, path)
+    a.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+    )
+    b = Scd2Store(spark, path)
+    real_write = b._write_meta
+    state = {"interfered": False}
+
+    def hooked(meta, *, expect, op="Scd2Store", **kw):
+        if not state["interfered"]:
+            state["interfered"] = True
+            # the winner commits while b sits between stage and commit
+            a.apply_era(
+                spark.createDataFrame([(1, 10.0)], "k bigint, v double")
+            )
+        return real_write(meta, expect=expect, op=op, **kw)
+
+    b._write_meta = hooked
+    era = occ.retrying(
+        lambda: b.apply_era(
+            spark.createDataFrame([(1, 99.0)], "k bigint, v double"),
+            token="retry-me",
+        )
+    )
+    assert state["interfered"]
+    assert era == 2  # the loser retried and landed AFTER the winner
+    # a replay with the same token is a no-op returning the committed era
+    assert (
+        b.apply_era(
+            spark.createDataFrame([(1, 77.0)], "k bigint, v double"),
+            token="retry-me",
+        )
+        == 2
+    )
+    fresh = Scd2Store(spark, path)
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 10.0, 1, 2, False),
+        (1, 99.0, 2, OPEN_END, True),
+    ]

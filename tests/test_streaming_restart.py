@@ -811,3 +811,115 @@ def test_streaming_pit_enrich_picks_up_era_between_batches(spark, tmp_path):
     # batch 1 (era 0 visible): both facts matched the open era-0 version;
     # batch 2 (era 1 visible): the era-1 fact now matches the new version
     assert got == {1: 10.0, 2: 10.0, 3: 10.0, 4: 11.0}
+
+
+def test_streaming_pit_enrich_interleaved_with_cdc_maintenance(
+    spark, tmp_path
+):
+    """VERDICT r8 ask #6: a CDC stream maintaining the dimension and a
+    PIT-enrich stream consuming it, draining INTERLEAVED availableNow
+    triggers against the same store through two DIFFERENT Scd2Store
+    instances (the PIT side must re-read committed meta per batch —
+    ADVICE r8 — not serve the era cached at its first batch). Each
+    enriched batch must reflect a committed era (never a torn read), and
+    the union of the batches must equal a serial replay of pit_join at
+    the eras the batches saw."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_pit_enrich,
+        streaming_scd2_cdc,
+    )
+
+    cdc_store = Scd2Store(spark, str(tmp_path / "store"))
+    cdc_store.initialize(
+        spark.createDataFrame(
+            [(1, 10.0), (2, 20.0), (3, 30.0)], "k bigint, v double"
+        ),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    # the enrich side opens the SAME path as its own instance/process
+    pit_store = Scd2Store(spark, str(tmp_path / "store"))
+
+    cdc_feed, fact_feed = tmp_path / "cdc", tmp_path / "facts"
+    cdc_feed.mkdir()
+    fact_feed.mkdir()
+    cdc_schema = "k bigint, v double, cdc_op string"
+    fact_schema = "k bigint, era bigint, fid bigint"
+
+    def write_file(rows, schema, feed, n):
+        staging = str(tmp_path / f"stage_{feed.name}_{n}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            staging
+        )
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(feed / f"batch{n}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    sink = str(tmp_path / "sink")
+    cdc_ckpt, pit_ckpt = str(tmp_path / "cdc_ckpt"), str(tmp_path / "pit_ckpt")
+
+    def drain_cdc():
+        stream = (
+            spark.readStream.schema(cdc_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(cdc_feed))
+        )
+        q = streaming_scd2_cdc(stream, cdc_store, cdc_ckpt)
+        assert q.awaitTermination(60)
+
+    def drain_pit():
+        stream = (
+            spark.readStream.schema(fact_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(fact_feed))
+        )
+        q = streaming_pit_enrich(stream, pit_store, "era", sink, pit_ckpt)
+        assert q.awaitTermination(60)
+
+    # interleave: cdc batch 1 → pit batch 1 → cdc batch 2 → pit batch 2
+    write_file([(1, 11.0, "u")], cdc_schema, cdc_feed, 1)
+    drain_cdc()  # era 1 committed
+    facts1 = [(1, 0, 1), (1, 1, 2), (3, 1, 3)]
+    write_file(facts1, fact_schema, fact_feed, 1)
+    drain_pit()  # enriched at committed era 1
+    write_file(
+        [(2, 22.0, "u"), (3, 0.0, "d")], cdc_schema, cdc_feed, 2
+    )
+    drain_cdc()  # era 2 committed: key 2 updated, key 3 terminated
+    facts2 = [(2, 2, 4), (3, 2, 5), (3, 1, 6)]
+    write_file(facts2, fact_schema, fact_feed, 2)
+    drain_pit()  # enriched at committed era 2 — the OTHER instance's eras
+
+    def batch_rows(b):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                os.path.join(sink, f"batch={b}")
+            ).collect()
+        )
+
+    def serial(rows, as_of):
+        return sorted(
+            tuple(r)
+            for r in cdc_store.pit_join(
+                spark.createDataFrame(rows, fact_schema), "era", as_of=as_of
+            ).collect()
+        )
+
+    # each batch equals the serial pit_join at the era committed before it
+    assert batch_rows(0) == serial(facts1, as_of=1)
+    assert batch_rows(1) == serial(facts2, as_of=2)
+    # spot semantics: fid 5 (key 3 at era 2, post-delete) is dropped; fid 6
+    # (key 3 at era 1, pre-delete) matches the era-0 version; fid 4 sees
+    # the era-2 update
+    by_fid = {
+        r[2]: r[3]
+        for b in (0, 1)
+        for r in batch_rows(b)
+    }
+    assert by_fid == {1: 10.0, 2: 11.0, 3: 30.0, 4: 22.0, 6: 30.0}
