@@ -643,3 +643,255 @@ def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_batches(
         spark, store, [changes1, changes2], streaming_scd2_eras
     )
+
+
+@register(
+    "scd2_store_vacuum_reads",
+    oracle=_SCD2_TWO_ERAS_ORACLE,
+    doc="Scd2Store.vacuum + orphan sweep (round 9 — VERDICT r8 ask #3): "
+    "the standard two-era store, snapshot(1), then vacuum() with crash "
+    "residue planted first (a .stage-* directory a killed mutation would "
+    "leave, plus a final-positioned base_s9 a snapshot dying between its "
+    "publish rename and its meta replace would leave). vacuum must "
+    "reclaim the retired generation-0 base, layer e1, AND both planted "
+    "orphans — the delete phase is a disk scan of everything the "
+    "committed meta does not reference, so a vacuum that died between "
+    "its commit and its deletes heals on the next run instead of "
+    "leaking disk forever — while history_as_of(1) (served from the "
+    "snapshot generation) and history_as_of(2) (generation + layer e2) "
+    "still answer byte-identically to the never-vacuumed store: verbatim "
+    "two-era oracle. The query raises if any orphan survives the sweep, "
+    "so the driver row witnesses the reclamation, not just the reads. "
+    "Crash interleavings are pinned by tests/test_store_adversarial.py.",
+)
+def scd2_store_vacuum_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _customer_scd2_store(spark, sf_dir, "vacuum_reads")
+    store.snapshot(1)
+    # plant the residue a killed mutation / crashed vacuum could leave
+    os.makedirs(
+        os.path.join(store.path, ".stage-layer-0-0"), exist_ok=True
+    )
+    os.makedirs(os.path.join(store.path, "base_s9"), exist_ok=True)
+    store.vacuum()
+    leftovers = [
+        d
+        for d in os.listdir(store.path)
+        if d.startswith(".stage-") or d in ("base_s9", "base")
+    ]
+    if leftovers or os.path.isdir(store._layer_path(1)):
+        raise RuntimeError(
+            f"vacuum sweep left orphans behind: {leftovers}"
+        )
+    return _scd2_store_eras_read(store)
+
+
+@register(
+    "scd2_store_occ_retry",
+    oracle=_SCD2_TWO_ERAS_ORACLE,
+    doc="OCC loser retry lands as the next era (round 9 — VERDICT r8 ask "
+    "#4, driver-gated): two writer handles on one store path; the loser "
+    "stages era-2's changes and, deterministically between its stage and "
+    "its commit, the winner commits era 1 (the standard changes1) — the "
+    "loser's flock-guarded compare fails with ConcurrentWriteError, its "
+    "staged layer never lands on a committed name, and occ.retrying "
+    "re-runs it against fresh state where it commits as era 2. The final "
+    "history must equal the standard two-era store EXACTLY (verbatim "
+    "oracle): winner's changes at era 1, retried loser's at era 2, no "
+    "phantom/clobbered layer. The query raises unless the race actually "
+    "fired. Threaded stochastic interleavings are pinned by "
+    "tests/test_store_adversarial.py.",
+)
+def scd2_store_occ_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import occ
+    from ..sources.scd2_store import Scd2Store
+
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "occ_retry")
+    changes1, changes2 = _customer_era_changes(c)
+    winner = Scd2Store(spark, store.path)
+    real_write = store._write_meta
+    state = {"fired": False, "lost": False}
+
+    def hooked(meta, *, expect, op="Scd2Store", **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            winner.apply_era(changes1)  # the winner commits era 1 first
+        return real_write(meta, expect=expect, op=op, **kw)
+
+    store._write_meta = hooked
+
+    def attempt():
+        try:
+            return store.apply_era(changes2, token="era2")
+        except occ.ConcurrentWriteError:
+            state["lost"] = True
+            raise
+
+    era = occ.retrying(attempt)
+    store._write_meta = real_write
+    if not (state["fired"] and state["lost"] and era == 2):
+        raise RuntimeError(
+            f"deterministic OCC race did not unfold: {state}, era={era}"
+        )
+    return _scd2_store_eras_read(store)
+
+
+# the live variant's oracle: even-key facts enriched while the dimension
+# stood at era 1 (every 7th balance +100), odd-key facts after era 2
+# (every 11th balance +300) landed between the two micro-batches.
+_PIT_LIVE_ORACLE = """
+    WITH history1 AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 999999 END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6), 1, 999999
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    history2 AS (
+      SELECT c_custkey, ROUND(c_acctbal, 6) AS acctbal, 0 AS valid_from,
+             CASE WHEN c_custkey % 7 = 0 THEN 1
+                  WHEN c_custkey % 11 = 0 THEN 2
+                  ELSE 999999 END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 100, 6), 1,
+             CASE WHEN c_custkey % 11 = 0 THEN 2 ELSE 999999 END
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey, ROUND(c_acctbal + 300, 6), 2, 999999
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    fact AS (
+      SELECT o_custkey,
+             CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1997-01-01' THEN 2
+                  WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01' THEN 1
+                  ELSE 0 END AS era,
+             o_custkey % 2 = 1 AS odd
+      FROM orders
+    )
+    SELECT half, era, n_orders, acctbal_total FROM (
+      SELECT 'even' AS half, f.era,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(h.acctbal), 6) AS acctbal_total
+      FROM fact f JOIN history1 h
+        ON h.c_custkey = f.o_custkey
+       AND f.era >= h.valid_from AND f.era < h.valid_to
+      WHERE NOT f.odd GROUP BY f.era
+      UNION ALL
+      SELECT 'odd', f.era, CAST(COUNT(*) AS BIGINT),
+             ROUND(SUM(h.acctbal), 6)
+      FROM fact f JOIN history2 h
+        ON h.c_custkey = f.o_custkey
+       AND f.era >= h.valid_from AND f.era < h.valid_to
+      WHERE f.odd GROUP BY f.era
+    )
+    """
+
+
+@register(
+    "scd2_store_pit_live",
+    oracle=_PIT_LIVE_ORACLE,
+    doc="LIVE point-in-time enrichment under concurrent dimension "
+    "maintenance (round 9 — VERDICT r8 ask #6 under the driver gate): "
+    "the PIT-enrich stream reads the store through its OWN Scd2Store "
+    "instance while a SEPARATE writer instance advances the dimension "
+    "between the two micro-batches (era 2: every 11th balance +300). "
+    "as_of=None must resolve at EACH batch to the latest era committed "
+    "on disk — the enrich side invalidates its cached meta per batch "
+    "(ADVICE r8), so even-key facts (batch 1) join era-1 versions and "
+    "odd-key facts (batch 2) join era-2 versions, never a torn or stale "
+    "read. The union of the per-batch sink partitions must equal the "
+    "serial replay of pit_join at the eras each batch saw — the oracle "
+    "rebuilds both histories independently. Fact eras span 0/1/2 "
+    "(pre-1996 / 1996 / 1997+), so era-2 facts exercise the new version "
+    "while era-0/1 facts still match the history below it.",
+)
+def scd2_store_pit_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..sources.scd2_store import Scd2Store
+    from ..streaming.incremental_stream import streaming_pit_enrich
+
+    store, c, _root = _customer_scd2_base(spark, sf_dir, "pit_live")
+    store.apply_era(
+        c.where(F.col("c_custkey") % 7 == 0).select(
+            "c_custkey", F.round(F.col("c_acctbal") + 100, 6).alias("acctbal")
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    facts = o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.when(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("1997-01-01").cast("date"),
+            2,
+        )
+        .when(
+            F.col("o_orderdate").cast("date")
+            >= F.lit("1996-01-01").cast("date"),
+            1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("era"),
+        "o_totalprice",
+    )
+    # the enrich side opens the SAME path as its own instance — its view
+    # of the committed era must track the writer's commits per batch
+    pit_store = Scd2Store(spark, store.path)
+    root = tempfile.mkdtemp(prefix="scd2_pit_live_")
+    feed = os.path.join(root, "feed")
+    sink = os.path.join(root, "sink")
+    ckpt = os.path.join(root, "checkpoint")
+    os.makedirs(feed)
+
+    def feed_file(df, n):
+        staging = os.path.join(root, f"stage{n}")
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = os.path.join(feed, f"batch{n}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (n, n))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(facts.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_pit_enrich(stream, pit_store, "era", sink, ckpt)
+        try:
+            if not q.awaitTermination(120):
+                raise RuntimeError("live PIT enrichment did not drain")
+        finally:
+            q.stop()
+
+    try:
+        feed_file(facts.where(F.col("c_custkey") % 2 == 0), 1)
+        drain()  # batch 0 enriched while the dimension stands at era 1
+        store.apply_era(  # the WRITER instance advances the dimension
+            c.where(F.col("c_custkey") % 11 == 0).select(
+                "c_custkey",
+                F.round(F.col("c_acctbal") + 300, 6).alias("acctbal"),
+            )
+        )
+        feed_file(facts.where(F.col("c_custkey") % 2 == 1), 2)
+        drain()  # batch 1 must see era 2 through the OTHER instance
+        halves = []
+        for b, half in ((0, "even"), (1, "odd")):
+            halves.append(
+                spark.read.parquet(os.path.join(sink, f"batch={b}"))
+                .groupBy("era")
+                .agg(
+                    F.count(F.lit(1)).alias("n_orders"),
+                    F.round(F.sum("acctbal"), 6).alias("acctbal_total"),
+                )
+                .select(F.lit(half).alias("half"), "era", "n_orders",
+                        "acctbal_total")
+            )
+        out = halves[0].unionByName(halves[1]).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -159,23 +159,44 @@ def _load_all() -> None:
 # scd2_store_cdc_full_ops drives the same store + sink code end-to-end
 # inside the window.
 
-WINDOW_ROUND = 8
+# ROTATION (round 9): re-witness the OCC/staged-commit store surface
+# (VERDICT r8 ask #1) plus everything round 9 touched. Priority: the
+# seven r7-witnessed scd2_store_* queries whose every mutation now flows
+# through the r9 commit protocol (flock-guarded compare + staged-data
+# publish, sources/occ.py) — scd2_store_two_eras, _snapshot_reads,
+# _pit_join, _streamed_eras, _schema_evolution, _deletes, _cdc_streamed —
+# plus the four r8-witnessed queries whose code paths changed again in r9
+# (scd2_store_cdc_full_ops: CDC sink retry wrapper + loud legacy-token
+# guard; scd2_store_pit_streamed: per-batch meta invalidation;
+# agg_approx_distinct_bounded: NULL-safe population, oracle text changed;
+# incr_refresh_orders_disk: PreserveStore staged refresh/compact) and the
+# three NEW r9 queries (scd2_store_vacuum_reads — vacuum orphan sweep;
+# scd2_store_occ_retry — the deterministic loser-retries race under the
+# driver gate; scd2_store_pit_live — PIT enrichment under concurrent
+# dimension maintenance through a second store instance). The remaining
+# 36 slots fill oldest-first from the 49-query r5 cohort; 13 r5 names
+# remain for the r10 window (191 queries / 50 slots — a full cycle takes
+# four rounds), after which the witness floor advances to r6.
+
+WINDOW_ROUND = 9
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "agg_approx_distinct_bounded",
+    "scd2_store_two_eras",
+    "scd2_store_snapshot_reads",
+    "scd2_store_pit_join",
+    "scd2_store_streamed_eras",
+    "scd2_store_schema_evolution",
+    "scd2_store_deletes",
+    "scd2_store_cdc_streamed",
     "scd2_store_cdc_full_ops",
     "scd2_store_pit_streamed",
-    "multimodal_jpeg_decode",
-    "media_dedup_phash",
-    "media_dedup_exact",
-    "incr_media_dedup_phash",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_video_frames",
-    "scan_webdataset_shards",
-    "pipeline_build_multimodal_set",
+    "agg_approx_distinct_bounded",
+    "incr_refresh_orders_disk",
+    "scd2_store_vacuum_reads",
+    "scd2_store_occ_retry",
+    "scd2_store_pit_live",
 ]
 
 
@@ -222,57 +243,58 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-8 priority: new queries + jpeg-codec-rewrite re-witnesses
-    "agg_approx_distinct_bounded",
+    # round-9 priority: OCC/staged-commit re-witnesses + r9-touched
+    # + the three new r9 queries; fill = oldest (r5) cohort
+    "scd2_store_two_eras",
+    "scd2_store_snapshot_reads",
+    "scd2_store_pit_join",
+    "scd2_store_streamed_eras",
+    "scd2_store_schema_evolution",
+    "scd2_store_deletes",
+    "scd2_store_cdc_streamed",
     "scd2_store_cdc_full_ops",
     "scd2_store_pit_streamed",
-    "multimodal_jpeg_decode",
-    "media_dedup_phash",
-    "media_dedup_exact",
-    "incr_media_dedup_phash",
-    "multimodal_resize",
-    "multimodal_frames",
-    "multimodal_video_frames",
-    "scan_webdataset_shards",
-    "pipeline_build_multimodal_set",
-    "events_tumbling",
-    "events_tumbling_streamed",
-    "gen_graph_degrees",
-    "grep_regex",
-    "incr_dedup_minhash_pairs",
-    "incr_pagerank_delta5",
-    "incr_pagerank_pruned4",
-    "incr_refresh_orders_linear",
-    "incr_sssp_delete3",
-    "join_broadcast_chain",
-    "join_inner",
-    "join_nonequi_range",
-    "join_semi",
-    "join_skew_salted",
-    "kmeans_bounded2",
-    "loop_iteration_counters",
-    "pagerank_bounded5",
-    "pipe_external_transform",
-    "pipeline_clean_corpus",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "sample_documents_10pct",
-    "scalar_battery",
-    "scan_pruned_filter",
-    "scan_text_kv_roundtrip",
-    "setop_except",
-    "sort_validate",
-    "spmv_bounded2",
-    "sssp_bounded4",
-    "sssp_converged",
-    "streaming_refresh_orders",
-    "text_chunk_windows",
-    "text_quality",
-    "text_token_stats",
-    "topk_customers",
-    "udf_grouped_agg",
-    "udtf_explode_bigrams",
-    "window_battery",
+    "agg_approx_distinct_bounded",
+    "incr_refresh_orders_disk",
+    "scd2_store_vacuum_reads",
+    "scd2_store_occ_retry",
+    "scd2_store_pit_live",
+    "ann_ivf_topk",
+    "bm25_scores",
+    "dedup_cc_star",
+    "dedup_substring_spans",
+    "er_fuzzy_name_pairs",
+    "events_session_streamed",
+    "graph_triangle_count",
+    "incr_dedup_clusters",
+    "incr_dedup_minhash_delete",
+    "incr_dedup_substring",
+    "incr_kmeans_delta2",
+    "incr_spmv_delta1",
+    "iteration_snapshot_roundtrip",
+    "join_asof",
+    "join_null_safe",
+    "kmeans_converged",
+    "multimodal_png_decode",
+    "multimodal_png_resize",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    "pagerank_converged",
+    "pipeline_build_training_set",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_excess_shippers",
+    "q22_sales_opportunity",
+    "q2_min_acctbal_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
 ]
 
 
