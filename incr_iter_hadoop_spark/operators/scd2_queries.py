@@ -667,10 +667,13 @@ def scd2_store_streamed_eras(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scd2_store_vacuum_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _customer_scd2_store(spark, sf_dir, "vacuum_reads")
     store.snapshot(1)
-    # plant the residue a killed mutation / crashed vacuum could leave
-    os.makedirs(
-        os.path.join(store.path, ".stage-layer-0-0"), exist_ok=True
-    )
+    # plant the residue a killed mutation / crashed vacuum could leave:
+    # the .stage orphan aged past occ.STAGE_RETENTION_SEC (young .stage
+    # dirs may be an in-flight mutation's live staging — the sweep keeps
+    # them), the final-positioned dir unconditionally unreferenced
+    planted = os.path.join(store.path, ".stage-layer-0-0")
+    os.makedirs(planted, exist_ok=True)
+    os.utime(planted, (1, 1))
     os.makedirs(os.path.join(store.path, "base_s9"), exist_ok=True)
     store.vacuum()
     leftovers = [

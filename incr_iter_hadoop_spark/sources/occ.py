@@ -43,6 +43,8 @@ store commits in it.
 
 from __future__ import annotations
 
+import contextlib
+import glob
 import itertools
 import json
 import os
@@ -57,6 +59,35 @@ except ImportError:  # non-POSIX: fall back to compare-then-replace
 # process-unique suffix counter for tmp names (pid alone is not enough:
 # two THREADS of one process share the pid)
 _TMP_COUNTER = itertools.count()
+
+# .stage-* directories younger than this are assumed to belong to an
+# IN-FLIGHT mutation and are never reclaimed by the stores' orphan sweep
+# (the standard lakehouse vacuum-retention discipline): under the
+# retrying multi-writer pattern a vacuum can run while another writer is
+# mid-stage, and deleting its live staging would kill a commit that was
+# about to succeed. Crashed attempts age past the window and get swept.
+STAGE_RETENTION_SEC = 3600
+
+
+@contextlib.contextmanager
+def store_lock(store_dir: str):
+    """The store's commit lock (fresh fd per acquisition — see
+    ``commit_meta``). ``commit_meta`` takes it for every commit; the
+    orphan sweeps take it so they read a meta no commit can be moving
+    under them. No-op where ``flock`` is unavailable."""
+    os.makedirs(store_dir, exist_ok=True)
+    if not _HAVE_FLOCK:
+        yield
+        return
+    fd = os.open(
+        os.path.join(store_dir, ".meta.lock"), os.O_CREAT | os.O_RDWR
+    )
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -108,17 +139,9 @@ def commit_meta(
     "stage under unique keys, conditional-put the manifest" — Delta/
     Iceberg's actual commit discipline."""
     store_dir = os.path.dirname(meta_path)
-    os.makedirs(store_dir, exist_ok=True)
-    lock_fd = None
-    if _HAVE_FLOCK:
-        # fresh fd per commit: flock is per-open-file-description, so
-        # this excludes sibling threads as well as other processes
-        lock_fd = os.open(
-            os.path.join(store_dir, ".meta.lock"),
-            os.O_CREAT | os.O_RDWR,
-        )
-        fcntl.flock(lock_fd, fcntl.LOCK_EX)
-    try:
+    # fresh fd per commit (inside store_lock): flock is per-open-file-
+    # description, so this excludes sibling threads as well as processes
+    with store_lock(store_dir):
         disk = disk_seq(meta_path)
         if disk != expect:
             raise ConcurrentWriteError(
@@ -131,6 +154,14 @@ def commit_meta(
         if publish is not None:
             publish()
         meta["commit_seq"] = (expect or 0) + 1
+        # stale tmps from commits that died between dump and replace can
+        # only exist from DEAD writers — live ones would hold this lock —
+        # so reclaim them here rather than leaking one file per crash
+        for stale in glob.glob(f"{meta_path}.tmp.*"):
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
         # unique per-writer tmp: a loser that raced past a (missing/
         # unhonored) lock can clobber only its OWN tmp, never the bytes
         # the winner is about to publish
@@ -141,10 +172,43 @@ def commit_meta(
             json.dump(meta, f, indent=1)
         os.replace(tmp, meta_path)
         return int(meta["commit_seq"])
+
+
+def stage_is_young(path: str) -> bool:
+    """True if a ``.stage-*`` directory is inside the retention window —
+    possibly the live staging of an in-flight mutation; sweeps must keep
+    it. Uses the directory mtime (refreshed by the writes landing in it);
+    a missing path counts as not-young."""
+    import time
+
+    try:
+        return (time.time() - os.path.getmtime(path)) < STAGE_RETENTION_SEC
+    except OSError:
+        return False
+
+
+def stage_bucketed(
+    spark, df, n: int, keys: list[str], staging: str, stage_tbl: str
+) -> str:
+    """Shared staged BUCKETED write (both stores' generation/base writes):
+    ``bucketBy`` requires ``saveAsTable``, so the write goes through a
+    throwaway catalog name pointed at the staging path and the entry is
+    dropped immediately — the final location is lazily re-registered
+    from committed meta by the store's ``_base`` after the commit renames
+    the directory into place."""
+    try:
+        (
+            df.repartition(n, *keys)
+            .write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(n, *keys)
+            .sortBy(*keys)
+            .option("path", staging)
+            .saveAsTable(stage_tbl)
+        )
     finally:
-        if lock_fd is not None:
-            fcntl.flock(lock_fd, fcntl.LOCK_UN)
-            os.close(lock_fd)
+        spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
+    return staging
 
 
 def stage_name(tag: str) -> str:
@@ -172,7 +236,7 @@ def publish_dir(staging: str, final: str) -> None:
     os.replace(staging, final)
 
 
-def retrying(fn, *, attempts: int = 3):
+def retrying(fn, *, attempts: int = 3, backoff_sec: float = 0.0):
     """Run ``fn()`` and, on ``ConcurrentWriteError``, re-run it against
     fresh state up to ``attempts`` total tries (the store mutations call
     ``_occ_begin`` themselves, so a plain re-invocation re-reads the
@@ -181,9 +245,19 @@ def retrying(fn, *, attempts: int = 3):
     losing attempt actually committed before the error surfaced (it
     cannot, but a caller-level crash-retry might), the token dedupe
     returns the committed version instead of double-applying. The last
-    failure propagates."""
+    failure propagates.
+
+    ``backoff_sec`` sleeps ``attempt_index * backoff_sec`` between tries
+    (deterministic linear backoff): under sustained contention an
+    immediate re-stage tends to re-collide with the same fast writer, so
+    callers that must not die on transient contention (the streaming
+    sinks) pass a small backoff and a generous attempt budget."""
+    import time
+
     last: ConcurrentWriteError | None = None
-    for _ in range(max(1, attempts)):
+    for i in range(max(1, attempts)):
+        if i and backoff_sec:
+            time.sleep(i * backoff_sec)
         try:
             return fn()
         except ConcurrentWriteError as e:

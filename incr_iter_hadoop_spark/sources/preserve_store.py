@@ -48,6 +48,7 @@ import json
 import os
 import re
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +99,19 @@ class PreserveStore:
         self.path = os.path.abspath(path)
         self._meta: dict | None = None
 
+    # SQL confs are SESSION-global, so two same-session store operations
+    # scoping confs concurrently would corrupt each other's view and could
+    # leak a restored-out-of-order value into the session (each thread
+    # saves the other's in-flight value as its "prior"). Store operations
+    # that scope confs serialize on this per-process lock — they mutate
+    # one store and would mostly lose the OCC race to each other anyway;
+    # cross-process writers have their own sessions and are unaffected.
+    _CONF_LOCK = threading.RLock()
+
+    @classmethod
+    def _conf_lock(cls):
+        return cls._CONF_LOCK
+
     @contextlib.contextmanager
     def _scoped_confs(self, confs: dict[str, str]):
         """Set session SQL confs for the duration of a store operation and
@@ -105,22 +119,27 @@ class PreserveStore:
         changing settings into unrelated queries sharing the session. Only
         operations that *execute* their scans inside the scope (refresh,
         compact — their layer/base writes are the actions) can use this;
-        lazily-returned DataFrames plan at the caller's action time."""
-        prior: dict[str, str | None] = {}
-        for k, v in confs.items():
+        lazily-returned DataFrames plan at the caller's action time.
+        Serialized per process (``_conf_lock``): concurrent same-session
+        scopes would save each other's in-flight values as their "prior"
+        and restore them out of order, leaking a mutated conf into the
+        session (r9 review)."""
+        with self._conf_lock():
+            prior: dict[str, str | None] = {}
+            for k, v in confs.items():
+                try:
+                    prior[k] = self.spark.conf.get(k)
+                except Exception:
+                    prior[k] = None
+                self.spark.conf.set(k, v)
             try:
-                prior[k] = self.spark.conf.get(k)
-            except Exception:
-                prior[k] = None
-            self.spark.conf.set(k, v)
-        try:
-            yield
-        finally:
-            for k, old in prior.items():
-                if old is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, old)
+                yield
+            finally:
+                for k, old in prior.items():
+                    if old is None:
+                        self.spark.conf.unset(k)
+                    else:
+                        self.spark.conf.set(k, old)
 
     # Spark's planner silently falls back to a plain file scan when it judges
     # bucketing "not useful" — which also drops BUCKET PRUNING, the store's
@@ -164,8 +183,7 @@ class PreserveStore:
         """Atomic commit point with the OCC compare step (round 8): of two
         concurrent writers exactly one wins; the loser raises
         ``ConcurrentWriteError`` instead of silently clobbering the
-        winner's version bump. Returns the new commit sequence so
-        multi-commit operations (``initialize``) can thread it. The whole
+        winner's version bump. Returns the new commit sequence. The whole
         compare+stamp+replace runs under the store's ``flock`` with a
         unique per-writer tmp file (``occ.commit_meta``, r9); ``publish``
         renames this mutation's STAGED data directories onto their final
@@ -207,20 +225,6 @@ class PreserveStore:
         era = int(self.meta["base_version"]) if era is None else era
         return os.path.join(self.path, f"base_v{era}", which)
 
-    def _write_base(self, which: str, df: DataFrame) -> None:
-        m = self.meta
-        keys = m["group_keys"]
-        n = int(m["num_buckets"])
-        (
-            df.repartition(n, *keys)  # one file per bucket, not one per task
-            .write.format("parquet")
-            .mode("overwrite")
-            .bucketBy(n, *keys)
-            .sortBy(*keys)
-            .option("path", self._base_path(which))
-            .saveAsTable(self._table_name(which))
-        )
-
     def _base(self, which: str, era: int | None = None) -> DataFrame:
         """Base table as a *bucketed* scan, re-registering the external table
         DDL when this session has never seen it (cross-session reload — the
@@ -249,8 +253,22 @@ class PreserveStore:
         num_buckets: int = 16,
     ) -> "PreserveStore":
         """I6 preserve run: materialize contributions and their aggregated
-        results as the version-0 base. One full shuffle — paid exactly once."""
+        results as the version-0 base. One full shuffle — paid exactly
+        once.
+
+        Same staged single-commit discipline as every other mutation
+        (r9 — pre-r9 this committed meta FIRST and wrote the bases
+        unstaged afterwards, so a crash between them left a committed
+        store whose lazy table registration would silently serve an
+        empty base): both bases write into one unique staging directory
+        and the rename onto ``base_v0`` happens inside the meta commit's
+        critical section. A crash mid-write leaves ``exists() == False``
+        with only a ``.stage-*`` orphan; a concurrent initialize loser
+        cannot clobber the winner's published base."""
         v0 = self._occ_begin()
+        results = contribs.groupBy(*group_keys).agg(
+            *[F.expr(sql).alias(name) for name, sql in agg_sql.items()]
+        )
         meta = {
             "group_keys": list(group_keys),
             "source_keys": list(source_keys),
@@ -258,22 +276,38 @@ class PreserveStore:
             "num_buckets": num_buckets,
             "version": 0,
             "base_version": 0,
-            "schema_ddl": {},
+            "schema_ddl": {
+                "contribs": _schema_ddl(contribs),
+                "results": _schema_ddl(results),
+            },
             # era -> layer count of RETIRED (compacted-away) eras still on
             # disk; readers pinned to an old era keep working until vacuum()
             "retired": {},
         }
-        v0 = self._write_meta(meta, expect=v0, op="PreserveStore.initialize")
-        results = contribs.groupBy(*group_keys).agg(
-            *[F.expr(sql).alias(name) for name, sql in agg_sql.items()]
-        )
-        meta["schema_ddl"] = {
-            "contribs": _schema_ddl(contribs),
-            "results": _schema_ddl(results),
-        }
-        self._write_meta(meta, expect=v0, op="PreserveStore.initialize")
-        self._write_base("contribs", contribs)
-        self._write_base("results", results)
+        stage_root = os.path.join(self.path, occ.stage_name("base_v0"))
+        self._meta = meta  # _stage_base/_table_name read this meta
+        try:
+            self._stage_base("contribs", contribs, stage_root)
+            self._stage_base("results", results, stage_root)
+            # stale catalog entries from a previous store at this path
+            # must not survive the publish (they may carry the wrong
+            # schema/bucketing); reads re-register from committed meta
+            for which in ("contribs", "results"):
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._table_name(which)}"
+                )
+            self._write_meta(
+                meta,
+                expect=v0,
+                op="PreserveStore.initialize",
+                publish=lambda: occ.publish_dir(
+                    stage_root, os.path.join(self.path, "base_v0")
+                ),
+            )
+        except BaseException:
+            self._meta = None
+            shutil.rmtree(stage_root, ignore_errors=True)
+            raise
         return self
 
     # -- layered reads -----------------------------------------------------
@@ -678,26 +712,19 @@ class PreserveStore:
         immediately — the final location is lazily re-registered from
         meta by ``_base`` after the commit renames it into place)."""
         m = self.meta
-        keys = m["group_keys"]
-        n = int(m["num_buckets"])
         staging = os.path.join(stage_root, which)
         stage_tbl = (
             f"{self._table_name(which)}_stg"
             f"{hashlib.md5(staging.encode()).hexdigest()[:8]}"
         )
-        try:
-            (
-                df.repartition(n, *keys)
-                .write.format("parquet")
-                .mode("overwrite")
-                .bucketBy(n, *keys)
-                .sortBy(*keys)
-                .option("path", staging)
-                .saveAsTable(stage_tbl)
-            )
-        finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        return staging
+        return occ.stage_bucketed(
+            self.spark,
+            df,
+            int(m["num_buckets"]),
+            m["group_keys"],
+            staging,
+            stage_tbl,
+        )
 
     def vacuum(self) -> None:
         """Delete every retired era's base + layers and drop their catalog
@@ -727,19 +754,26 @@ class PreserveStore:
         era. Covers both the crashed-vacuum residue (retired cleared in
         meta, directories still on disk) and a crashed ``compact()``'s
         half-written next base (a retry rewrites it). Orphans are
-        invisible to readers — deleting them needs no commit. Also
-        reclaims ``.stage-*`` directories left by crashed mutation
-        attempts (r9 staged writes) — under the single-writer contract no
-        other mutation of this store is in flight during a vacuum."""
-        keep = {int(self.meta["base_version"])} | {
-            int(e) for e in self.meta.get("retired", {})
-        }
-        if os.path.isdir(self.path):
+        invisible to readers — deleting them needs no commit.
+
+        Runs UNDER the store's commit lock with a fresh meta read (a
+        concurrent commit's just-published directories can never be
+        mistaken for orphans); ``.stage-*`` directories are reclaimed
+        only past ``occ.STAGE_RETENTION_SEC`` — inside the window they
+        may be an in-flight mutation's live staging."""
+
+        def _sweep_stage(p: str) -> None:
+            if not occ.stage_is_young(p):
+                shutil.rmtree(p, ignore_errors=True)
+
+        with occ.store_lock(self.path):
+            self._meta = None  # the committed meta as of THIS lock hold
+            keep = {int(self.meta["base_version"])} | {
+                int(e) for e in self.meta.get("retired", {})
+            }
             for d in os.listdir(self.path):
                 if d.startswith(".stage-"):
-                    shutil.rmtree(
-                        os.path.join(self.path, d), ignore_errors=True
-                    )
+                    _sweep_stage(os.path.join(self.path, d))
                     continue
                 m = re.fullmatch(r"base_v(\d+)", d)
                 if not m or int(m.group(1)) in keep:
@@ -753,24 +787,19 @@ class PreserveStore:
                 shutil.rmtree(
                     os.path.join(self.path, d), ignore_errors=True
                 )
-        lroot = os.path.join(self.path, "layers")
-        if os.path.isdir(lroot):
-            for d in os.listdir(lroot):
-                m = re.fullmatch(r"b(\d+)", d)
-                if d.startswith(".stage-"):
-                    shutil.rmtree(
-                        os.path.join(lroot, d), ignore_errors=True
-                    )
-                elif m and int(m.group(1)) not in keep:
-                    shutil.rmtree(
-                        os.path.join(lroot, d), ignore_errors=True
-                    )
-                elif m:
-                    # refresh staging lives INSIDE the live era's dir
-                    bdir = os.path.join(lroot, d)
-                    for sub in os.listdir(bdir):
-                        if sub.startswith(".stage-"):
-                            shutil.rmtree(
-                                os.path.join(bdir, sub),
-                                ignore_errors=True,
-                            )
+            lroot = os.path.join(self.path, "layers")
+            if os.path.isdir(lroot):
+                for d in os.listdir(lroot):
+                    m = re.fullmatch(r"b(\d+)", d)
+                    if d.startswith(".stage-"):
+                        _sweep_stage(os.path.join(lroot, d))
+                    elif m and int(m.group(1)) not in keep:
+                        shutil.rmtree(
+                            os.path.join(lroot, d), ignore_errors=True
+                        )
+                    elif m:
+                        # refresh staging lives INSIDE the live era's dir
+                        bdir = os.path.join(lroot, d)
+                        for sub in os.listdir(bdir):
+                            if sub.startswith(".stage-"):
+                                _sweep_stage(os.path.join(bdir, sub))

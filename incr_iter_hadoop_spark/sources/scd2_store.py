@@ -346,19 +346,9 @@ class Scd2Store:
             f"{self._table_name()}_stg"
             f"{hashlib.md5(staging.encode()).hexdigest()[:8]}"
         )
-        try:
-            (
-                df.repartition(n, *keys)
-                .write.format("parquet")
-                .mode("overwrite")
-                .bucketBy(n, *keys)
-                .sortBy(*keys)
-                .option("path", staging)
-                .saveAsTable(stage_tbl)
-            )
-        finally:
-            self.spark.sql(f"DROP TABLE IF EXISTS {stage_tbl}")
-        return staging
+        return occ.stage_bucketed(
+            self.spark, df, n, keys, staging, stage_tbl
+        )
 
     def _stage_layer(
         self, changes: DataFrame, cols: list[str] | None = None
@@ -744,17 +734,23 @@ class Scd2Store:
         directories at or below ``vacuumed_below``. Orphans are invisible
         to every reader — readers only follow meta — so deleting them
         needs no commit and cannot race a reader onto missing files.
-        Also reclaims ``.stage-*`` directories left by crashed mutation
-        attempts (r9 staged writes) — under the single-writer contract no
-        other mutation of this store is in flight during a vacuum."""
-        snaps = set(self.snaps)
-        vb = self.vacuumed_below
-        if os.path.isdir(self.path):
+
+        Runs UNDER the store's commit lock with a fresh meta read, so a
+        commit landing concurrently (e.g. a retrying writer between this
+        vacuum's own commit and its sweep) can never have its
+        just-published directories mistaken for orphans. ``.stage-*``
+        directories are reclaimed only past ``occ.STAGE_RETENTION_SEC`` —
+        inside the window they may be the LIVE staging of an in-flight
+        mutation whose commit is about to rename them into place."""
+        with occ.store_lock(self.path):
+            self._meta = None  # the committed meta as of THIS lock hold
+            snaps = set(self.snaps)
+            vb = self.vacuumed_below
             for d in os.listdir(self.path):
+                p = os.path.join(self.path, d)
                 if d.startswith(".stage-"):
-                    shutil.rmtree(
-                        os.path.join(self.path, d), ignore_errors=True
-                    )
+                    if not occ.stage_is_young(p):
+                        shutil.rmtree(p, ignore_errors=True)
                     continue
                 m = re.fullmatch(r"base_s(\d+)", d)
                 g = int(m.group(1)) if m else (0 if d == "base" else None)
@@ -763,18 +759,17 @@ class Scd2Store:
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_name(g)}"
                 )
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
-        lroot = os.path.join(self.path, "layers")
-        if os.path.isdir(lroot):
-            for d in os.listdir(lroot):
-                m = re.fullmatch(r"e(\d+)", d)
-                if (
-                    d.startswith(".stage-")
-                    or (m and int(m.group(1)) <= vb)
-                ):
-                    shutil.rmtree(
-                        os.path.join(lroot, d), ignore_errors=True
-                    )
+                shutil.rmtree(p, ignore_errors=True)
+            lroot = os.path.join(self.path, "layers")
+            if os.path.isdir(lroot):
+                for d in os.listdir(lroot):
+                    p = os.path.join(lroot, d)
+                    m = re.fullmatch(r"e(\d+)", d)
+                    if d.startswith(".stage-"):
+                        if not occ.stage_is_young(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                    elif m and int(m.group(1)) <= vb:
+                        shutil.rmtree(p, ignore_errors=True)
 
     # -- point-in-time join ------------------------------------------------
 

@@ -243,10 +243,15 @@ def streaming_scd2_eras(
             store, batch_id, legacy_token_compat=legacy_token_compat
         ):
             return  # committed by a pre-r8 stream under the legacy token
+        # generous attempt budget + linear backoff: the sink must not die
+        # on transient contention with a manual backfill — an immediate
+        # re-stage tends to re-collide with a fast writer (r9 review)
         occ.retrying(
             lambda: store.apply_era(
                 batch_df, token=_stream_token(checkpoint_dir, batch_id)
-            )
+            ),
+            attempts=20,
+            backoff_sec=0.2,
         )
 
     return (
@@ -323,7 +328,9 @@ def streaming_scd2_cdc(
                 ups,
                 deletes=dels,
                 token=_stream_token(checkpoint_dir, batch_id),
-            )
+            ),
+            attempts=20,
+            backoff_sec=0.2,
         )
 
     return (

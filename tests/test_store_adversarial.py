@@ -614,8 +614,12 @@ def test_scd2_crashed_snapshot_orphans_swept_by_vacuum(spark, tmp_path):
         store.snapshot(1)
     store._write_meta = real_write
     # the exception path cleaned its own staging; a kill -9 could not —
-    # plant the .stage orphan a killed attempt would leave
-    os.makedirs(os.path.join(path, ".stage-base_s1-99999-0"))
+    # plant the .stage orphan a killed attempt would leave, AGED past the
+    # retention window (young .stage dirs may be live staging and are
+    # deliberately kept by the sweep)
+    planted = os.path.join(path, ".stage-base_s1-99999-0")
+    os.makedirs(planted)
+    os.utime(planted, (1, 1))
     # died-between-publish-and-meta-replace: final-positioned orphan
     spark.createDataFrame([(9, 9.0)], "k bigint, v double").write.parquet(
         os.path.join(path, "base_s1")
@@ -795,8 +799,8 @@ def test_preserve_threaded_contention_retry_converges(spark, tmp_path):
     fresh = PreserveStore(spark, path)
     total = n_threads * n_ops
     assert fresh.version == total
-    # initialize commits twice (meta skeleton + schema_ddl)
-    assert int(fresh.meta["commit_seq"]) == 2 + total
+    # initialize is one staged commit (r9), then one commit per refresh
+    assert int(fresh.meta["commit_seq"]) == 1 + total
     got = {r["g"]: r["total"] for r in fresh.current_results().collect()}
     # each group's final total = its thread's serial sum (0 base + 1 + 2)
     assert got == {g: pytest.approx(3.0) for g in range(n_threads)}
@@ -849,4 +853,57 @@ def test_occ_retrying_loser_lands_as_next_era(spark, tmp_path):
         (1, 1.0, 0, 1, False),
         (1, 10.0, 1, 2, False),
         (1, 99.0, 2, OPEN_END, True),
+    ]
+
+
+def test_scd2_sweep_respects_concurrent_commit_and_young_staging(
+    spark, tmp_path
+):
+    """r9 review fixes: (1) the sweep runs under the store lock on a FRESH
+    meta read, so a generation committed by another writer between
+    vacuum's commit and its sweep is never mistaken for an orphan;
+    (2) .stage-* directories inside the retention window (possibly an
+    in-flight mutation's live staging) are kept, aged ones reclaimed."""
+    path = str(tmp_path / "s")
+    a = Scd2Store(spark, path)
+    a.initialize(
+        spark.createDataFrame([(1, 1.0)], "k bigint, v double"),
+        key_cols=["k"],
+        num_buckets=2,
+    )
+    a.apply_era(spark.createDataFrame([(1, 2.0)], "k bigint, v double"))
+    a.snapshot(1)
+
+    young = os.path.join(path, ".stage-layer-7777-0")
+    aged = os.path.join(path, ".stage-layer-8888-0")
+    os.makedirs(young)
+    os.makedirs(aged)
+    os.utime(aged, (1, 1))
+
+    real_sweep = a._sweep_orphans
+
+    def interfering_sweep():
+        # another writer commits era 2 + generation 2 between vacuum's
+        # commit and its sweep
+        b = Scd2Store(spark, path)
+        b.apply_era(
+            spark.createDataFrame([(1, 3.0)], "k bigint, v double")
+        )
+        b.snapshot(2)
+        real_sweep()
+
+    a._sweep_orphans = interfering_sweep
+    a.vacuum()
+    a._sweep_orphans = real_sweep
+
+    # the concurrent writer's committed generation survived the sweep
+    assert os.path.isdir(os.path.join(path, "base_s2"))
+    assert os.path.isdir(young)  # possibly-live staging kept
+    assert not os.path.isdir(aged)  # crashed-attempt residue reclaimed
+    fresh = Scd2Store(spark, path)
+    assert fresh.snaps == [1, 2] and fresh.era == 2
+    assert _hist_rows(fresh.history_as_of()) == [
+        (1, 1.0, 0, 1, False),
+        (1, 2.0, 1, 2, False),
+        (1, 3.0, 2, OPEN_END, True),
     ]
