@@ -206,6 +206,7 @@ def streaming_scd2_eras(
     checkpoint_dir: str,
     *,
     legacy_token_compat: bool = False,
+    snapshot_every: int | None = None,
 ) -> StreamingQuery:
     """Maintain an on-disk ``Scd2Store`` from a stream of dimension-change
     batches: each micro-batch commits as ONE era (round 7 — the streaming
@@ -232,6 +233,13 @@ def streaming_scd2_eras(
     ``occ.retrying`` — safe because the token makes a replayed commit a
     no-op (r9, VERDICT ask #4).
 
+    ``snapshot_every`` (r9): the store's LSM-style generation cadence,
+    threaded through to ``apply_era`` — an UNBOUNDED change stream is
+    exactly the caller that must not let read depth grow with total era
+    count, so every N layers past the newest generation fold into a new
+    bucketed base automatically (older eras stay readable until
+    ``vacuum()``).
+
     Pair the source with ``maxFilesPerTrigger=1`` so each arriving change
     file becomes its own era; batches must respect ``apply_era``'s
     one-row-per-key contract (enforced there, not here)."""
@@ -248,7 +256,9 @@ def streaming_scd2_eras(
         # re-stage tends to re-collide with a fast writer (r9 review)
         occ.retrying(
             lambda: store.apply_era(
-                batch_df, token=_stream_token(checkpoint_dir, batch_id)
+                batch_df,
+                token=_stream_token(checkpoint_dir, batch_id),
+                snapshot_every=snapshot_every,
             ),
             attempts=20,
             backoff_sec=0.2,
@@ -270,6 +280,7 @@ def streaming_scd2_cdc(
     op_col: str = "cdc_op",
     *,
     legacy_token_compat: bool = False,
+    snapshot_every: int | None = None,
 ) -> StreamingQuery:
     """Maintain an ``Scd2Store`` from a CDC stream (round 7): each row
     carries a Debezium/DMS-style op marker and each micro-batch commits as
@@ -328,6 +339,7 @@ def streaming_scd2_cdc(
                 ups,
                 deletes=dels,
                 token=_stream_token(checkpoint_dir, batch_id),
+                snapshot_every=snapshot_every,
             ),
             attempts=20,
             backoff_sec=0.2,

@@ -923,3 +923,56 @@ def test_streaming_pit_enrich_interleaved_with_cdc_maintenance(
         for r in batch_rows(b)
     }
     assert by_fid == {1: 10.0, 2: 11.0, 3: 30.0, 4: 22.0, 6: 30.0}
+
+
+def test_streaming_eras_snapshot_cadence(spark, tmp_path):
+    """snapshot_every threaded through the streaming sink (r9): an
+    unbounded change stream is exactly the caller that must bound read
+    depth — four micro-batch eras at snapshot_every=2 must fold two
+    generations automatically, and every era must still read back
+    identically to an unfolded store."""
+    import glob as g
+    import os
+
+    from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+    from incr_iter_hadoop_spark.streaming.incremental_stream import (
+        streaming_scd2_eras,
+    )
+
+    schema = "k bigint, v double"
+    store = Scd2Store(spark, str(tmp_path / "store"))
+    store.initialize(
+        spark.createDataFrame([(1, 0.0)], schema), key_cols=["k"],
+        num_buckets=2,
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    for i in range(1, 5):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame([(1, float(i))], schema).coalesce(
+            1
+        ).write.parquet(staging)
+        part = g.glob(os.path.join(staging, "part-*.parquet"))[0]
+        dst = str(feed / f"batch{i}.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (i, i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = streaming_scd2_eras(
+        stream, store, str(tmp_path / "ckpt"), snapshot_every=2
+    )
+    assert q.awaitTermination(120)
+    fresh = Scd2Store(spark, str(tmp_path / "store"))
+    assert fresh.era == 4
+    assert fresh.snaps == [0, 2, 4]  # folded every 2 eras mid-stream
+    # every era reads identically to the serial history
+    for e in range(5):
+        vals = [
+            (r["v"], r["valid_from"])
+            for r in fresh.history_as_of(e).orderBy("valid_from").collect()
+        ]
+        assert vals == [(float(i), i) for i in range(e + 1)], (e, vals)
