@@ -1,0 +1,102 @@
+"""Pure-Python unit tests for the OCC commit protocol module (r9) — the
+paths the Spark-level store tests don't isolate: the non-POSIX fallback
+(no flock), retry exhaustion, publish_dir replace-over-orphan, and the
+stale-tmp reclamation inside the commit."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from incr_iter_hadoop_spark.sources import occ
+
+
+def _meta_path(tmp_path):
+    return str(tmp_path / "store" / "meta.json")
+
+
+def test_commit_meta_sequences_and_conflicts(tmp_path):
+    mp = _meta_path(tmp_path)
+    assert occ.disk_seq(mp) is None
+    assert occ.commit_meta({"a": 1}, mp, None, "t") == 1
+    assert occ.disk_seq(mp) == 1
+    assert occ.commit_meta({"a": 2}, mp, 1, "t") == 2
+    with pytest.raises(occ.ConcurrentWriteError, match="advanced from"):
+        occ.commit_meta({"a": 3}, mp, 1, "t")  # stale expect
+    with open(mp) as f:
+        assert json.load(f)["a"] == 2  # loser changed nothing
+
+
+def test_commit_meta_without_flock_still_compares(tmp_path, monkeypatch):
+    """Non-POSIX fallback: the compare-then-replace contract holds even
+    with the lock compiled out (loud failure, not silent clobber)."""
+    monkeypatch.setattr(occ, "_HAVE_FLOCK", False)
+    mp = _meta_path(tmp_path)
+    assert occ.commit_meta({"a": 1}, mp, None, "t") == 1
+    with pytest.raises(occ.ConcurrentWriteError):
+        occ.commit_meta({"a": 2}, mp, None, "t")
+    assert occ.commit_meta({"a": 2}, mp, 1, "t") == 2
+
+
+def test_commit_meta_reclaims_stale_tmps(tmp_path):
+    mp = _meta_path(tmp_path)
+    os.makedirs(os.path.dirname(mp))
+    # residue of writers that died between dump and replace
+    for i in range(3):
+        with open(f"{mp}.tmp.999.{i}", "w") as f:
+            f.write("{}")
+    occ.commit_meta({"a": 1}, mp, None, "t")
+    leftovers = [
+        d
+        for d in os.listdir(os.path.dirname(mp))
+        if d.startswith("meta.json.tmp.")
+    ]
+    assert leftovers == []
+
+
+def test_publish_dir_replaces_orphan(tmp_path):
+    staging = tmp_path / "stage"
+    final = tmp_path / "final"
+    staging.mkdir()
+    (staging / "data").write_text("new")
+    final.mkdir()
+    (final / "data").write_text("orphan")
+    occ.publish_dir(str(staging), str(final))
+    assert (final / "data").read_text() == "new"
+    assert not staging.exists()
+
+
+def test_retrying_exhausts_and_propagates():
+    calls = {"n": 0}
+
+    def always_loses():
+        calls["n"] += 1
+        raise occ.ConcurrentWriteError("nope")
+
+    with pytest.raises(occ.ConcurrentWriteError, match="nope"):
+        occ.retrying(always_loses, attempts=4, backoff_sec=0.001)
+    assert calls["n"] == 4
+
+
+def test_retrying_returns_first_success():
+    calls = {"n": 0}
+
+    def wins_third():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise occ.ConcurrentWriteError("again")
+        return "ok"
+
+    assert occ.retrying(wins_third, attempts=5) == "ok"
+    assert calls["n"] == 3
+
+
+def test_stage_is_young_and_retention(tmp_path):
+    d = tmp_path / ".stage-x-1-0"
+    d.mkdir()
+    assert occ.stage_is_young(str(d))  # just created
+    os.utime(d, (1, 1))
+    assert not occ.stage_is_young(str(d))  # aged past retention
+    assert not occ.stage_is_young(str(tmp_path / "missing"))
