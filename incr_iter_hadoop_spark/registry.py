@@ -170,13 +170,16 @@ def _load_all() -> None:
 # guard; scd2_store_pit_streamed: per-batch meta invalidation;
 # agg_approx_distinct_bounded: NULL-safe population, oracle text changed;
 # incr_refresh_orders_disk: PreserveStore staged refresh/compact) and the
-# three NEW r9 queries (scd2_store_vacuum_reads — vacuum orphan sweep;
+# four NEW r9 queries (text_repetition_stats — the Gopher-style
+# duplicate-n-gram repetition filter, entering via the witness-less
+# fill; scd2_store_vacuum_reads — vacuum orphan sweep;
 # scd2_store_occ_retry — the deterministic loser-retries race under the
 # driver gate; scd2_store_pit_live — PIT enrichment under concurrent
 # dimension maintenance through a second store instance). The remaining
-# 36 slots fill oldest-first from the 49-query r5 cohort; 13 r5 names
-# remain for the r10 window (191 queries / 50 slots — a full cycle takes
-# four rounds), after which the witness floor advances to r6.
+# 36 fill slots take the witness-less text_repetition_stats first, then
+# 35 of the 49-query r5 cohort oldest-first; 14 r5 names remain for the
+# r10 window (192 queries / 50 slots — a full cycle takes four rounds),
+# after which the witness floor advances to r6.
 
 WINDOW_ROUND = 9
 
@@ -244,7 +247,8 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 FIRST_WINDOW: list[str] = [
     # round-9 priority: OCC/staged-commit re-witnesses + r9-touched
-    # + the three new r9 queries; fill = oldest (r5) cohort
+    # + the three new r9 store queries; fill = text_repetition_stats
+    # (new, witness-less) then the oldest (r5) cohort
     "scd2_store_two_eras",
     "scd2_store_snapshot_reads",
     "scd2_store_pit_join",
@@ -259,6 +263,7 @@ FIRST_WINDOW: list[str] = [
     "scd2_store_vacuum_reads",
     "scd2_store_occ_retry",
     "scd2_store_pit_live",
+    "text_repetition_stats",
     "ann_ivf_topk",
     "bm25_scores",
     "dedup_cc_star",
@@ -294,7 +299,6 @@ FIRST_WINDOW: list[str] = [
     "q22_sales_opportunity",
     "q2_min_acctbal_supplier",
     "q6_forecast_revenue",
-    "q7_nation_volume",
 ]
 
 

@@ -25,6 +25,7 @@ from test_oracle_parity import assert_frames_match
 # queries whose Spark side and oracle read ONLY the documents table
 DOC_QUERIES = [
     "text_token_stats",
+    "text_repetition_stats",
     "text_quality",
     "text_lang_id",
     "text_regex_tokens",
