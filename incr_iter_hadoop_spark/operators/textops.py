@@ -947,18 +947,21 @@ def _ngrams(w, n: int):
            dup2_raw <= 0.35 AND dup3_raw <= 0.2 AS keep
     FROM r
     """,
-    doc="intra-document REPETITION filter (round 9 — the Gopher/"
-    "MassiveText quality signal the table was missing: repetitious "
-    "documents are the classic LLM-corpus failure mode that length/"
-    "stopword stats cannot see): per document, the fraction of duplicate "
-    "token 2-grams and 3-grams (1 - distinct/total over the n-gram "
-    "multiset) and a Gopher-style keep flag (dup2 <= 0.35 AND dup3 <= "
-    "0.2). All JVM-side array expressions — tokens once, transform+slice "
-    "n-grams, array_distinct — zero Python in the row path and "
-    "embarrassingly parallel at 100 TB (no shuffle at all: one map-only "
-    "pass). Cross-engine hazards handled: Spark sequence(1,0) descends "
-    "(guarded), DuckDB range() is stop-exclusive, empty/short docs get "
-    "dup=0, NULL/whitespace-only docs drop on both sides.",
+    doc="duplicate-n-gram REPETITION filter (round 9 — the second half of "
+    "the Gopher repetition rule family: text_repetition_quality covers "
+    "the top-frequency signals (top-token/top-bigram fraction), this one "
+    "the DUPLICATE-FRACTION signals — per document, the fraction of "
+    "duplicate token 2-grams and 3-grams (1 - distinct/total over the "
+    "n-gram multiset) and a Gopher-style keep flag (dup2 <= 0.35 AND "
+    "dup3 <= 0.2). A doc can pass one family and fail the other: a "
+    "single hot token trips top_token_frac but barely moves dup3, while "
+    "a looped paragraph trips dup3 with no dominant token. All JVM-side "
+    "array expressions — tokens once, transform+slice n-grams, "
+    "array_distinct — zero Python in the row path, map-only at 100 TB "
+    "(no shuffle at all). Cross-engine hazards handled: Spark "
+    "sequence(1,0) descends (guarded), DuckDB range() is stop-exclusive, "
+    "empty/short docs get dup=0, NULL/whitespace-only docs drop on both "
+    "sides.",
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

@@ -206,6 +206,13 @@ def test_repetition_quality_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    # the duplicate-n-gram twin (r9) must keep the same map-only shape:
+    # transform+slice n-grams + array_distinct per row, zero Exchange
+    plan = _executed_plan(spark, sf_dir, "text_repetition_stats")
+    assert "Exchange" not in plan
+
+
 def test_asof_join_is_windowed_sweep_not_range_join(spark, sf_dir):
     # the as-of join must compile to ONE window sweep over the union —
     # never a per-key range cross-product (BroadcastNestedLoop/Cartesian).
