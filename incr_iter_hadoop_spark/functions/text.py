@@ -41,16 +41,28 @@ def token_count(text: Column) -> Column:
     )
 
 
+def token_ngrams(toks: Column, n: int) -> Column:
+    """Space-joined token n-grams as a MULTISET (duplicates kept,
+    array<string>) — THE guarded n-gram builder every consumer must go
+    through (r9 consolidation: three independent copies of the
+    transform+concat_ws construction each re-carried the short-doc guard).
+    Spark's ``sequence(1, 0)`` DESCENDS instead of returning empty, so
+    docs with fewer than ``n`` tokens return an empty array explicitly.
+    Wrap in ``array_distinct`` for the shingle-set semantics."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles (array<string>) — the MinHash/Jaccard unit."""
+    """Distinct n-word shingles (array<string>) — the MinHash/Jaccard unit.
+    Short docs (< n tokens) degrade to their single whole-text shingle."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, shingle))).otherwise(
-        F.array(F.concat_ws(" ", toks))
-    )
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(token_ngrams(toks, n))
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def fingerprint(text: Column) -> Column:

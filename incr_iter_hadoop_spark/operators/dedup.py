@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import ws_tokens
+from ..functions.text import token_ngrams, ws_tokens
 from ..registry import register
 
 JACCARD_THRESHOLD = 0.8
@@ -47,16 +47,18 @@ def _tokens(text: Column) -> Column:
 
 def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) -> DataFrame:
     """(id, shingles array<string>) — distinct n-word shingles per doc;
-    docs with fewer than n tokens are dropped (both sides of the oracle)."""
-    toks = F.col("toks")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j + 1)) for j in range(n)]
-    )
+    docs with fewer than n tokens are dropped (both sides of the oracle).
+    Built on the ONE guarded n-gram builder (functions/text.token_ngrams,
+    r9 consolidation)."""
     return (
         df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") >= n)
-        .select("id", F.array_distinct(F.transform(idx, mk)).alias("shingles"))
+        .select(
+            "id",
+            F.array_distinct(
+                token_ngrams(F.col("toks"), n)
+            ).alias("shingles"),
+        )
     )
 
 

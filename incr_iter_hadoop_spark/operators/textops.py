@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.text import EN_STOPWORDS, ws_tokens
+from ..functions.text import EN_STOPWORDS, token_ngrams, ws_tokens
 from ..registry import register
 
 _STOPS_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
@@ -903,17 +903,11 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ngrams(w, n: int):
-    """Token n-grams as space-joined strings, all JVM-side array ops
-    (transform over a 1-based index sequence + slice + concat_ws). Spark's
-    ``sequence(1, 0)`` DESCENDS instead of returning empty, so short docs
-    are guarded explicitly."""
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(w, i, n))
-    )
-    return F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Token n-gram multiset — delegates to the ONE guarded builder
+    (functions/text.token_ngrams; r9 consolidation of three independent
+    copies of the transform+slice construction and its sequence(1,0)-
+    descends guard)."""
+    return token_ngrams(w, n)
 
 
 @register(

@@ -154,10 +154,16 @@ def commit_meta(
         if publish is not None:
             publish()
         meta["commit_seq"] = (expect or 0) + 1
-        # stale tmps from commits that died between dump and replace can
-        # only exist from DEAD writers — live ones would hold this lock —
-        # so reclaim them here rather than leaking one file per crash
+        # stale tmps from commits that died between dump and replace are
+        # reclaimed here rather than leaking one file per crash — but only
+        # past the retention window: under flock a live writer would hold
+        # this lock, yet on the NO-flock fallback a concurrent writer's
+        # freshly-dumped tmp is indistinguishable from residue by name
+        # alone, and unlinking it would turn its loss into a
+        # FileNotFoundError that occ.retrying does not catch (r9 review)
         for stale in glob.glob(f"{meta_path}.tmp.*"):
+            if stage_is_young(stale):
+                continue
             try:
                 os.unlink(stale)
             except OSError:
@@ -175,10 +181,11 @@ def commit_meta(
 
 
 def stage_is_young(path: str) -> bool:
-    """True if a ``.stage-*`` directory is inside the retention window —
-    possibly the live staging of an in-flight mutation; sweeps must keep
-    it. Uses the directory mtime (refreshed by the writes landing in it);
-    a missing path counts as not-young."""
+    """True if a staged artifact (``.stage-*`` directory or ``meta
+    tmp`` file) is inside the retention window — possibly a LIVE
+    in-flight write; sweeps and the commit's tmp reclamation must keep
+    it. Uses the mtime (refreshed by the writes landing in it); a
+    missing path counts as not-young."""
     import time
 
     try:

@@ -40,20 +40,27 @@ def test_commit_meta_without_flock_still_compares(tmp_path, monkeypatch):
     assert occ.commit_meta({"a": 2}, mp, 1, "t") == 2
 
 
-def test_commit_meta_reclaims_stale_tmps(tmp_path):
+def test_commit_meta_reclaims_stale_tmps_but_keeps_young(tmp_path):
     mp = _meta_path(tmp_path)
     os.makedirs(os.path.dirname(mp))
-    # residue of writers that died between dump and replace
+    # aged residue of writers that died between dump and replace
     for i in range(3):
-        with open(f"{mp}.tmp.999.{i}", "w") as f:
+        p = f"{mp}.tmp.999.{i}"
+        with open(p, "w") as f:
             f.write("{}")
+        os.utime(p, (1, 1))
+    # a YOUNG tmp may be a live no-flock writer's in-flight dump — kept
+    # (unlinking it would turn its loss into FileNotFoundError instead
+    # of ConcurrentWriteError)
+    with open(f"{mp}.tmp.888.0", "w") as f:
+        f.write("{}")
     occ.commit_meta({"a": 1}, mp, None, "t")
     leftovers = [
         d
         for d in os.listdir(os.path.dirname(mp))
         if d.startswith("meta.json.tmp.")
     ]
-    assert leftovers == []
+    assert leftovers == ["meta.json.tmp.888.0"]
 
 
 def test_publish_dir_replaces_orphan(tmp_path):
