@@ -66,6 +66,11 @@ _TMP_COUNTER = itertools.count()
 # retrying multi-writer pattern a vacuum can run while another writer is
 # mid-stage, and deleting its live staging would kill a commit that was
 # about to succeed. Crashed attempts age past the window and get swept.
+# This module constant is the DEFAULT; both stores take a
+# ``stage_retention_sec`` constructor parameter (r10) that overrides it
+# per store — a store whose mutations stage for longer than an hour
+# needs a wider window, and tests/ops may want fast reclamation —
+# threaded into every ``stage_is_young`` / ``commit_meta`` call.
 STAGE_RETENTION_SEC = 3600
 
 
@@ -114,6 +119,7 @@ def commit_meta(
     expect: int | None,
     op: str,
     publish=None,
+    retention_sec: float | None = None,
 ) -> int:
     """The atomic commit: under the store's ``flock`` (where available),
     re-read the on-disk sequence, fail loudly if it moved since
@@ -160,9 +166,12 @@ def commit_meta(
         # this lock, yet on the NO-flock fallback a concurrent writer's
         # freshly-dumped tmp is indistinguishable from residue by name
         # alone, and unlinking it would turn its loss into a
-        # FileNotFoundError that occ.retrying does not catch (r9 review)
-        for stale in glob.glob(f"{meta_path}.tmp.*"):
-            if stage_is_young(stale):
+        # FileNotFoundError that occ.retrying does not catch (r9 review).
+        # The glob is '.tmp*', not '.tmp.*', so the pre-r9 SHARED tmp
+        # name (bare 'meta.json.tmp' — residue of a pre-upgrade crash)
+        # is reclaimed too once aged (ADVICE r9).
+        for stale in glob.glob(f"{meta_path}.tmp*"):
+            if stage_is_young(stale, retention_sec):
                 continue
             try:
                 os.unlink(stale)
@@ -180,18 +189,43 @@ def commit_meta(
         return int(meta["commit_seq"])
 
 
-def stage_is_young(path: str) -> bool:
+def stage_is_young(path: str, retention_sec: float | None = None) -> bool:
     """True if a staged artifact (``.stage-*`` directory or ``meta
     tmp`` file) is inside the retention window — possibly a LIVE
     in-flight write; sweeps and the commit's tmp reclamation must keep
     it. Uses the mtime (refreshed by the writes landing in it); a
-    missing path counts as not-young."""
+    missing path counts as not-young. ``retention_sec`` overrides the
+    module default (the stores thread their ``stage_retention_sec``
+    constructor parameter through here, r10)."""
     import time
 
+    if retention_sec is None:
+        retention_sec = STAGE_RETENTION_SEC
     try:
-        return (time.time() - os.path.getmtime(path)) < STAGE_RETENTION_SEC
+        return (time.time() - os.path.getmtime(path)) < retention_sec
     except OSError:
         return False
+
+
+def final_is_sweepable(path: str, retention_sec: float | None = None) -> bool:
+    """May an orphan sweep reclaim an UNREFERENCED but FINAL-POSITIONED
+    directory (an era/version/generation name the committed meta does not
+    reference) at ``path``?
+
+    Under ``flock`` the answer is always yes: the sweep holds the store
+    lock, the publish→meta-replace pair runs entirely inside the same
+    lock (``commit_meta``), so an unreferenced final directory can only
+    be crash residue — no live writer can be between its publish and its
+    meta commit while the sweep runs. WITHOUT ``flock`` (non-POSIX
+    fallback) that window is open: a concurrent writer may have just
+    published its staged data onto the final name and not yet replaced
+    meta, and sweeping the directory would let its commit land
+    referencing deleted files — committed data loss, not a leak. So on
+    the no-flock path the stage retention window applies to final-
+    positioned orphans too: only aged residue is reclaimed (ADVICE r9)."""
+    if _HAVE_FLOCK:
+        return True
+    return not stage_is_young(path, retention_sec)
 
 
 def stage_bucketed(

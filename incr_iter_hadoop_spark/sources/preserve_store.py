@@ -94,10 +94,18 @@ class PreserveStore:
     sinks do this), idempotent under replay.
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stage_retention_sec: float | None = None,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta: dict | None = None
+        # vacuum/sweep retention for in-flight staged artifacts (r10):
+        # None → occ.STAGE_RETENTION_SEC; see Scd2Store.__init__
+        self.stage_retention_sec = stage_retention_sec
 
     # SQL confs are SESSION-global, so two same-session store operations
     # scoping confs concurrently would corrupt each other's view and could
@@ -188,7 +196,14 @@ class PreserveStore:
         unique per-writer tmp file (``occ.commit_meta``, r9); ``publish``
         renames this mutation's STAGED data directories onto their final
         version names inside the same critical section."""
-        seq = occ.commit_meta(meta, self._meta_path(), expect, op, publish)
+        seq = occ.commit_meta(
+            meta,
+            self._meta_path(),
+            expect,
+            op,
+            publish,
+            retention_sec=self.stage_retention_sec,
+        )
         self._meta = meta
         return seq
 
@@ -759,11 +774,19 @@ class PreserveStore:
         Runs UNDER the store's commit lock with a fresh meta read (a
         concurrent commit's just-published directories can never be
         mistaken for orphans); ``.stage-*`` directories are reclaimed
-        only past ``occ.STAGE_RETENTION_SEC`` — inside the window they
-        may be an in-flight mutation's live staging."""
+        only past the stage retention window (``stage_retention_sec`` /
+        ``occ.STAGE_RETENTION_SEC``) — inside the window they may be an
+        in-flight mutation's live staging. Where ``flock`` is
+        unavailable the same window gates FINAL-POSITIONED unreferenced
+        era directories too (``occ.final_is_sweepable``): lock-free, an
+        unreferenced ``base_v<e>`` / ``layers/b<e>`` may be a concurrent
+        refresh/compact's just-published data whose meta replace hasn't
+        landed, and sweeping it would make that writer's commit land on
+        deleted files (ADVICE r9)."""
+        ret = self.stage_retention_sec
 
         def _sweep_stage(p: str) -> None:
-            if not occ.stage_is_young(p):
+            if not occ.stage_is_young(p, ret):
                 shutil.rmtree(p, ignore_errors=True)
 
         with occ.store_lock(self.path):
@@ -777,6 +800,10 @@ class PreserveStore:
                     continue
                 m = re.fullmatch(r"base_v(\d+)", d)
                 if not m or int(m.group(1)) in keep:
+                    continue
+                if not occ.final_is_sweepable(
+                    os.path.join(self.path, d), ret
+                ):
                     continue
                 era = int(m.group(1))
                 for which in ("contribs", "results"):
@@ -793,7 +820,13 @@ class PreserveStore:
                     m = re.fullmatch(r"b(\d+)", d)
                     if d.startswith(".stage-"):
                         _sweep_stage(os.path.join(lroot, d))
-                    elif m and int(m.group(1)) not in keep:
+                    elif (
+                        m
+                        and int(m.group(1)) not in keep
+                        and occ.final_is_sweepable(
+                            os.path.join(lroot, d), ret
+                        )
+                    ):
                         shutil.rmtree(
                             os.path.join(lroot, d), ignore_errors=True
                         )

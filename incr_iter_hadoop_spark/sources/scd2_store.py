@@ -81,10 +81,21 @@ class Scd2Store:
     state — wrap token-carrying mutations in ``occ.retrying`` (the
     streaming sinks do) and the retry is idempotent under replay."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        stage_retention_sec: float | None = None,
+    ):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._meta: dict | None = None
+        # vacuum/sweep retention for in-flight staged artifacts (r10):
+        # None → occ.STAGE_RETENTION_SEC. Widen for stores whose
+        # mutations stage for longer than the default window (a sweep
+        # must never reclaim a LIVE writer's staging); narrow in
+        # tests/ops that need fast residue reclamation.
+        self.stage_retention_sec = stage_retention_sec
 
     # -- metadata (same atomic-replace discipline as PreserveStore) --------
 
@@ -128,7 +139,14 @@ class Scd2Store:
         ``publish`` renames this mutation's STAGED data directories onto
         their final era names inside the same critical section — see
         ``occ.commit_meta``."""
-        occ.commit_meta(meta, self._meta_path(), expect, op, publish)
+        occ.commit_meta(
+            meta,
+            self._meta_path(),
+            expect,
+            op,
+            publish,
+            retention_sec=self.stage_retention_sec,
+        )
         self._meta = meta
 
     @property
@@ -442,6 +460,12 @@ class Scd2Store:
         if token is not None:
             seen = self.meta.get("era_tokens", {})
             if token in seen:
+                # the first attempt may have committed the era and then
+                # lost/crashed inside its cadence snapshot — re-check the
+                # cadence condition on this dedupe path too, so a replayed
+                # apply heals the skipped fold instead of returning with
+                # read depth above the requested cadence (ADVICE r9)
+                self._cadence_snapshot(snapshot_every)
                 return int(seen[token])
         keys = self.key_cols
         cols = list(self.meta["columns"])
@@ -581,12 +605,30 @@ class Scd2Store:
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        if (
-            snapshot_every is not None
-            and e - max(self.snaps) >= snapshot_every
-        ):
-            self.snapshot(e)
+        self._cadence_snapshot(snapshot_every)
         return e
+
+    def _cadence_snapshot(self, snapshot_every: int | None) -> None:
+        """Fold when the layer count since the newest generation reaches
+        the requested cadence. Runs AFTER the era commit (the fold is
+        maintenance, not part of the era's atomicity) and is wrapped in
+        ``occ.retrying`` against FRESH state per attempt (ADVICE r9): a
+        snapshot losing an OCC race to a concurrent writer re-reads the
+        committed meta, re-checks the cadence — a racing writer may have
+        folded already, making this a no-op instead of the
+        behind-newest-generation error — and folds at the then-latest
+        era. Safe to retry: ``snapshot()`` is idempotent at a folded era
+        and never deletes."""
+        if snapshot_every is None:
+            return
+
+        def fold():
+            self._meta = None  # fresh committed state per attempt
+            e = self.era
+            if e - max(self.snaps) >= snapshot_every:
+                self.snapshot(e)
+
+        occ.retrying(fold)
 
     # -- reads -------------------------------------------------------------
 
@@ -739,9 +781,17 @@ class Scd2Store:
         commit landing concurrently (e.g. a retrying writer between this
         vacuum's own commit and its sweep) can never have its
         just-published directories mistaken for orphans. ``.stage-*``
-        directories are reclaimed only past ``occ.STAGE_RETENTION_SEC`` —
-        inside the window they may be the LIVE staging of an in-flight
-        mutation whose commit is about to rename them into place."""
+        directories are reclaimed only past the stage retention window
+        (``stage_retention_sec`` / ``occ.STAGE_RETENTION_SEC``) — inside
+        the window they may be the LIVE staging of an in-flight mutation
+        whose commit is about to rename them into place. Where ``flock``
+        is unavailable the same retention window gates FINAL-POSITIONED
+        unreferenced directories too (``occ.final_is_sweepable``): with
+        the lock a no-op, an unreferenced ``base_s<g>`` may be a
+        concurrent snapshot's just-published generation whose meta
+        replace hasn't landed yet, and sweeping it would turn that
+        writer's commit into committed data loss (ADVICE r9)."""
+        ret = self.stage_retention_sec
         with occ.store_lock(self.path):
             self._meta = None  # the committed meta as of THIS lock hold
             snaps = set(self.snaps)
@@ -749,12 +799,14 @@ class Scd2Store:
             for d in os.listdir(self.path):
                 p = os.path.join(self.path, d)
                 if d.startswith(".stage-"):
-                    if not occ.stage_is_young(p):
+                    if not occ.stage_is_young(p, ret):
                         shutil.rmtree(p, ignore_errors=True)
                     continue
                 m = re.fullmatch(r"base_s(\d+)", d)
                 g = int(m.group(1)) if m else (0 if d == "base" else None)
                 if g is None or g in snaps:
+                    continue
+                if not occ.final_is_sweepable(p, ret):
                     continue
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_name(g)}"
@@ -766,9 +818,13 @@ class Scd2Store:
                     p = os.path.join(lroot, d)
                     m = re.fullmatch(r"e(\d+)", d)
                     if d.startswith(".stage-"):
-                        if not occ.stage_is_young(p):
+                        if not occ.stage_is_young(p, ret):
                             shutil.rmtree(p, ignore_errors=True)
                     elif m and int(m.group(1)) <= vb:
+                        # committed-and-vacuumed layers: safe without the
+                        # final_is_sweepable gate even lock-free — a
+                        # concurrent apply_era publishes era committed+1
+                        # > vacuumed_below, never a name at or below it
                         shutil.rmtree(p, ignore_errors=True)
 
     # -- point-in-time join ------------------------------------------------

@@ -107,3 +107,53 @@ def test_stage_is_young_and_retention(tmp_path):
     os.utime(d, (1, 1))
     assert not occ.stage_is_young(str(d))  # aged past retention
     assert not occ.stage_is_young(str(tmp_path / "missing"))
+
+
+def test_commit_meta_reclaims_aged_pre_r9_bare_tmp(tmp_path):
+    """The pre-r9 SHARED tmp name (bare 'meta.json.tmp', residue of a
+    pre-upgrade crash between dump and replace) is reclaimed once aged —
+    the '.tmp.*' glob never matched it (ADVICE r9) — while a YOUNG bare
+    tmp (a not-yet-upgraded concurrent writer's in-flight dump on a
+    no-flock filesystem) is kept."""
+    mp = _meta_path(tmp_path)
+    os.makedirs(os.path.dirname(mp))
+    bare = f"{mp}.tmp"
+    with open(bare, "w") as f:
+        f.write("{}")
+    os.utime(bare, (1, 1))  # aged past retention
+    occ.commit_meta({"a": 1}, mp, None, "t")
+    assert not os.path.exists(bare)
+    # young bare tmp survives the next commit
+    with open(bare, "w") as f:
+        f.write("{}")
+    occ.commit_meta({"a": 2}, mp, 1, "t")
+    assert os.path.exists(bare)
+
+
+def test_commit_meta_retention_override(tmp_path):
+    """retention_sec=0 reclaims even fresh residue (the stores thread
+    their stage_retention_sec through here); the default keeps it."""
+    mp = _meta_path(tmp_path)
+    os.makedirs(os.path.dirname(mp))
+    with open(f"{mp}.tmp.999.0", "w") as f:
+        f.write("{}")
+    occ.commit_meta({"a": 1}, mp, None, "t")  # default window: kept
+    assert os.path.exists(f"{mp}.tmp.999.0")
+    occ.commit_meta({"a": 2}, mp, 1, "t", retention_sec=0)
+    assert not os.path.exists(f"{mp}.tmp.999.0")
+
+
+def test_final_is_sweepable_gates_only_without_flock(tmp_path, monkeypatch):
+    """Under flock an unreferenced final-positioned directory is always
+    crash residue (the sweep holds the lock publish+commit run under) —
+    sweepable immediately. Without flock it may be a concurrent writer's
+    just-published-not-yet-committed data: only aged residue is
+    sweepable (ADVICE r9)."""
+    d = tmp_path / "base_s7"
+    d.mkdir()
+    assert occ.final_is_sweepable(str(d))  # flock available: always
+    monkeypatch.setattr(occ, "_HAVE_FLOCK", False)
+    assert not occ.final_is_sweepable(str(d))  # young: may be live
+    os.utime(d, (1, 1))
+    assert occ.final_is_sweepable(str(d))  # aged residue
+    assert not occ.final_is_sweepable(str(d), retention_sec=10**12)

@@ -781,3 +781,24 @@ def test_pit_join_delete_gap_matrix(spark, tmp_path):
     assert _pit_rows(store.pit_join(facts, "era")) == _pit_rows(
         _pit_all_attrs(store, store.history_as_of(3), facts, "era")
     )
+
+
+def test_token_replay_heals_skipped_cadence_snapshot(spark, tmp_path):
+    """ADVICE r9: if the first attempt commits the era but dies (or loses
+    an OCC race under occ.retrying) inside its cadence snapshot, the
+    token-deduped REPLAY must re-check the cadence condition and fold —
+    not short-circuit and leave read depth above the requested cadence
+    until some future era happens to pass by."""
+    store = _store(spark, tmp_path)
+    # era 1 commits WITHOUT any cadence (simulating the fold having been
+    # skipped by a crash after the commit)
+    e = store.apply_era(_changes1(spark), token="b1")
+    assert e == 1 and store.snaps == [0]
+    # the at-least-once replay of the same batch carries the cadence:
+    # token dedupe returns the committed era AND heals the fold
+    e2 = store.apply_era(_changes1(spark), token="b1", snapshot_every=1)
+    assert e2 == 1
+    assert store.snaps == [0, 1]
+    # the healed fold serves the same current rows
+    cur = {r[0]: r[1] for r in _rows(store.history_as_of()) if r[4]}
+    assert 1 in cur and 2 in cur
