@@ -741,7 +741,7 @@ class PreserveStore:
             stage_tbl,
         )
 
-    def vacuum(self) -> None:
+    def vacuum(self, retain_sec: float = 0.0) -> None:
         """Delete every retired era's base + layers and drop their catalog
         registrations. Call once no reader still needs pre-compaction
         versions — retired eras are a full state snapshot each, so leaving
@@ -754,15 +754,19 @@ class PreserveStore:
         longer references (``_sweep_orphans``, r9), so a crash between
         the commit and the deletes is healed by the next ``vacuum()``
         instead of leaking disk forever. Same ordering and sweep contract
-        as ``Scd2Store.vacuum``."""
+        as ``Scd2Store.vacuum``; ``retain_sec`` (r10) is the Delta
+        ``VACUUM ... RETAIN`` discipline — unreferenced era artifacts
+        younger than it stay on disk so a vacuum loop can run while
+        readers still hold plans over just-retired eras (0 = reclaim
+        immediately, the quiesced-caller contract)."""
         v0 = self._occ_begin()
         if self.meta.get("retired", {}):
             meta = dict(self.meta)
             meta["retired"] = {}
             self._write_meta(meta, expect=v0, op="PreserveStore.vacuum")
-        self._sweep_orphans()
+        self._sweep_orphans(retain_sec)
 
-    def _sweep_orphans(self) -> None:
+    def _sweep_orphans(self, retain_sec: float = 0.0) -> None:
         """Reclaim every era directory the COMMITTED meta does not
         reference (r9): ``base_v<e>`` / ``layers/b<e>`` where ``e`` is
         neither the live base version nor a retired-but-still-readable
@@ -805,6 +809,10 @@ class PreserveStore:
                     os.path.join(self.path, d), ret
                 ):
                     continue
+                if retain_sec and occ.stage_is_young(
+                    os.path.join(self.path, d), retain_sec
+                ):
+                    continue  # VACUUM RETAIN: in-flight readers
                 era = int(m.group(1))
                 for which in ("contribs", "results"):
                     self.spark.sql(
@@ -825,6 +833,12 @@ class PreserveStore:
                         and int(m.group(1)) not in keep
                         and occ.final_is_sweepable(
                             os.path.join(lroot, d), ret
+                        )
+                        and not (
+                            retain_sec
+                            and occ.stage_is_young(
+                                os.path.join(lroot, d), retain_sec
+                            )
                         )
                     ):
                         shutil.rmtree(

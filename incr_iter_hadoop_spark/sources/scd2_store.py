@@ -626,7 +626,14 @@ class Scd2Store:
             self._meta = None  # fresh committed state per attempt
             e = self.era
             if e - max(self.snaps) >= snapshot_every:
-                self.snapshot(e)
+                try:
+                    self.snapshot(e)
+                except ValueError as ve:
+                    # a racing writer folded at a LATER era between this
+                    # check and snapshot()'s own begin — their fold
+                    # satisfies the cadence; anything else propagates
+                    if "behind the newest generation" not in str(ve):
+                        raise
 
         occ.retrying(fold)
 
@@ -737,7 +744,7 @@ class Scd2Store:
             raise
         return era
 
-    def vacuum(self) -> None:
+    def vacuum(self, retain_sec: float = 0.0) -> None:
         """Delete every pre-newest-generation artifact: older generation
         bases and all layers ≤ the newest snapshot era (their content is
         folded into the newest generation, so no VERSION is lost — only
@@ -758,7 +765,16 @@ class Scd2Store:
         reference (``_sweep_orphans``, r9), not a precomputed list — so a
         crash between the commit and the deletes is no longer a permanent
         disk leak (the r8 residue): the next ``vacuum()`` re-derives the
-        same orphan set from disk and reclaims it."""
+        same orphan set from disk and reclaims it.
+
+        ``retain_sec`` (r10 — the Delta ``VACUUM ... RETAIN`` discipline):
+        retired artifacts younger than this are left on disk even though
+        the committed meta no longer references them, so a vacuum loop
+        can run CONCURRENTLY with readers/writers whose in-flight scans
+        still hold plans over a just-retired generation (a writer's own
+        cadence ``snapshot()`` read is such a scan) — only aged artifacts
+        are reclaimed. Default 0 keeps the quiesced-caller contract:
+        reclaim immediately."""
         v0 = self._occ_begin()
         newest = max(self.snaps)
         if self.snaps != [newest] or self.vacuumed_below < newest:
@@ -766,9 +782,9 @@ class Scd2Store:
             meta["snaps"] = [newest]
             meta["vacuumed_below"] = newest
             self._write_meta(meta, expect=v0, op="Scd2Store.vacuum")
-        self._sweep_orphans()
+        self._sweep_orphans(retain_sec)
 
-    def _sweep_orphans(self) -> None:
+    def _sweep_orphans(self, retain_sec: float = 0.0) -> None:
         """Reclaim every directory the COMMITTED meta no longer references
         (r9): generation bases not in ``snaps`` (retired by a vacuum that
         died between its commit and its deletes, or left by a crashed
@@ -808,6 +824,9 @@ class Scd2Store:
                     continue
                 if not occ.final_is_sweepable(p, ret):
                     continue
+                if retain_sec and occ.stage_is_young(p, retain_sec):
+                    continue  # VACUUM RETAIN: in-flight readers may
+                    # still hold plans over this just-retired generation
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_name(g)}"
                 )
@@ -821,6 +840,10 @@ class Scd2Store:
                         if not occ.stage_is_young(p, ret):
                             shutil.rmtree(p, ignore_errors=True)
                     elif m and int(m.group(1)) <= vb:
+                        if retain_sec and occ.stage_is_young(
+                            p, retain_sec
+                        ):
+                            continue  # VACUUM RETAIN (see above)
                         # committed-and-vacuumed layers: safe without the
                         # final_is_sweepable gate even lock-free — a
                         # concurrent apply_era publishes era committed+1

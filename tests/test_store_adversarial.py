@@ -557,7 +557,7 @@ def test_scd2_vacuum_crash_after_commit_heals_on_next_vacuum(
     store.snapshot(2)
     # crash between the meta commit and the sweep
     real_sweep = store._sweep_orphans
-    store._sweep_orphans = lambda: (_ for _ in ()).throw(
+    store._sweep_orphans = lambda retain_sec=0.0: (_ for _ in ()).throw(
         RuntimeError("simulated crash after commit, before deletes")
     )
     with pytest.raises(RuntimeError, match="simulated crash"):
@@ -661,7 +661,7 @@ def test_preserve_vacuum_crash_after_commit_heals_on_next_vacuum(
     store.compact()
     assert store.meta["retired"] == {"0": 1}
     real_sweep = store._sweep_orphans
-    store._sweep_orphans = lambda: (_ for _ in ()).throw(
+    store._sweep_orphans = lambda retain_sec=0.0: (_ for _ in ()).throw(
         RuntimeError("simulated crash after commit, before deletes")
     )
     with pytest.raises(RuntimeError, match="simulated crash"):
@@ -882,7 +882,7 @@ def test_scd2_sweep_respects_concurrent_commit_and_young_staging(
 
     real_sweep = a._sweep_orphans
 
-    def interfering_sweep():
+    def interfering_sweep(retain_sec=0.0):
         # another writer commits era 2 + generation 2 between vacuum's
         # commit and its sweep
         b = Scd2Store(spark, path)
@@ -890,7 +890,7 @@ def test_scd2_sweep_respects_concurrent_commit_and_young_staging(
             spark.createDataFrame([(1, 3.0)], "k bigint, v double")
         )
         b.snapshot(2)
-        real_sweep()
+        real_sweep(retain_sec)
 
     a._sweep_orphans = interfering_sweep
     a.vacuum()

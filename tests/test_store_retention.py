@@ -107,3 +107,25 @@ def test_preserve_young_stage_orphan_survives_default_retention(
     live = _mk_stage(store.path, ".stage-base-999-0")
     store.vacuum()
     assert os.path.isdir(live)
+
+
+def test_scd2_vacuum_retain_protects_young_retired_generation(
+    spark, tmp_path
+):
+    """vacuum(retain_sec): a just-retired generation stays readable on
+    disk inside the window (in-flight readers may hold plans over it);
+    a later vacuum with retain 0 reclaims it (Delta VACUUM RETAIN)."""
+    store = Scd2Store(spark, str(tmp_path / "scd2")).initialize(
+        _dim(spark), key_cols=["k"], num_buckets=2
+    )
+    store.apply_era(
+        spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    )
+    store.snapshot(1)
+    old_gen = os.path.join(store.path, "base")
+    assert os.path.isdir(old_gen)
+    store.vacuum(retain_sec=3600)
+    assert os.path.isdir(old_gen)  # young retired gen: retained
+    assert store.snaps == [1]  # the meta commit still happened
+    store.vacuum()  # retain 0: reclaimed
+    assert not os.path.exists(old_gen)
