@@ -953,6 +953,112 @@ def substring_spans_against_index(
     return _merge_spans(hits, k)
 
 
+def decontaminate_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """Benchmark-contamination spans: per CORPUS document, the merged
+    character spans whose content appears verbatim in ANY document of
+    ``bench`` — the Lee et al. / GPT-3 train-test overlap
+    (decontamination) step every pretraining pipeline runs before
+    training, as substring containment rather than the token-shingle
+    variant (``decontaminate_overlap``). Output: (id, n_dup_spans,
+    dup_chars) for contaminated corpus docs only.
+
+    Same content-defined char-k-gram fingerprinting as
+    ``duplicate_substring_spans`` (the winnowing gate — both relations
+    sample the SAME grams inside a shared run, so matches never need
+    positional alignment), pointed at a second relation: the benchmark's
+    distinct gated grams are the probe set, corpus fingerprints LEFT-SEMI
+    join against it (each corpus gram either is or isn't a benchmark
+    gram — never a pair product), hits merge into maximal per-doc spans.
+
+    100 TB shape: the benchmark side is tiny by construction (eval
+    suites are MBs; the corpus is the 100 TB side), so the distinct
+    benchmark gram set is hash-broadcast — the corpus fingerprint scan
+    is map-side gated with ZERO shuffle of corpus data; only the
+    surviving hit positions (rare) reach the per-doc span-merge window.
+    Detection floor: overlaps shorter than ``k`` chars are invisible,
+    and a span whose every gram misses the content gate is missed
+    (P ≈ (1-1/8)^(L-k+1)); raise ``keep_hex`` for shorter-span recall."""
+    bench_grams = (
+        _fingerprint_grams(bench, id_col, text_col, k, keep_hex)
+        .select("gram")
+        .distinct()
+    )
+    hits = (
+        _fingerprint_grams(corpus, id_col, text_col, k, keep_hex)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("id", "pos")
+    )
+    return _merge_spans(hits, k)
+
+
+@register(
+    "decontaminate_substring",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                 range(1, length(text) - {SPAN_K - 2}),
+                 i -> substr(md5(substr(text, CAST(i AS INTEGER), {SPAN_K})),
+                             1, 2) < '{SPAN_KEEP_HEX}')) AS pos
+        FROM documents WHERE length(text) >= {SPAN_K}
+      )
+    ), b AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_NEW_DOC_MOD} = 0
+    ), h AS (
+      SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)
+      WHERE g.doc_id % {_NEW_DOC_MOD} <> 0
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + {SPAN_K - 1}) OVER w IS NULL
+                    OR pos > MAX(pos + {SPAN_K - 1}) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), runs AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+      FROM runs GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS contam_chars
+    FROM spans GROUP BY doc_id
+    """,
+    doc="train-test DECONTAMINATION by substring containment (round 10 — "
+    "the Lee et al./GPT-3 overlap step): corpus docs (doc_id % "
+    f"{_NEW_DOC_MOD} != 0) containing any >= {SPAN_K}-char run that "
+    f"appears verbatim in the planted benchmark split (doc_id % "
+    f"{_NEW_DOC_MOD} == 0) are flagged with their merged contaminated "
+    "span count + char mass. The benchmark's distinct content-gated "
+    "grams broadcast; corpus fingerprints LEFT-SEMI against them "
+    "(plan-pinned: broadcast, no pair product, zero corpus shuffle "
+    "before the per-doc span merge). Complements decontaminate_overlap "
+    "(token-shingle flavor) with the exact-substring flavor on the "
+    "shared gram-index machinery (substring_gram_index probe side).",
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    return decontaminate_spans(corpus, bench, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+        F.col("dup_chars").cast("bigint").alias("contam_chars"),
+    )
+
+
 _DEL_DOC_MOD = 7  # deletion delta: every 7th doc leaves the corpus
 
 

@@ -181,25 +181,33 @@ def _load_all() -> None:
 # r10 window (192 queries / 50 slots — a full cycle takes four rounds),
 # after which the witness floor advances to r6.
 
-WINDOW_ROUND = 9
+# ROTATION (round 10): retire the r5 witness tail (VERDICT r9 ask #1).
+# Priority: the two NEW r10 queries (decontaminate_substring — the
+# substring-containment train/test overlap check on the shared gram
+# machinery, VERDICT r9 ask #2; text_dup_line_stats — the Gopher
+# dup-line/paragraph fractions completing the repetition rule family,
+# ask #3) plus the two queries witnessing the code paths round 10
+# actually changed behaviorally: scd2_store_vacuum_reads (the orphan
+# sweep gained the per-store retention parameter, the no-flock
+# final-dir gate, and the VACUUM RETAIN window) and scd2_store_occ_retry
+# (occ.commit_meta's widened tmp reclamation + the retrying-wrapped
+# cadence snapshot). The other r9-witnessed store queries sit on paths
+# whose r10 diff is parameter threading with identical default behavior
+# — re-verified against DuckDB on every pytest run and covered by the
+# store suites — so they stay out of the window. The 46 fill slots are
+# pure staleness: both new queries (witness-less), then the complete
+# 14-query r5 cohort, then the r6 cohort alphabetically (32 of 38).
+# After a green round 10 nothing in the ledger is older than r6, with
+# six r6 stragglers (named in COVERAGE.md) for the r11 fill.
+WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "scd2_store_two_eras",
-    "scd2_store_snapshot_reads",
-    "scd2_store_pit_join",
-    "scd2_store_streamed_eras",
-    "scd2_store_schema_evolution",
-    "scd2_store_deletes",
-    "scd2_store_cdc_streamed",
-    "scd2_store_cdc_full_ops",
-    "scd2_store_pit_streamed",
-    "agg_approx_distinct_bounded",
-    "incr_refresh_orders_disk",
     "scd2_store_vacuum_reads",
     "scd2_store_occ_retry",
-    "scd2_store_pit_live",
+    "decontaminate_substring",
+    "text_dup_line_stats",
 ]
 
 
@@ -246,59 +254,59 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-9 priority: OCC/staged-commit re-witnesses + r9-touched
-    # + the three new r9 store queries; fill = text_repetition_stats
-    # (new, witness-less) then the oldest (r5) cohort
-    "scd2_store_two_eras",
-    "scd2_store_snapshot_reads",
-    "scd2_store_pit_join",
-    "scd2_store_streamed_eras",
-    "scd2_store_schema_evolution",
-    "scd2_store_deletes",
-    "scd2_store_cdc_streamed",
-    "scd2_store_cdc_full_ops",
-    "scd2_store_pit_streamed",
-    "agg_approx_distinct_bounded",
-    "incr_refresh_orders_disk",
+    # round-10 priority: the two behaviorally-changed store paths
+    # + the two new r10 queries; fill = pure staleness (the full
+    # 14-query r5 cohort, then the r6 cohort alphabetically)
     "scd2_store_vacuum_reads",
     "scd2_store_occ_retry",
-    "scd2_store_pit_live",
-    "text_repetition_stats",
-    "ann_ivf_topk",
-    "bm25_scores",
-    "dedup_cc_star",
-    "dedup_substring_spans",
-    "er_fuzzy_name_pairs",
-    "events_session_streamed",
-    "graph_triangle_count",
-    "incr_dedup_clusters",
-    "incr_dedup_minhash_delete",
-    "incr_dedup_substring",
-    "incr_kmeans_delta2",
-    "incr_spmv_delta1",
-    "iteration_snapshot_roundtrip",
-    "join_asof",
-    "join_null_safe",
-    "kmeans_converged",
-    "multimodal_png_decode",
-    "multimodal_png_resize",
-    "multimodal_wav_decode",
-    "pack_sequences",
-    "pagerank_converged",
-    "pipeline_build_training_set",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_shipmode_priority",
-    "q13_order_distribution",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_excess_shippers",
-    "q22_sales_opportunity",
-    "q2_min_acctbal_supplier",
-    "q6_forecast_revenue",
+    "decontaminate_substring",
+    "text_dup_line_stats",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_token_budget",
+    "scan_jdbc_roundtrip",
+    "scan_jsonl_roundtrip",
+    "scan_multi_path_combine",
+    "shard_manifest",
+    "streaming_dedup_events",
+    "streaming_incr_pagerank",
+    "text_lang_id",
+    "text_unigram_logprob",
+    "tokenize_to_ids",
+    "udf_cogrouped_stats",
+    "array_battery",
+    "bpe_pair_counts",
+    "corpus_top_tokens",
+    "data_quality_report",
+    "dedup_keep_best",
+    "embedding_dedup_clusters",
+    "embedding_label_centroids",
+    "embedding_top_pairs",
+    "events_enriched_streamed",
+    "events_funnel",
+    "events_resample_gaps",
+    "events_running_totals_streamed",
+    "events_session",
+    "events_sliding",
+    "events_stream_stream_join",
+    "events_unpivot",
+    "graph_kcore_bounded3",
+    "incr_nmf_delta2",
+    "incr_sssp_warm3",
+    "inverted_index_trigrams",
+    "multimodal_adpcm_decode",
+    "multimodal_features",
+    "multimodal_gif_decode",
+    "multimodal_meta",
+    "profile_orders",
+    "sample_stratified_events",
+    "scan_binaryfile_media",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "setop_intersect",
+    "skew_report_suppkey",
+    "split_train_test_counts",
 ]
 
 

@@ -26,6 +26,7 @@ from test_oracle_parity import assert_frames_match
 DOC_QUERIES = [
     "text_token_stats",
     "text_repetition_stats",
+    "text_dup_line_stats",
     "text_quality",
     "text_lang_id",
     "text_regex_tokens",
@@ -59,6 +60,7 @@ DOC_QUERIES = [
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",
+    "decontaminate_substring",
     "agg_histogram",
     "wordcount",
     "incr_dedup_clusters",

@@ -213,6 +213,16 @@ def test_repetition_stats_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_dup_line_stats_is_shuffle_free(spark, sf_dir):
+    # the dup-line/paragraph fractions (r10) keep the family's map-only
+    # discipline: array_sort + sorted-neighbor mask per row, zero
+    # Exchange — the explode+groupBy(doc,line) formulation (which the
+    # DuckDB oracle deliberately uses as the independent cross-check)
+    # would shuffle every line of a 100 TB corpus.
+    plan = _executed_plan(spark, sf_dir, "text_dup_line_stats")
+    assert "Exchange" not in plan
+
+
 def test_asof_join_is_windowed_sweep_not_range_join(spark, sf_dir):
     # the as-of join must compile to ONE window sweep over the union —
     # never a per-key range cross-product (BroadcastNestedLoop/Cartesian).
@@ -404,3 +414,16 @@ def test_approx_distinct_bounded_dedups_before_sketching(spark, sf_dir):
     assert "MS[" not in below_pair_exchange, plan
     # map-side combine on the distinct: partial agg below that exchange
     assert "HashAggregate" in below_pair_exchange, plan
+
+
+def test_decontaminate_substring_is_broadcast_semi_no_product(
+    spark, sf_dir
+):
+    # the benchmark gram set (tiny by construction — eval suites are MBs
+    # vs a 100 TB corpus) must BROADCAST into a LEFT-SEMI over the corpus
+    # fingerprints: map-side gating, zero corpus shuffle before the
+    # per-doc span merge, and never a doc-pair product
+    plan = _executed_plan(spark, sf_dir, "decontaminate_substring")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -58,3 +58,49 @@ def test_short_docs_dropped_not_crashed(spark):
     shared = _rand_text(rng, 120)
     got = _spans(spark, ["tiny", "", shared, shared + " tail"])
     assert set(got) <= {2, 3}
+
+
+def _decontam(spark, corpus_texts, bench_texts):
+    from incr_iter_hadoop_spark.operators.dedup import decontaminate_spans
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "id long, body string"
+    )
+    bench = spark.createDataFrame(
+        [(1000 + i, t) for i, t in enumerate(bench_texts)],
+        "id long, body string",
+    )
+    rows = decontaminate_spans(corpus, bench, "id", "body").collect()
+    return {r["id"]: (r["n_dup_spans"], r["dup_chars"]) for r in rows}
+
+
+def test_decontaminate_flags_planted_benchmark_overlap(spark):
+    """A corpus doc embedding a benchmark passage verbatim (at an
+    arbitrary offset) is flagged with a span covering (a chunk of) the
+    passage; corpus docs sharing nothing with the benchmark are absent —
+    even when they duplicate EACH OTHER (containment is against the
+    benchmark, not within-corpus)."""
+    rng = random.Random(42)
+    passage = _rand_text(rng, 300)  # the "benchmark" eval item
+    clean = _rand_text(rng, 400)
+    got = _decontam(
+        spark,
+        corpus_texts=[
+            _rand_text(rng, 23) + passage + _rand_text(rng, 100),
+            clean,
+            clean,  # within-corpus dup, NOT contamination
+        ],
+        bench_texts=[passage + _rand_text(rng, 50), _rand_text(rng, 200)],
+    )
+    assert 0 in got and got[0][1] >= SPAN_K, got
+    assert 1 not in got and 2 not in got, got
+
+
+def test_decontaminate_empty_benchmark_flags_nothing(spark):
+    rng = random.Random(7)
+    got = _decontam(
+        spark,
+        corpus_texts=[_rand_text(rng, 300)],
+        bench_texts=["short", ""],  # below gram width / empty
+    )
+    assert got == {}
