@@ -176,6 +176,46 @@ def main() -> None:
         "scaling_ratio": round(mc2 / mc1, 3) if mc1 else None,
     }
 
+    # ---- 2b. Substring decontamination scaling (r10) --------------------
+    # corpus vs benchmark containment on the same synthetic docs: docs
+    # with id % 100 == 0 land in the "benchmark" split, and synth_docs
+    # already gives each of them a near-copy at id+1 (38 of 40 tokens, a
+    # ~200-char shared prefix run — far above the 32-char gram floor), so
+    # exactly one corpus doc per 100 is contaminated by construction.
+    # Work is O(corpus fingerprints) with the benchmark grams broadcast;
+    # s/kdoc must stay ~flat at 50x, and the flag COUNT must scale
+    # exactly linearly (recall invariance — a run this long cannot miss
+    # the content gate).
+    from incr_iter_hadoop_spark.operators.dedup import decontaminate_spans
+
+    def time_decontam(n_docs: int):
+        docs = synth_docs(n_docs).persist()
+        docs.count()
+        corpus = docs.where(F.col("doc_id") % 100 != 0)
+        bench = docs.where(F.col("doc_id") % 100 == 0)
+        t0 = time.perf_counter()
+        flagged = decontaminate_spans(corpus, bench, "doc_id", "text").count()
+        wall = time.perf_counter() - t0
+        docs.unpersist()
+        return flagged, round(wall, 2), round(wall / (n_docs / 1e3), 3)
+
+    df1, dw1, dc1 = time_decontam(small_docs)
+    df2, dw2, dc2 = time_decontam(big_docs)
+    if df1 != small_docs // 100 or df2 != big_docs // 100:
+        violations.append(
+            f"decontam: flagged {df1}/{df2}, expected "
+            f"{small_docs // 100}/{big_docs // 100} (one planted "
+            f"contaminated doc per 100)"
+        )
+    out["decontam"] = {
+        "docs_small": small_docs, "flagged_small": df1,
+        "wall_small_sec": dw1, "sec_per_kdocs_small": dc1,
+        "docs_big": big_docs, "flagged_big": df2,
+        "wall_big_sec": dw2, "sec_per_kdocs_big": dc2,
+        "scaling_ratio": round(dc2 / dc1, 3) if dc1 else None,
+        "flags_ok": df1 == small_docs // 100 and df2 == big_docs // 100,
+    }
+
     # ---- 3. Disk-store refresh ratio vs state size ----------------------
     from incr_iter_hadoop_spark.catalog import load_table
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
@@ -686,10 +726,11 @@ def _write_stress_md(results_dir: str) -> None:
         " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
         " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
-        " 1x -> Nx (ratio) | depth sweep"
+        " 1x -> Nx (ratio) | decontam s/kdocs 1x -> Nx (ratio, flags ok)"
+        " | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -724,6 +765,12 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({sp.get('scaling_ratio')})"
             if sp else "—"
         )
+        dc = r.get("decontam", {})
+        decon = (
+            f"{dc.get('sec_per_kdocs_small')} -> {dc.get('sec_per_kdocs_big')}"
+            f" ({dc.get('scaling_ratio')}, {dc.get('flags_ok')})"
+            if dc else "—"
+        )
         ds = r.get("depth_sweep", {})
         depth = (
             f"{ds.get('early_med')} -> {ds.get('late_med')}"
@@ -742,7 +789,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
             f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
-            f" | {depth} | {era} |"
+            f" | {decon} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
