@@ -131,3 +131,111 @@ def test_vacuum_loop_never_loses_committed_eras(spark, tmp_path):
     assert cur == {0: float(_OPS - 1), 1: float(_OPS - 1)}
     # the loop really ran concurrently with the writers
     assert n_vac + n_lost > 0
+
+
+_P_WRITER = r"""
+import sys
+from pyspark.sql import SparkSession
+
+from incr_iter_hadoop_spark.sources import occ
+from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+
+path, tag, ops = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName(f"vac-pwriter-{tag}")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+store = PreserveStore(spark, path)
+for i in range(ops):
+    # disjoint source keys per (writer, op): the final aggregate is the
+    # sum of every delta regardless of interleaving order
+    delta = spark.createDataFrame(
+        [(tag, 100 * (tag + 1) + i, 1.0, "+")],
+        "g bigint, s bigint, v double, op string",
+    )
+    # max_layers=2: compaction churns eras, so the concurrent vacuum
+    # loop constantly sees retirees
+    occ.retrying(
+        lambda d=delta, i=i: store.refresh(
+            d, token=f"p{tag}-op{i}", max_layers=2
+        ),
+        attempts=500,
+        backoff_sec=0.01,
+    )
+spark.stop()
+"""
+
+
+def test_preserve_vacuum_loop_never_loses_committed_refreshes(
+    spark, tmp_path
+):
+    """PreserveStore twin of the scd2 stochastic test: two writer
+    processes stream token-carrying refreshes (with compaction cadence)
+    under occ.retrying while the main process runs a vacuum(retain_sec)
+    loop; every refresh must land exactly once — the final aggregates
+    equal the serial model."""
+    from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+
+    path = str(tmp_path / "p")
+    store = PreserveStore(spark, path)
+    store.initialize(
+        spark.createDataFrame(
+            [(0, 0, 0.0), (1, 1, 0.0)], "g bigint, s bigint, v double"
+        ),
+        group_keys=["g"],
+        source_keys=["s"],
+        agg_sql={"total": "CAST(SUM(v) AS DOUBLE)",
+                 "n": "CAST(COUNT(1) AS BIGINT)"},
+        num_buckets=2,
+    )
+    worker = tmp_path / "pwriter.py"
+    worker.write_text(_P_WRITER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), path, str(tag), str(_OPS)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for tag in (0, 1)
+    ]
+    vac = PreserveStore(spark, path)
+    n_vac = n_lost = 0
+    while any(p.poll() is None for p in procs):
+        try:
+            vac.vacuum(retain_sec=3600)
+            n_vac += 1
+        except occ.ConcurrentWriteError:
+            n_lost += 1
+        time.sleep(0.05)
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    fresh = PreserveStore(spark, path)
+    res = {
+        r["g"]: (r["total"], r["n"])
+        for r in fresh.current_results().collect()
+    }
+    # serial model: each writer added _OPS contributions of 1.0 to its
+    # own group (plus the 0.0 seed)
+    assert res == {
+        0: (float(_OPS), _OPS + 1),
+        1: (float(_OPS), _OPS + 1),
+    }, res
+    fresh.vacuum()  # quiesced reclaim still reads consistently
+    res2 = {
+        r["g"]: (r["total"], r["n"])
+        for r in fresh.current_results().collect()
+    }
+    assert res2 == res
+    assert n_vac + n_lost > 0
