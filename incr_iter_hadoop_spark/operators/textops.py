@@ -963,8 +963,13 @@ def gopher_dup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     see ``_multiset_dup_stats``."""
 
     def segs(sep: str):
+        # blank = contains no non-whitespace char (rlike(\S)), matching
+        # Python str.strip() semantics — F.trim strips only ASCII spaces,
+        # so a paragraph segment like "\n  " (blank line residue between
+        # two paragraph breaks) would otherwise survive on the Spark side
+        # only (caught by the random-batch reference test)
         return F.filter(
-            F.split(F.col(text_col), sep), lambda x: F.trim(x) != ""
+            F.split(F.col(text_col), sep), lambda x: x.rlike(r"\S")
         )
 
     base = df.select(

@@ -85,3 +85,29 @@ def test_all_identical_lines_is_fully_duplicate(spark):
     assert r["dup_line_char_frac"] == 1.0
     # the whole doc is ONE paragraph (no blank line): nothing repeats
     assert r["n_paras"] == 1 and r["dup_para_frac"] == 0.0
+
+
+def test_gopher_dup_lines_random_batch_matches_reference(spark):
+    """Deterministic pseudo-random batch: 40 docs assembled from a small
+    line alphabet with random '\n'/'\n\n' separators — every doc must
+    match the pure-Python Dolma reference exactly (count- and
+    char-weighted, lines and paragraphs)."""
+    import random
+
+    rng = random.Random(20260815)
+    alphabet = ["alpha", "beta beta", "g", "", "  ", "long line " * 3]
+    docs = []
+    for i in range(40):
+        parts = [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+        seps = [rng.choice(["\n", "\n\n"]) for _ in parts]
+        docs.append((i, "".join(p + s for p, s in zip(parts, seps))))
+    df = spark.createDataFrame(docs, "id long, body string")
+    got = {r["id"]: r.asDict() for r in gopher_dup_lines(df, "id", "body").collect()}
+    for i, text in docs:
+        exp = _ref(text)
+        if exp is None:
+            assert i not in got, (i, text, got.get(i))
+            continue
+        assert i in got, (i, text)
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v), (i, repr(text), k, got[i], exp)

@@ -104,3 +104,34 @@ def test_decontaminate_empty_benchmark_flags_nothing(spark):
         bench_texts=["short", ""],  # below gram width / empty
     )
     assert got == {}
+
+
+def test_contaminated_mass_bounded_by_duplicate_mass(spark, sf_dir):
+    """Cross-operator invariant on the real corpus: every contaminated
+    gram (shared with a benchmark doc) is by definition duplicated in
+    the union corpus, so per doc contam_chars <= the union's dup_chars
+    and every contaminated doc appears in the union's duplicate set."""
+    from pyspark.sql import functions as F
+
+    from incr_iter_hadoop_spark.catalog import load_table
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _NEW_DOC_MOD,
+        decontaminate_spans,
+        duplicate_substring_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
+    bench = d.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
+    contam = {
+        r["id"]: r["dup_chars"]
+        for r in decontaminate_spans(corpus, bench, "doc_id", "text").collect()
+    }
+    dup = {
+        r["id"]: r["dup_chars"]
+        for r in duplicate_substring_spans(d, "doc_id", "text").collect()
+    }
+    assert contam, "fixture must plant at least one contaminated doc"
+    for doc, chars in contam.items():
+        assert doc in dup, f"contaminated doc {doc} missing from dup set"
+        assert chars <= dup[doc], (doc, chars, dup[doc])
