@@ -1094,6 +1094,192 @@ def text_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0
+    ), base AS (
+      SELECT doc_id, n,
+             (SELECT COALESCE(SUM(length(x)), 0)
+              FROM unnest(w) AS u(x))::DOUBLE / n AS mean_len,
+             len(list_distinct(
+               list_filter(w, x -> lower(x) IN {_STOPS_SQL}))) AS n_stop,
+             CASE WHEN len(w) >= 2 THEN 1.0 - len(list_distinct(
+               list_transform(range(1, len(w)),
+                 i -> array_to_string(w[i:i+1], ' '))))::DOUBLE
+               / (len(w) - 1) ELSE 0.0 END AS dup2,
+             CASE WHEN len(w) >= 3 THEN 1.0 - len(list_distinct(
+               list_transform(range(1, len(w) - 1),
+                 i -> array_to_string(w[i:i+2], ' '))))::DOUBLE
+               / (len(w) - 2) ELSE 0.0 END AS dup3
+      FROM b
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+               i -> array_to_string(w[i:i+1], ' '))) AS big
+      FROM b
+    ), bc AS (
+      SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big
+    ), btop AS (
+      SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram FROM bc
+      GROUP BY doc_id
+    ), lseg AS (
+      SELECT doc_id, seg, COUNT(*) AS cnt, length(seg) AS ln
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1, 2),
+                     i -> array_to_string(w[i:i+1], ' '))) AS seg
+            FROM b)
+      GROUP BY doc_id, seg
+    ), ls AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+               / SUM(cnt) AS dlf,
+             SUM(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END)::DOUBLE
+               / SUM(cnt * ln) AS dlcf
+      FROM lseg GROUP BY doc_id
+    ), pseg AS (
+      SELECT doc_id, seg, COUNT(*) AS cnt, length(seg) AS ln
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w) + 1, 3),
+                     i -> array_to_string(w[i:i+2], ' '))) AS seg
+            FROM b)
+      GROUP BY doc_id, seg
+    ), ps AS (
+      SELECT doc_id,
+             SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE
+               / SUM(cnt) AS dpf,
+             SUM(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END)::DOUBLE
+               / SUM(cnt * ln) AS dpcf
+      FROM pseg GROUP BY doc_id
+    ), rules AS (
+      SELECT base.doc_id, base.n,
+             CASE WHEN base.n BETWEEN 50 AND 100000 THEN 0 ELSE 1 END
+           + CASE WHEN mean_len >= 3 AND mean_len <= 10 THEN 0 ELSE 1 END
+           + CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END
+           + CASE WHEN COALESCE(top_bigram, 0) <= 0.20 THEN 0 ELSE 1 END
+           + CASE WHEN dup2 <= 0.35 THEN 0 ELSE 1 END
+           + CASE WHEN dup3 <= 0.20 THEN 0 ELSE 1 END
+           + CASE WHEN dlf <= 0.30 THEN 0 ELSE 1 END
+           + CASE WHEN dlcf <= 0.20 THEN 0 ELSE 1 END
+           + CASE WHEN dpf <= 0.30 THEN 0 ELSE 1 END
+           + CASE WHEN dpcf <= 0.20 THEN 0 ELSE 1 END AS n_failed
+      FROM base
+      LEFT JOIN btop ON btop.doc_id = base.doc_id
+      JOIN ls ON ls.doc_id = base.doc_id
+      JOIN ps ON ps.doc_id = base.doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n_failed AS BIGINT) AS n_failed,
+           n_failed = 0 AS keep
+    FROM rules
+    """,
+    doc="the COMPOSED Gopher document filter (round 10 — the pipeline "
+    "gate a pretraining user actually runs, fusing every rule family "
+    "the engine implements into one keep decision): word count in "
+    "[50, 100000], mean word length in [3, 10], >= 2 distinct "
+    "stopwords, top-bigram fraction <= 0.20, duplicate 2-/3-gram "
+    "fractions <= 0.35/0.20, and the count-/char-weighted duplicate "
+    "line (2-token chunks) and paragraph (3-token chunks) fractions "
+    "<= 0.30/0.20/0.30/0.20 — Rae et al. A1.1 thresholds throughout. "
+    "Output: per-doc failed-rule count + keep. The 100 TB point: every "
+    "signal derives from the SAME token array inside one map stage — "
+    "ten Gopher rules, ZERO shuffles, plan-pinned Exchange-free — while "
+    "the oracle deliberately recomputes each family in the "
+    "unnest+groupBy formulation and joins them back (the independent "
+    "cross-check). Integer/boolean output only, so no float-rounding "
+    "hash hazard; boundary docs (n<2: no bigrams/2-grams) define "
+    "repetition evidence as absent (rule passes) identically on both "
+    "engines.",
+)
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select("doc_id", _toks(F.col("text")).alias("w"))
+        .where(F.size("w") > 0)
+        .withColumn("n", F.size("w"))
+    )
+
+    def dup_frac(col):
+        return F.when(
+            F.size(col) > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(col)).cast("double") / F.size(col),
+        ).otherwise(F.lit(0.0))
+
+    def chunks(width: int):
+        return F.transform(
+            F.sequence(F.lit(1), F.size("w"), F.lit(width)),
+            lambda i: F.array_join(F.slice("w", i, width), " "),
+        )
+
+    def seg_stats(arr):
+        return _multiset_dup_stats(arr)
+
+    stops = F.size(
+        F.array_distinct(
+            F.filter("w", lambda t: F.lower(t).isin(*EN_STOPWORDS))
+        )
+    )
+    mean_len = (
+        F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+        .cast("double")
+        / F.col("n")
+    )
+    top_bigram = F.when(
+        F.col("n") >= 2,
+        F.expr(
+            "array_max(transform(array_distinct(bigs),"
+            " t -> size(filter(bigs, x -> x = t))))"
+        ).cast("double")
+        / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    sig = base.withColumn(
+        "bigs",
+        F.when(
+            F.col("n") >= 2,
+            F.expr(
+                "zip_with(slice(w, 1, n - 1), slice(w, 2, n - 1),"
+                " (x, y) -> concat(x, ' ', y))"
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    ).select(
+        "doc_id",
+        "n",
+        mean_len.alias("mean_len"),
+        stops.alias("n_stop"),
+        top_bigram.alias("top_bigram"),
+        dup_frac(_ngrams(F.col("w"), 2)).alias("dup2"),
+        dup_frac(_ngrams(F.col("w"), 3)).alias("dup3"),
+        seg_stats(chunks(2)).alias("ls"),
+        seg_stats(chunks(3)).alias("ps"),
+    )
+    failed = (
+        (~F.col("n").between(50, 100000)).cast("long")
+        + (~((F.col("mean_len") >= 3) & (F.col("mean_len") <= 10))).cast(
+            "long"
+        )
+        + (F.col("n_stop") < 2).cast("long")
+        + (F.col("top_bigram") > 0.20).cast("long")
+        + (F.col("dup2") > 0.35).cast("long")
+        + (F.col("dup3") > 0.20).cast("long")
+        + (F.col("ls.dup_n") / F.col("ls.n") > 0.30).cast("long")
+        + (F.col("ls.dup_chars") / F.col("ls.chars") > 0.20).cast("long")
+        + (F.col("ps.dup_n") / F.col("ps.n") > 0.30).cast("long")
+        + (F.col("ps.dup_chars") / F.col("ps.chars") > 0.20).cast("long")
+    )
+    return sig.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        failed.alias("n_failed"),
+        (failed == 0).alias("keep"),
+    )
+
+
+@register(
     "text_repetition_stats",
     oracle="""
     WITH t AS (

@@ -198,7 +198,9 @@ def _load_all() -> None:
 # pure staleness: both new queries (witness-less), then the complete
 # 14-query r5 cohort, then the r6 cohort alphabetically (32 of 38).
 # After a green round 10 nothing in the ledger is older than r6, with
-# six r6 stragglers (named in COVERAGE.md) for the r11 fill.
+# seven r6 stragglers (named in COVERAGE.md) for the r11 fill. The
+# composed text_gopher_filter (new, witness-less) enters via the fill
+# like every new query.
 WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -255,12 +257,14 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 FIRST_WINDOW: list[str] = [
     # round-10 priority: the two behaviorally-changed store paths
-    # + the two new r10 queries; fill = pure staleness (the full
-    # 14-query r5 cohort, then the r6 cohort alphabetically)
+    # + the two new r10 queries; fill = pure staleness (the new
+    # composed text_gopher_filter, the full 14-query r5 cohort,
+    # then the r6 cohort alphabetically)
     "scd2_store_vacuum_reads",
     "scd2_store_occ_retry",
     "decontaminate_substring",
     "text_dup_line_stats",
+    "text_gopher_filter",
     "q7_nation_volume",
     "q8_market_share",
     "q9_product_profit",
@@ -306,7 +310,6 @@ FIRST_WINDOW: list[str] = [
     "scan_orc_roundtrip",
     "setop_intersect",
     "skew_report_suppkey",
-    "split_train_test_counts",
 ]
 
 

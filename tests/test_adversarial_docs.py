@@ -27,6 +27,7 @@ DOC_QUERIES = [
     "text_token_stats",
     "text_repetition_stats",
     "text_dup_line_stats",
+    "text_gopher_filter",
     "text_quality",
     "text_lang_id",
     "text_regex_tokens",

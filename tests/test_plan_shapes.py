@@ -223,6 +223,15 @@ def test_dup_line_stats_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_gopher_filter_is_single_map_stage(spark, sf_dir):
+    # the COMPOSED ten-rule Gopher gate must stay one map stage: every
+    # signal derives from the same token array, so there is nothing to
+    # shuffle — the oracle's unnest+groupBy+join formulation exists only
+    # as the independent cross-check
+    plan = _executed_plan(spark, sf_dir, "text_gopher_filter")
+    assert "Exchange" not in plan
+
+
 def test_asof_join_is_windowed_sweep_not_range_join(spark, sf_dir):
     # the as-of join must compile to ONE window sweep over the union —
     # never a per-key range cross-product (BroadcastNestedLoop/Cartesian).
