@@ -393,6 +393,11 @@ def main() -> None:
         # streaming-machinery cost, recorded from day one so the trend
         # never starts at a single point
         ("scd2_store_pit_streamed", "scd2_store_pit_streamed_sec"),
+        # r10: the two new pipeline gates — substring decontamination
+        # (broadcast left-semi containment) and the composed ten-rule
+        # Gopher filter (single map stage) — trended from day one
+        ("decontaminate_substring", "decontaminate_substring_sec"),
+        ("text_gopher_filter", "text_gopher_filter_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -506,6 +511,8 @@ def _write_trend_table(results_dir: str) -> None:
         "scd2_point_in_time_join_sec",
         "scd2_store_pit_join_sec",
         "scd2_store_pit_streamed_sec",
+        "decontaminate_substring_sec",
+        "text_gopher_filter_sec",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",

@@ -914,42 +914,65 @@ def _multiset_dup_stats(arr):
     """(n, dup_n, chars, dup_chars) over a string multiset — the
     Gopher/Dolma duplicate-fraction accounting where EVERY occurrence of
     a value with count > 1 is "duplicate" (a line appearing 3× counts 3,
-    not 2). Map-only: ``array_sort`` once, then an element is a duplicate
-    iff it equals a sorted neighbor — O(n log n) per document with zero
-    shuffle and zero Python in the row path (vs the explode + groupBy
-    (doc, line) formulation, which shuffles every line of the corpus).
-    ``F.get`` (0-based, NULL out of bounds) keeps the neighbor probes
-    ANSI-safe — ``element_at`` would throw at the array edges under
-    Spark 4's default ANSI mode."""
-    srt = F.array_sort(arr)
+    not 2). Map-only: ``array_sort`` once, then ONE ``F.aggregate`` fold
+    walks the sorted array tracking the current equal-run (value, run
+    length, run chars) and flushes runs of >= 2 into the duplicate
+    totals — O(n log n) per document, zero shuffle, zero Python.
 
-    def is_dup(x, i):
-        return F.coalesce(x == F.get(srt, i - 1), F.lit(False)) | F.coalesce(
-            x == F.get(srt, i + 1), F.lit(False)
-        )
-
-    def lsum(xs):
-        return F.aggregate(
-            xs, F.lit(0).cast("long"), lambda a, b: a + b
-        )
-
-    return F.struct(
-        F.size(arr).cast("long").alias("n"),
-        lsum(
-            F.transform(srt, lambda x, i: is_dup(x, i).cast("long"))
-        ).alias("dup_n"),
-        lsum(F.transform(arr, lambda x: F.length(x).cast("long"))).alias(
-            "chars"
-        ),
-        lsum(
-            F.transform(
-                srt,
-                lambda x, i: F.when(
-                    is_dup(x, i), F.length(x).cast("long")
-                ).otherwise(F.lit(0).cast("long")),
-            )
-        ).alias("dup_chars"),
+    The fold shape is load-bearing, not style: HOF lambdas evaluate
+    INTERPRETED (no whole-stage codegen, no common-subexpression
+    elimination), so the more natural sorted-NEIGHBOR mask —
+    ``transform(srt, (x, i) -> x == get(srt, i ± 1))`` — re-evaluates
+    the full ``array_sort(transform(...))`` expression once PER ELEMENT,
+    turning the per-row cost quadratic (measured: 25.8s for 5000 ×
+    ~27-chunk docs at sf0.1; this fold: sub-second). The sorted array is
+    referenced exactly once here."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("runchars"),
+        F.lit(0).cast("long").alias("n"),
+        F.lit(0).cast("long").alias("chars"),
+        F.lit(0).cast("long").alias("dup_n"),
+        F.lit(0).cast("long").alias("dup_chars"),
     )
+
+    def step(acc, x):
+        same = F.coalesce(x == acc["prev"], F.lit(False))
+        flush = (~same) & (acc["run"] >= 2)  # a closing run of dups
+        ln = F.length(x).cast("long")
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.when(same, acc["runchars"] + ln).otherwise(ln).alias(
+                "runchars"
+            ),
+            (acc["n"] + 1).alias("n"),
+            (acc["chars"] + ln).alias("chars"),
+            F.when(flush, acc["dup_n"] + acc["run"])
+            .otherwise(acc["dup_n"])
+            .alias("dup_n"),
+            F.when(flush, acc["dup_chars"] + acc["runchars"])
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    def finish(acc):
+        last = acc["run"] >= 2  # flush the trailing run
+        return F.struct(
+            acc["n"].alias("n"),
+            F.when(last, acc["dup_n"] + acc["run"])
+            .otherwise(acc["dup_n"])
+            .alias("dup_n"),
+            acc["chars"].alias("chars"),
+            F.when(last, acc["dup_chars"] + acc["runchars"])
+            .otherwise(acc["dup_chars"])
+            .alias("dup_chars"),
+        )
+
+    return F.aggregate(F.array_sort(arr), zero, step, finish)
 
 
 def gopher_dup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
