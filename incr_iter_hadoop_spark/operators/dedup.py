@@ -982,6 +982,11 @@ def decontaminate_spans(
     benchmark gram set is hash-broadcast — the corpus fingerprint scan
     is map-side gated with ZERO shuffle of corpus data; only the
     surviving hit positions (rare) reach the per-doc span-merge window.
+    The ``F.broadcast`` hint is DELIBERATE and unconditional (Spark
+    honors explicit hints regardless of size estimates; AQE never
+    demotes them) — a caller probing a pathological multi-GB
+    "benchmark" should drop the hint (plain equi-join lets the planner
+    pick shuffle) rather than rely on a fallback that does not exist.
     Detection floor: overlaps shorter than ``k`` chars are invisible,
     and a span whose every gram misses the content gate is missed
     (P ≈ (1-1/8)^(L-k+1)); raise ``keep_hex`` for shorter-span recall."""

@@ -935,6 +935,8 @@ def _multiset_dup_stats(arr):
         F.lit(0).cast("long").alias("chars"),
         F.lit(0).cast("long").alias("dup_n"),
         F.lit(0).cast("long").alias("dup_chars"),
+        F.lit(0).cast("long").alias("groups"),
+        F.lit(0).cast("long").alias("max_run"),
     )
 
     def step(acc, x):
@@ -957,6 +959,14 @@ def _multiset_dup_stats(arr):
             F.when(flush, acc["dup_chars"] + acc["runchars"])
             .otherwise(acc["dup_chars"])
             .alias("dup_chars"),
+            # distinct-value count: one increment per run start
+            F.when(same, acc["groups"]).otherwise(acc["groups"] + 1).alias(
+                "groups"
+            ),
+            # top multiplicity: runs close on a value change
+            F.when(same, acc["max_run"])
+            .otherwise(F.greatest(acc["max_run"], acc["run"]))
+            .alias("max_run"),
         )
 
     def finish(acc):
@@ -970,6 +980,8 @@ def _multiset_dup_stats(arr):
             F.when(last, acc["dup_chars"] + acc["runchars"])
             .otherwise(acc["dup_chars"])
             .alias("dup_chars"),
+            acc["groups"].alias("groups"),
+            F.greatest(acc["max_run"], acc["run"]).alias("max_run"),
         )
 
     return F.aggregate(F.array_sort(arr), zero, step, finish)
@@ -986,13 +998,16 @@ def gopher_dup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     see ``_multiset_dup_stats``."""
 
     def segs(sep: str):
-        # blank = contains no non-whitespace char (rlike(\S)), matching
-        # Python str.strip() semantics — F.trim strips only ASCII spaces,
-        # so a paragraph segment like "\n  " (blank line residue between
-        # two paragraph breaks) would otherwise survive on the Spark side
-        # only (caught by the random-batch reference test)
+        # blank = contains no non-whitespace char, matching Python
+        # str.strip() semantics: F.trim strips only ASCII spaces (a
+        # paragraph segment like "\n  " would survive), and Java's bare
+        # \s is ASCII-only (an NBSP-only segment would survive) — the
+        # (?U) flag makes \S Unicode-aware (\p{IsWhite_Space}), aligning
+        # with Python for all Unicode whitespace; the residual gap is
+        # the U+001C-1F separators (Python isspace, not IsWhite_Space),
+        # accepted as out of contract (r10 review)
         return F.filter(
-            F.split(F.col(text_col), sep), lambda x: x.rlike(r"\S")
+            F.split(F.col(text_col), sep), lambda x: x.rlike(r"(?U)\S")
         )
 
     base = df.select(
@@ -1239,9 +1254,6 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice("w", i, width), " "),
         )
 
-    def seg_stats(arr):
-        return _multiset_dup_stats(arr)
-
     stops = F.size(
         F.array_distinct(
             F.filter("w", lambda t: F.lower(t).isin(*EN_STOPWORDS))
@@ -1252,14 +1264,11 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / F.col("n")
     )
-    top_bigram = F.when(
-        F.col("n") >= 2,
-        F.expr(
-            "array_max(transform(array_distinct(bigs),"
-            " t -> size(filter(bigs, x -> x = t))))"
-        ).cast("double")
-        / (F.col("n") - 1).cast("double"),
-    ).otherwise(F.lit(0.0))
+    # ONE run-length fold over the sorted bigram multiset yields BOTH
+    # bigram signals: top_bigram = max multiplicity / count (bs.max_run)
+    # and dup2 = 1 - distinct/count (bs.groups) — the per-distinct-value
+    # nested filter (O(distinct·n) interpreted) and the second bigram
+    # construction via _ngrams are both gone (r10 review)
     sig = base.withColumn(
         "bigs",
         F.when(
@@ -1269,16 +1278,26 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (x, y) -> concat(x, ' ', y))"
             ),
         ).otherwise(F.array().cast("array<string>")),
-    ).select(
+    ).withColumn("bs", _multiset_dup_stats(F.col("bigs"))).select(
         "doc_id",
         "n",
         mean_len.alias("mean_len"),
         stops.alias("n_stop"),
-        top_bigram.alias("top_bigram"),
-        dup_frac(_ngrams(F.col("w"), 2)).alias("dup2"),
+        F.when(
+            F.col("bs.n") > 0,
+            F.col("bs.max_run").cast("double") / F.col("bs.n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram"),
+        F.when(
+            F.col("bs.n") > 0,
+            F.lit(1.0) - F.col("bs.groups").cast("double") / F.col("bs.n"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup2"),
         dup_frac(_ngrams(F.col("w"), 3)).alias("dup3"),
-        seg_stats(chunks(2)).alias("ls"),
-        seg_stats(chunks(3)).alias("ps"),
+        _multiset_dup_stats(chunks(2)).alias("ls"),
+        _multiset_dup_stats(chunks(3)).alias("ps"),
     )
     failed = (
         (~F.col("n").between(50, 100000)).cast("long")

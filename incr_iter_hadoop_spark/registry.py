@@ -196,7 +196,7 @@ def _load_all() -> None:
 # — re-verified against DuckDB on every pytest run and covered by the
 # store suites — so they stay out of the window. The 46 fill slots are
 # pure staleness: both new queries (witness-less), then the complete
-# 14-query r5 cohort, then the r6 cohort alphabetically (32 of 38).
+# 14-query r5 cohort, then the r6 cohort alphabetically (31 of 38 once the late-round text_gopher_filter joined the fill).
 # After a green round 10 nothing in the ledger is older than r6, with
 # seven r6 stragglers (named in COVERAGE.md) for the r11 fill. The
 # composed text_gopher_filter (new, witness-less) enters via the fill

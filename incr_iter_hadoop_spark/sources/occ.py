@@ -207,6 +207,38 @@ def stage_is_young(path: str, retention_sec: float | None = None) -> bool:
         return False
 
 
+def retention_clock(path: str, retain_sec: float) -> bool:
+    """VACUUM RETAIN age check for an unreferenced-but-retained artifact
+    directory: may THIS retaining sweep reclaim it?
+
+    Age must be measured from RETIREMENT (when the artifact became
+    unreferenced), not from the directory mtime — a generation written
+    hours ago but retired one second ago would otherwise be reclaimed
+    instantly, defeating the in-flight-reader protection (r10 review).
+    Delta measures RETAIN from the remove-action timestamp in the log;
+    the filesystem analogue here is a ``.retired-at`` marker file the
+    FIRST retaining sweep drops inside the directory (hidden dot-file —
+    parquet scans ignore it): the clock starts at first sight, and the
+    artifact is reclaimable once the marker is older than the window.
+    With ``retain_sec`` 0/None the artifact is immediately reclaimable
+    (the quiesced-caller contract) and no marker is written."""
+    import time
+
+    if not retain_sec:
+        return True
+    marker = os.path.join(path, ".retired-at")
+    try:
+        if not os.path.exists(marker):
+            with open(marker, "w"):
+                pass  # first sight: start the retirement clock
+            return False
+        return (time.time() - os.path.getmtime(marker)) >= retain_sec
+    except OSError:
+        # unreadable/racing artifact: keep it this pass — a later sweep
+        # re-derives the same answer from disk
+        return False
+
+
 def final_is_sweepable(path: str, retention_sec: float | None = None) -> bool:
     """May an orphan sweep reclaim an UNREFERENCED but FINAL-POSITIONED
     directory (an era/version/generation name the committed meta does not

@@ -756,9 +756,11 @@ class PreserveStore:
         instead of leaking disk forever. Same ordering and sweep contract
         as ``Scd2Store.vacuum``; ``retain_sec`` (r10) is the Delta
         ``VACUUM ... RETAIN`` discipline — unreferenced era artifacts
-        younger than it stay on disk so a vacuum loop can run while
-        readers still hold plans over just-retired eras (0 = reclaim
-        immediately, the quiesced-caller contract)."""
+        stay on disk until ``retain_sec`` has elapsed since a retaining
+        sweep FIRST saw them unreferenced (``occ.retention_clock``; age
+        runs from retirement, not dir mtime), so a vacuum loop can run
+        while readers still hold plans over just-retired eras (0 =
+        reclaim immediately, the quiesced-caller contract)."""
         v0 = self._occ_begin()
         if self.meta.get("retired", {}):
             meta = dict(self.meta)
@@ -809,10 +811,11 @@ class PreserveStore:
                     os.path.join(self.path, d), ret
                 ):
                     continue
-                if retain_sec and occ.stage_is_young(
+                if not occ.retention_clock(
                     os.path.join(self.path, d), retain_sec
                 ):
-                    continue  # VACUUM RETAIN: in-flight readers
+                    continue  # VACUUM RETAIN: in-flight readers (clock
+                    # runs from first-sight-as-unreferenced — r10 review)
                 era = int(m.group(1))
                 for which in ("contribs", "results"):
                     self.spark.sql(
@@ -834,11 +837,8 @@ class PreserveStore:
                         and occ.final_is_sweepable(
                             os.path.join(lroot, d), ret
                         )
-                        and not (
-                            retain_sec
-                            and occ.stage_is_young(
-                                os.path.join(lroot, d), retain_sec
-                            )
+                        and occ.retention_clock(
+                            os.path.join(lroot, d), retain_sec
                         )
                     ):
                         shutil.rmtree(

@@ -768,13 +768,15 @@ class Scd2Store:
         same orphan set from disk and reclaims it.
 
         ``retain_sec`` (r10 — the Delta ``VACUUM ... RETAIN`` discipline):
-        retired artifacts younger than this are left on disk even though
-        the committed meta no longer references them, so a vacuum loop
-        can run CONCURRENTLY with readers/writers whose in-flight scans
-        still hold plans over a just-retired generation (a writer's own
-        cadence ``snapshot()`` read is such a scan) — only aged artifacts
-        are reclaimed. Default 0 keeps the quiesced-caller contract:
-        reclaim immediately."""
+        retired artifacts are left on disk until ``retain_sec`` has
+        elapsed since a retaining sweep FIRST saw them unreferenced
+        (``occ.retention_clock`` — age runs from retirement, not the
+        directory mtime: a generation written hours ago but retired one
+        second ago must still be protected), so a vacuum loop can run
+        CONCURRENTLY with readers/writers whose in-flight scans still
+        hold plans over a just-retired generation (a writer's own
+        cadence ``snapshot()`` read is such a scan). Default 0 keeps the
+        quiesced-caller contract: reclaim immediately."""
         v0 = self._occ_begin()
         newest = max(self.snaps)
         if self.snaps != [newest] or self.vacuumed_below < newest:
@@ -824,9 +826,11 @@ class Scd2Store:
                     continue
                 if not occ.final_is_sweepable(p, ret):
                     continue
-                if retain_sec and occ.stage_is_young(p, retain_sec):
+                if not occ.retention_clock(p, retain_sec):
                     continue  # VACUUM RETAIN: in-flight readers may
                     # still hold plans over this just-retired generation
+                    # (clock runs from first-sight-as-unreferenced, not
+                    # the dir mtime — r10 review)
                 self.spark.sql(
                     f"DROP TABLE IF EXISTS {self._table_name(g)}"
                 )
@@ -840,9 +844,7 @@ class Scd2Store:
                         if not occ.stage_is_young(p, ret):
                             shutil.rmtree(p, ignore_errors=True)
                     elif m and int(m.group(1)) <= vb:
-                        if retain_sec and occ.stage_is_young(
-                            p, retain_sec
-                        ):
+                        if not occ.retention_clock(p, retain_sec):
                             continue  # VACUUM RETAIN (see above)
                         # committed-and-vacuumed layers: safe without the
                         # final_is_sweepable gate even lock-free — a

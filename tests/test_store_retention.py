@@ -129,3 +129,33 @@ def test_scd2_vacuum_retain_protects_young_retired_generation(
     assert store.snaps == [1]  # the meta commit still happened
     store.vacuum()  # retain 0: reclaimed
     assert not os.path.exists(old_gen)
+
+
+def test_vacuum_retain_clock_runs_from_retirement_not_mtime(
+    spark, tmp_path
+):
+    """r10 review: a generation WRITTEN long ago but retired one second
+    ago must still be protected by the retain window — age runs from
+    when a retaining sweep first saw the artifact unreferenced
+    (occ.retention_clock's .retired-at marker), never from the
+    directory mtime."""
+    store = Scd2Store(spark, str(tmp_path / "scd2")).initialize(
+        _dim(spark), key_cols=["k"], num_buckets=2
+    )
+    store.apply_era(
+        spark.createDataFrame([(1, 99)], "k bigint, v bigint")
+    )
+    store.snapshot(1)
+    old_gen = os.path.join(store.path, "base")
+    os.utime(old_gen, (1, 1))  # the generation's files are "hours old"
+    store.vacuum(retain_sec=3600)
+    # first retaining sight: clock starts, nothing reclaimed
+    assert os.path.isdir(old_gen)
+    assert os.path.isfile(os.path.join(old_gen, ".retired-at"))
+    store.vacuum(retain_sec=3600)
+    # still inside the window measured from first sight
+    assert os.path.isdir(old_gen)
+    # age the RETIREMENT marker past the window: now reclaimable
+    os.utime(os.path.join(old_gen, ".retired-at"), (1, 1))
+    store.vacuum(retain_sec=3600)
+    assert not os.path.exists(old_gen)
