@@ -990,11 +990,47 @@ def decontaminate_spans(
     Detection floor: overlaps shorter than ``k`` chars are invisible,
     and a span whose every gram misses the content gate is missed
     (P ≈ (1-1/8)^(L-k+1)); raise ``keep_hex`` for shorter-span recall."""
-    bench_grams = (
+    return decontaminate_spans_against(
+        corpus,
+        benchmark_gram_set(bench, id_col, text_col, k, keep_hex),
+        id_col,
+        text_col,
+        k,
+        keep_hex,
+    )
+
+
+def benchmark_gram_set(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """The benchmark's distinct content-gated grams — the PREPARED
+    decontamination index a deployed pipeline materializes once
+    (benchmarks change rarely; the corpus streams) and probes on every
+    ingest batch (``streaming/incremental_stream.streaming_decontaminate``)."""
+    return (
         _fingerprint_grams(bench, id_col, text_col, k, keep_hex)
         .select("gram")
         .distinct()
     )
+
+
+def decontaminate_spans_against(
+    corpus: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """The probe half of ``decontaminate_spans``: corpus fingerprints
+    LEFT-SEMI against an already-prepared benchmark gram set (broadcast —
+    see the scale note there). Per-doc output, no cross-doc state, so a
+    corpus partitioned into ingest batches probes batch-by-batch and the
+    union equals the at-rest result exactly."""
     hits = (
         _fingerprint_grams(corpus, id_col, text_col, k, keep_hex)
         .join(F.broadcast(bench_grams), "gram", "left_semi")
@@ -1062,6 +1098,122 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
         F.col("dup_chars").cast("bigint").alias("contam_chars"),
     )
+
+
+@register(
+    "decontaminate_streamed",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                 range(1, length(text) - {SPAN_K - 2}),
+                 i -> substr(md5(substr(text, CAST(i AS INTEGER), {SPAN_K})),
+                             1, 2) < '{SPAN_KEEP_HEX}')) AS pos
+        FROM documents WHERE length(text) >= {SPAN_K}
+      )
+    ), b AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_NEW_DOC_MOD} = 0
+    ), h AS (
+      SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)
+      WHERE g.doc_id % {_NEW_DOC_MOD} <> 0
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + {SPAN_K - 1}) OVER w IS NULL
+                    OR pos > MAX(pos + {SPAN_K - 1}) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), runs AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+      FROM runs GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS contam_chars
+    FROM spans GROUP BY doc_id
+    """,
+    doc="decontamination AT INGEST (round 10 — §2.9 × the "
+    "decontaminate_substring family, the Kappa pattern a real pipeline "
+    "runs so contaminated documents never land in the corpus): the same "
+    "corpus split arrives as two file-source micro-batches; the "
+    "benchmark gram set is materialized ONCE (localCheckpoint — the "
+    "prepared index, benchmarks change rarely), each micro-batch probes "
+    "it via foreachBatch and lands its flagged spans in a per-batch "
+    "parquet partition whose overwrite makes replays idempotent "
+    "(exactly-once output under at-least-once foreachBatch). "
+    "Containment is per-doc against static state — no cross-batch "
+    "state — so the drained union must equal the at-rest operator "
+    "exactly: the oracle is decontaminate_substring's verbatim.",
+)
+def decontaminate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_decontaminate
+
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    docs = corpus.select("doc_id", "text")
+    # the prepared index: materialized once, probed per batch
+    # (localCheckpoint, not persist — registered queries cannot unpersist
+    # after the driver collects)
+    bench_grams = benchmark_gram_set(
+        bench, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="decontam_stream_")
+    feed = os.path.join(root, "feed")
+    sink = os.path.join(root, "sink")
+    os.makedirs(feed)
+    q = None
+    try:
+        # two deterministic micro-batches split by doc-id parity
+        for i, half in enumerate(
+            [docs.where(F.col("doc_id") % 2 == 0),
+             docs.where(F.col("doc_id") % 2 == 1)],
+            start=1,
+        ):
+            staging = os.path.join(root, f"stage{i}")
+            half.coalesce(1).write.parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"batch{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (i, i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_decontaminate(
+            stream,
+            bench_grams,
+            "doc_id",
+            "text",
+            sink,
+            os.path.join(root, "checkpoint"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError("streamed decontamination did not drain")
+        parts = sorted(glob.glob(os.path.join(sink, "batch=*")))
+        flagged = spark.read.parquet(*parts)
+        out = flagged.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+            F.col("dup_chars").cast("bigint").alias("contam_chars"),
+        ).localCheckpoint(eager=True)
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 _DEL_DOC_MOD = 7  # deletion delta: every 7th doc leaves the corpus

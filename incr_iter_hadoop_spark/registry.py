@@ -196,11 +196,11 @@ def _load_all() -> None:
 # — re-verified against DuckDB on every pytest run and covered by the
 # store suites — so they stay out of the window. The 46 fill slots are
 # pure staleness: both new queries (witness-less), then the complete
-# 14-query r5 cohort, then the r6 cohort alphabetically (31 of 38 once the late-round text_gopher_filter joined the fill).
+# 14-query r5 cohort, then the r6 cohort alphabetically (30 of 38 once the late-round text_gopher_filter and decontaminate_streamed joined the fill).
 # After a green round 10 nothing in the ledger is older than r6, with
-# seven r6 stragglers (named in COVERAGE.md) for the r11 fill. The
-# composed text_gopher_filter (new, witness-less) enters via the fill
-# like every new query.
+# eight r6 stragglers (named in COVERAGE.md) for the r11 fill. The
+# composed text_gopher_filter and the streamed decontaminate_streamed
+# (new, witness-less) enter via the fill like every new query.
 WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -257,13 +257,15 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 FIRST_WINDOW: list[str] = [
     # round-10 priority: the two behaviorally-changed store paths
-    # + the two new r10 queries; fill = pure staleness (the new
-    # composed text_gopher_filter, the full 14-query r5 cohort,
-    # then the r6 cohort alphabetically)
+    # + the two headline new r10 queries; fill = pure staleness
+    # (the late-round decontaminate_streamed and
+    # text_gopher_filter, witness-less, enter first; then the
+    # full 14-query r5 cohort; then the r6 cohort alphabetically)
     "scd2_store_vacuum_reads",
     "scd2_store_occ_retry",
     "decontaminate_substring",
     "text_dup_line_stats",
+    "decontaminate_streamed",
     "text_gopher_filter",
     "q7_nation_volume",
     "q8_market_share",
@@ -309,7 +311,6 @@ FIRST_WINDOW: list[str] = [
     "scan_csv_roundtrip",
     "scan_orc_roundtrip",
     "setop_intersect",
-    "skew_report_suppkey",
 ]
 
 

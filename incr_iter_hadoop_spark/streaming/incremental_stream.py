@@ -405,3 +405,50 @@ def streaming_pit_enrich(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_decontaminate(
+    doc_stream: DataFrame,
+    bench_grams: DataFrame,
+    id_col: str,
+    text_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Decontaminate-at-INGEST (round 10 — the Kappa pattern applied to
+    the train-test overlap check): documents arrive as micro-batches and
+    each batch's contaminated spans are computed against the PREPARED
+    benchmark gram set (``dedup.benchmark_gram_set`` — materialized once;
+    benchmarks change rarely, the corpus streams) before the batch ever
+    reaches the training corpus. This is where a real pipeline runs the
+    check: filtering at ingest means contaminated documents never land,
+    instead of sweeping a 100 TB corpus retroactively.
+
+    Containment is per-document against static benchmark state — no
+    cross-batch state at all — so the union of per-batch outputs equals
+    the at-rest ``decontaminate_spans`` over the whole corpus exactly
+    (the registered query's oracle is the at-rest oracle verbatim).
+    Each batch lands in ``sink_dir/batch=<id>`` with mode=overwrite:
+    foreachBatch is at-least-once, and the per-batch overwrite makes a
+    replay rewrite its own partition instead of appending duplicates —
+    the same idempotent-sink discipline as ``streaming_pit_enrich``."""
+    import os
+
+    from ..operators.dedup import decontaminate_spans_against
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        decontaminate_spans_against(
+            batch_df, bench_grams, id_col, text_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

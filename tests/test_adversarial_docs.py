@@ -62,6 +62,7 @@ DOC_QUERIES = [
     "pipeline_build_training_set",
     "decontaminate_overlap",
     "decontaminate_substring",
+    "decontaminate_streamed",
     "agg_histogram",
     "wordcount",
     "incr_dedup_clusters",
