@@ -1039,9 +1039,11 @@ def decontaminate_spans_against(
     return _merge_spans(hits, k)
 
 
-@register(
-    "decontaminate_substring",
-    oracle=f"""
+# The full-benchmark decontamination oracle — shared verbatim by the
+# at-rest (decontaminate_substring), streamed (decontaminate_streamed),
+# and incremental (incr_decontaminate) registrations: all three MUST
+# equal the same full recompute.
+_DECONTAM_ORACLE = f"""
     WITH g AS MATERIALIZED (
       SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
       FROM (
@@ -1078,7 +1080,12 @@ def decontaminate_spans_against(
            CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
            CAST(SUM(e - s + 1) AS BIGINT) AS contam_chars
     FROM spans GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "decontaminate_substring",
+    oracle=_DECONTAM_ORACLE,
     doc="train-test DECONTAMINATION by substring containment (round 10 — "
     "the Lee et al./GPT-3 overlap step): corpus docs (doc_id % "
     f"{_NEW_DOC_MOD} != 0) containing any >= {SPAN_K}-char run that "
@@ -1102,44 +1109,7 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminate_streamed",
-    oracle=f"""
-    WITH g AS MATERIALIZED (
-      SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
-      FROM (
-        SELECT doc_id, text,
-               unnest(list_filter(
-                 range(1, length(text) - {SPAN_K - 2}),
-                 i -> substr(md5(substr(text, CAST(i AS INTEGER), {SPAN_K})),
-                             1, 2) < '{SPAN_KEEP_HEX}')) AS pos
-        FROM documents WHERE length(text) >= {SPAN_K}
-      )
-    ), b AS (
-      SELECT DISTINCT gram FROM g WHERE doc_id % {_NEW_DOC_MOD} = 0
-    ), h AS (
-      SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)
-      WHERE g.doc_id % {_NEW_DOC_MOD} <> 0
-    ), isl AS (
-      SELECT doc_id, pos,
-             CASE WHEN MAX(pos + {SPAN_K - 1}) OVER w IS NULL
-                    OR pos > MAX(pos + {SPAN_K - 1}) OVER w
-                  THEN 1 ELSE 0 END AS new_span
-      FROM h
-      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-    ), runs AS (
-      SELECT doc_id, pos,
-             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-      FROM isl
-    ), spans AS (
-      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
-      FROM runs GROUP BY doc_id, span_id
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
-           CAST(SUM(e - s + 1) AS BIGINT) AS contam_chars
-    FROM spans GROUP BY doc_id
-    """,
+    oracle=_DECONTAM_ORACLE,
     doc="decontamination AT INGEST (round 10 — §2.9 × the "
     "decontaminate_substring family, the Kappa pattern a real pipeline "
     "runs so contaminated documents never land in the corpus): the same "
@@ -1248,4 +1218,237 @@ def incr_dedup_minhash_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             deleted, base_pairs.i == deleted.del_id, "left_anti"
         )
         .join(deleted, base_pairs.j == deleted.del_id, "left_anti")
+    )
+
+
+def incr_decontaminate_spans(
+    corpus_fp: DataFrame,
+    old_hits: DataFrame,
+    new_bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """Decontamination under a GROWING benchmark (I7/I8 applied to the
+    decontaminate_substring family): a new eval suite ships, and only its
+    grams are probed — the corpus text is never re-read.
+
+    Preserved state (what a deployed pipeline materializes):
+      * ``corpus_fp`` — the corpus fingerprint relation (id, pos, gram)
+        from ``_fingerprint_grams``: a narrow ~keep_hex/256-sampled
+        projection that refreshes additively as corpus batches land
+        (disjoint batches union; no cross-doc state);
+      * ``old_hits`` — the (id, pos) hit positions of every previously
+        probed benchmark gram (narrow, rare by construction).
+
+    Delta pass: the NEW benchmark split's distinct content-gated grams
+    (tiny — eval suites are MBs) broadcast into a LEFT-SEMI over the
+    preserved fingerprints, exactly the at-rest probe; new hits union
+    with the preserved hits (distinct on (id, pos) — a gram can be in
+    both splits) and the per-doc span merge re-runs over hit positions
+    only, O(|hits|), never O(corpus).
+
+    Exactness: the semi-join distributes over the gram-set union —
+    fp ⋉ (grams_old ∪ grams_new) = (fp ⋉ grams_old) ∪ (fp ⋉ grams_new)
+    — so the incremental result equals the full recompute EXACTLY
+    (pytest-pinned in tests/test_incr_decontaminate.py; the registered
+    query's oracle is the verbatim full-benchmark oracle)."""
+    new_grams = benchmark_gram_set(new_bench, id_col, text_col, k, keep_hex)
+    new_hits = (
+        corpus_fp.join(F.broadcast(new_grams), "gram", "left_semi")
+        .select("id", "pos")
+    )
+    all_hits = old_hits.unionByName(new_hits).distinct()
+    return _merge_spans(all_hits, k)
+
+
+@register(
+    "incr_decontaminate",
+    oracle=_DECONTAM_ORACLE,
+    doc="incremental DECONTAMINATION under a growing benchmark (round 10 "
+    "— the I7/I8 refresh discipline applied to the train-test overlap "
+    f"step): benchmark docs (doc_id % {_NEW_DOC_MOD} == 0) split into an "
+    "already-probed OLD half (doc_id % 20 == 0) and a newly-shipped NEW "
+    "half; the preserved state is the corpus fingerprint relation plus "
+    "the old hit positions, and the delta pass probes ONLY the new "
+    "split's grams (broadcast) against the preserved fingerprints — the "
+    "corpus text is never re-read, per-delta work is O(|new grams| + "
+    "|hits|). Semi-joins distribute over gram-set union, so the "
+    "incremental result equals the full recompute exactly: the oracle "
+    "is the verbatim full-benchmark decontamination oracle.",
+)
+def incr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    old_b = bench.where(F.col("doc_id") % 20 == 0)
+    new_b = bench.where(F.col("doc_id") % 20 != 0)
+    # preserved state, built inline at query granularity (same convention
+    # as incr_dedup_substring's base index): fingerprints + old hits
+    corpus_fp = _fingerprint_grams(
+        corpus, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX
+    )
+    old_hits = (
+        corpus_fp.join(
+            F.broadcast(benchmark_gram_set(old_b, "doc_id", "text")),
+            "gram",
+            "left_semi",
+        )
+        .select("id", "pos")
+    )
+    return incr_decontaminate_spans(
+        corpus_fp, old_hits, new_b, "doc_id", "text"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+        F.col("dup_chars").cast("bigint").alias("contam_chars"),
+    )
+
+
+def dedup_paragraphs(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """Cross-document PARAGRAPH-level exact dedup (the CCNet / RefinedWeb
+    / Dolma corpus-dedupe step): every repeated paragraph keeps its FIRST
+    occurrence corpus-wide — ordered by (id, position) — and later
+    occurrences are dropped from their documents; cleaned documents are
+    reassembled in original paragraph order. Output per input doc with at
+    least one non-blank paragraph: (id, n_paras, n_dropped, text_clean) —
+    a fully-deduplicated doc survives with n_dropped == n_paras and
+    text_clean == ''.
+
+    Complements the within-document dup-line stats (textops.
+    gopher_dup_lines — a per-doc quality SIGNAL) and the whole-doc /
+    substring dedup families: this one MUTATES the corpus at paragraph
+    granularity, which is how CCNet-style pipelines actually shed
+    boilerplate (headers, nav bars, license blocks) that whole-doc hashes
+    can't see and span stats only measure.
+
+    Segmentation matches gopher_dup_lines: split on ``sep`` (a literal —
+    used both as the split pattern and the reassembly joiner), segments
+    with no Unicode non-whitespace dropped.
+
+    100 TB shape: dedup-by-content NEEDS one shuffle keyed by paragraph
+    content — that is the canonical CCNet plan, and grouping by the VALUE
+    (not a 64-bit hash) keeps the operator exact / oracle-checkable while
+    shuffling the same bytes a (hash, text)-keyed variant would. Three
+    exchanges total, all necessary: (1) paragraph text keyed by content
+    for first-occurrence selection (min struct(id, pos) — one hash agg,
+    never a window sort), (2) surviving paragraphs keyed by id for
+    reassembly, (3) a NARROW (id, count) agg for per-doc totals; nothing
+    is ever a pair join, and a boilerplate paragraph in f docs costs f
+    rows, never f². (The probabilistic alternative — a Bloom/exact-hash
+    filter map-side — trades exactness for zero shuffle and is what
+    Dolma's dedupe tool does; this engine keeps the exact formulation.)"""
+    text = F.col(text_col)
+    segs = F.filter(
+        F.split(text, sep), lambda x: x.rlike(r"(?U)\S")
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs)).toDF(
+        "id", "pos", "para"
+    )
+    # first occurrence per distinct paragraph value: the kept set IS the
+    # groupBy output (non-duplicated paragraphs are their own winners)
+    kept = (
+        ex.groupBy("para")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"), "para")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(segs).alias("n_paras")
+    ).where(F.col("n_paras") > 0)
+    return totals.join(rebuilt, "id", "left").select(
+        "id",
+        F.col("n_paras").cast("bigint").alias("n_paras"),
+        (F.col("n_paras") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
+@register(
+    "dedup_paragraphs_global",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), arrs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) + 1, 3),
+                            i -> array_to_string(w[i:i+2], ' ')) AS paras
+      FROM t WHERE len(w) > 0
+    ), ex AS (
+      SELECT doc_id, i AS pos, paras[i] AS para
+      FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i
+            FROM arrs)
+    ), marked AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY doc_id, pos) AS rn
+      FROM ex
+    ), stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+      FROM ex GROUP BY doc_id
+    ), kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean
+      FROM marked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_paras,
+           CAST(n_paras - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(text_clean, '') AS text_clean
+    FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
+    """,
+    doc="cross-document paragraph-level exact dedup (round 10 — the "
+    "CCNet/RefinedWeb corpus-dedupe step: repeated paragraphs keep their "
+    "first occurrence by (doc_id, position) corpus-wide, documents are "
+    "reassembled without the dropped copies). The sf corpora carry no "
+    "newlines, so the registered query synthesizes a deterministic "
+    "paragraph structure IDENTICALLY on both engines — paragraphs = "
+    "consecutive 3-token chunks joined by '\\n\\n' (the same chunking as "
+    "text_dup_line_stats; ~3k cross-doc duplicate occurrences at sf0.01, "
+    "non-vacuous) — and runs the REAL '\\n\\n'-split operator on the "
+    "rebuilt text (tokens carry no newlines, so split∘join is the "
+    "identity on chunks); the real newline path incl. blank segments and "
+    "full-doc wipeouts is pinned against a pure-Python reference in "
+    "tests/test_dedup_paragraphs.py. Exact value-keyed formulation: one "
+    "content-keyed exchange (first-occurrence hash agg, min struct — "
+    "never a global window sort), one id-keyed reassembly exchange, one "
+    "narrow totals agg; never a pair product (a paragraph in f docs "
+    "costs f rows, not f²). The oracle deliberately uses the "
+    "ROW_NUMBER-window formulation as the independent cross-check.",
+)
+def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = ws_tokens(F.col("text"))
+    synth = (
+        d.select("doc_id", w.alias("w"))
+        .where(F.size("w") > 0)
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w"), F.lit(3)),
+                    lambda i: F.array_join(F.slice("w", i, 3), " "),
+                ),
+                "\n\n",
+            ).alias("text"),
+        )
+    )
+    return dedup_paragraphs(synth, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "n_paras",
+        "n_dropped",
+        "text_clean",
     )

@@ -195,12 +195,13 @@ def _load_all() -> None:
 # whose r10 diff is parameter threading with identical default behavior
 # — re-verified against DuckDB on every pytest run and covered by the
 # store suites — so they stay out of the window. The 46 fill slots are
-# pure staleness: both new queries (witness-less), then the complete
-# 14-query r5 cohort, then the r6 cohort alphabetically (30 of 38 once the late-round text_gopher_filter and decontaminate_streamed joined the fill).
-# After a green round 10 nothing in the ledger is older than r6, with
-# eight r6 stragglers (named in COVERAGE.md) for the r11 fill. The
-# composed text_gopher_filter and the streamed decontaminate_streamed
-# (new, witness-less) enter via the fill like every new query.
+# pure staleness: the witness-less new queries first (the late-round
+# decontaminate_streamed, dedup_paragraphs_global, incr_decontaminate,
+# and text_gopher_filter — every new query enters via the fill), then
+# the complete 14-query r5 cohort, then the r6 cohort alphabetically
+# (28 of 38). After a green round 10 nothing in the ledger is older
+# than r6, with ten r6 stragglers (named in COVERAGE.md) for the r11
+# fill.
 WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -266,6 +267,8 @@ FIRST_WINDOW: list[str] = [
     "decontaminate_substring",
     "text_dup_line_stats",
     "decontaminate_streamed",
+    "dedup_paragraphs_global",
+    "incr_decontaminate",
     "text_gopher_filter",
     "q7_nation_volume",
     "q8_market_share",
@@ -309,8 +312,6 @@ FIRST_WINDOW: list[str] = [
     "sample_stratified_events",
     "scan_binaryfile_media",
     "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "setop_intersect",
 ]
 
 

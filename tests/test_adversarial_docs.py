@@ -63,6 +63,8 @@ DOC_QUERIES = [
     "decontaminate_overlap",
     "decontaminate_substring",
     "decontaminate_streamed",
+    "incr_decontaminate",
+    "dedup_paragraphs_global",
     "agg_histogram",
     "wordcount",
     "incr_dedup_clusters",

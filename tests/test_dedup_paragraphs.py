@@ -1,0 +1,85 @@
+"""Cross-document paragraph dedup vs a pure-Python reference.
+
+The registered query (dedup_paragraphs_global) synthesizes newline-free
+paragraph chunks because the sf corpora carry no newlines; these tests pin
+the REAL '\\n\\n' (and '\\n') split path on hostile documents — blank
+segments, within-doc repeats, full-document wipeouts, Unicode whitespace —
+against a first-occurrence reference implementing the CCNet keep-first
+rule directly."""
+
+from __future__ import annotations
+
+import re
+
+from incr_iter_hadoop_spark.operators.dedup import dedup_paragraphs
+
+
+def _ref(docs: dict[int, str], sep: str):
+    """Keep-first-by-(id, pos) reference: iterate ids ascending, positions
+    ascending — exactly min(struct(id, pos)) per distinct paragraph."""
+    segs = {}
+    for i in sorted(docs):
+        lst = [s for s in docs[i].split(sep) if re.search(r"\S", s)]
+        if lst:
+            segs[i] = lst
+    seen: set[str] = set()
+    out = {}
+    for i in sorted(segs):
+        kept = []
+        for s in segs[i]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[i] = (len(segs[i]), len(segs[i]) - len(kept), sep.join(kept))
+    return out
+
+
+def _run(spark, docs: dict[int, str], sep: str = "\n\n"):
+    df = spark.createDataFrame(
+        sorted(docs.items()), "doc_id long, body string"
+    )
+    rows = dedup_paragraphs(df, "doc_id", "body", sep=sep).collect()
+    return {
+        r["id"]: (r["n_paras"], r["n_dropped"], r["text_clean"])
+        for r in rows
+    }
+
+
+def test_hostile_docs_match_reference(spark):
+    docs = {
+        0: "alpha beta\n\ngamma\n\nalpha beta",  # within-doc repeat
+        1: "gamma\n\ndelta",  # cross-doc repeat of 'gamma'
+        2: "",  # empty: no output row
+        3: "   \n\n   \n\n",  # blank/NBSP segments only: no row
+        4: "alpha beta\n\ngamma",  # fully duplicated: wiped to ''
+        5: "\n\nzeta\n\n\n\n",  # leading/trailing blanks dropped
+    }
+    got = _run(spark, docs)
+    assert got == _ref(docs, "\n\n")
+    assert got[4] == (2, 2, "")  # the wipeout survives as a row
+    assert 2 not in got and 3 not in got
+    assert got[5] == (1, 0, "zeta")
+
+
+def test_line_separator_variant(spark):
+    docs = {
+        0: "a\nb\na",
+        1: "b\nc",
+        2: "c\nc\nc",
+    }
+    assert _run(spark, docs, sep="\n") == _ref(docs, "\n")
+
+
+def test_first_occurrence_is_lowest_id_then_position(spark):
+    # 'dup' appears at position 1 of doc 0 and position 0 of doc 1:
+    # doc 0 keeps it (lower id wins over lower position)
+    docs = {0: "x\n\ndup", 1: "dup\n\ny"}
+    got = _run(spark, docs)
+    assert got[0] == (2, 0, "x\n\ndup")
+    assert got[1] == (2, 1, "y")
+
+
+def test_reassembly_preserves_original_order(spark):
+    docs = {0: "c\n\na\n\nb"}  # kept order is positional, never sorted
+    got = _run(spark, docs)
+    assert got[0] == (3, 0, "c\n\na\n\nb")

@@ -436,3 +436,27 @@ def test_decontaminate_substring_is_broadcast_semi_no_product(
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incr_decontaminate_both_probes_broadcast_semi(spark, sf_dir):
+    # old-state rebuild AND the delta pass each broadcast a benchmark gram
+    # set into a LEFT-SEMI over the corpus fingerprints; the hit-position
+    # union is narrow (id, pos) and nothing is ever a doc-pair product
+    plan = _executed_plan(spark, sf_dir, "incr_decontaminate")
+    assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_paragraphs_hash_agg_no_window_no_product(spark, sf_dir):
+    # first-occurrence selection is a hash agg (min struct) on the
+    # paragraph value — never a ROW_NUMBER window (that formulation sorts
+    # every content partition; the oracle uses it as the independent
+    # cross-check) and never a pair join; reassembly is a second hash agg
+    # on the doc id. No global sort anywhere (array_sort is per-row).
+    plan = _executed_plan(spark, sf_dir, "dedup_paragraphs_global")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert plan.count("HashAggregate") >= 2
