@@ -1339,13 +1339,7 @@ def dedup_paragraphs(
     rows, never f². (The probabilistic alternative — a Bloom/exact-hash
     filter map-side — trades exactness for zero shuffle and is what
     Dolma's dedupe tool does; this engine keeps the exact formulation.)"""
-    text = F.col(text_col)
-    segs = F.filter(
-        F.split(text, sep), lambda x: x.rlike(r"(?U)\S")
-    )
-    ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs)).toDF(
-        "id", "pos", "para"
-    )
+    ex, totals = _para_explode(df, id_col, text_col, sep)
     # first occurrence per distinct paragraph value: the kept set IS the
     # groupBy output (non-duplicated paragraphs are their own winners)
     kept = (
@@ -1353,6 +1347,26 @@ def dedup_paragraphs(
         .agg(F.min(F.struct("id", "pos")).alias("w"))
         .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"), "para")
     )
+    return _para_reassemble(kept, totals, sep)
+
+
+def _para_explode(df: DataFrame, id_col: str, text_col: str, sep: str):
+    """(exploded (id, pos, para) of non-blank segments, per-doc totals)."""
+    text = F.col(text_col)
+    segs = F.filter(F.split(text, sep), lambda x: x.rlike(r"(?U)\S"))
+    ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs)).toDF(
+        "id", "pos", "para"
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"), F.size(segs).alias("n_paras")
+    ).where(F.col("n_paras") > 0)
+    return ex, totals
+
+
+def _para_reassemble(
+    kept: DataFrame, totals: DataFrame, sep: str
+) -> DataFrame:
+    """Rebuild cleaned docs from surviving (id, pos, para) rows + totals."""
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -1363,9 +1377,6 @@ def dedup_paragraphs(
             sep,
         ).alias("text_clean"),
     )
-    totals = df.select(
-        F.col(id_col).alias("id"), F.size(segs).alias("n_paras")
-    ).where(F.col("n_paras") > 0)
     return totals.join(rebuilt, "id", "left").select(
         "id",
         F.col("n_paras").cast("bigint").alias("n_paras"),
@@ -1430,9 +1441,68 @@ def dedup_paragraphs(
     "ROW_NUMBER-window formulation as the independent cross-check.",
 )
 def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = _synth_para_docs(spark, sf_dir)
+    return dedup_paragraphs(synth, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "n_paras",
+        "n_dropped",
+        "text_clean",
+    )
+
+
+def incr_dedup_paragraphs(
+    seen_paras: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Paragraph dedup under CORPUS GROWTH (I7 on the paragraph domain —
+    how a CCNet-style dedupe actually runs in production, batch by
+    ingest batch): the already-committed corpus is IMMUTABLE (keep-first
+    means insertion can only drop NEW copies, never revise old docs), so
+    the delta pass cleans only the arriving documents — a delta
+    paragraph survives iff its value is absent from the preserved seen
+    set AND it is the first occurrence within the delta by (id, pos).
+
+    ``seen_paras``: the preserved distinct paragraph values of the
+    committed corpus (column ``para``) — the state a deployed pipeline
+    materializes once and extends additively with each batch's kept
+    values. Returns cleaned DELTA docs only; base output is unchanged
+    by construction.
+
+    Exactness: processing order (base batch, then delta) is a total
+    order on occurrences, so base ∪ incremental-delta equals the full
+    keep-first recompute under that arrival order exactly (the
+    registered query's oracle is that full recompute; the hostile-doc
+    equivalence is pytest-pinned).
+
+    100 TB shape: the delta's within-batch dedup is the same
+    content-keyed hash agg as the at-rest operator but over the BATCH
+    only; the seen-set probe is an equi anti-join on the paragraph
+    value — with the seen set bucketed at rest by ``para`` (the
+    preserve-store discipline) the index side never reshuffles, and
+    per-batch work is O(|delta| + touched index buckets), never
+    O(corpus). (Dolma's Bloom-filter dedupe is the probabilistic
+    map-side variant of exactly this probe.)"""
+    ex, totals = _para_explode(delta, id_col, text_col, sep)
+    kept = (
+        ex.groupBy("para")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .join(seen_paras.select("para"), "para", "left_anti")
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"), "para")
+    )
+    return _para_reassemble(kept, totals, sep)
+
+
+def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared paragraph-structure synthesis for the registered
+    paragraph-dedup queries: the sf corpora carry no newlines, so docs
+    are rebuilt as 3-token chunks joined by '\\n\\n' — deterministically
+    and identically on both engines."""
     d = load_table(spark, sf_dir, "documents")
     w = ws_tokens(F.col("text"))
-    synth = (
+    return (
         d.select("doc_id", w.alias("w"))
         .where(F.size("w") > 0)
         .select(
@@ -1446,9 +1516,71 @@ def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    return dedup_paragraphs(synth, "doc_id", "text").select(
-        F.col("id").alias("doc_id"),
-        "n_paras",
-        "n_dropped",
-        "text_clean",
+
+
+@register(
+    "incr_dedup_paragraphs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ), arrs AS (
+      SELECT doc_id,
+             list_transform(range(1, len(w) + 1, 3),
+                            i -> array_to_string(w[i:i+2], ' ')) AS paras
+      FROM t WHERE len(w) > 0
+    ), ex AS (
+      SELECT doc_id, i AS pos, paras[i] AS para
+      FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i
+            FROM arrs)
+    ), marked AS (
+      SELECT doc_id, pos, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY CASE WHEN doc_id % {_NEW_DOC_MOD} = 0
+                                              THEN 1 ELSE 0 END,
+                                         doc_id, pos) AS rn
+      FROM ex
+    ), stats AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+      FROM ex GROUP BY doc_id
+    ), kept AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean
+      FROM marked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT s.doc_id, n_paras,
+           CAST(n_paras - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(text_clean, '') AS text_clean
+    FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
+    """,
+    doc="incremental paragraph dedup under corpus growth (round 10 — I7 "
+    f"on the paragraph domain): base corpus = doc_id % {_NEW_DOC_MOD} != "
+    "0 (committed, immutable under keep-first insertion), delta = the "
+    "held-out tenth arriving as an ingest batch; the preserved state is "
+    "the base's distinct paragraph-value set and the delta pass is a "
+    "batch-local first-occurrence hash agg plus ONE equi anti-join "
+    "against it — per-batch work O(|delta| + touched index), never "
+    "O(corpus). Base output ∪ incremental delta output equals the full "
+    "keep-first recompute under arrival order (base before delta) "
+    "EXACTLY — the oracle is that full recompute, its ROW_NUMBER "
+    "ordered by (is_delta, doc_id, pos); same 3-token-chunk paragraph "
+    "synthesis as dedup_paragraphs_global.",
+)
+def incr_dedup_paragraphs_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    synth = _synth_para_docs(spark, sf_dir)
+    base = synth.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
+    delta = synth.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
+    # preserved state, built inline at query granularity: the committed
+    # corpus's distinct paragraph values
+    seen = _para_explode(base, "doc_id", "text", "\n\n")[0].select(
+        "para"
+    ).distinct()
+    out = dedup_paragraphs(base, "doc_id", "text").unionByName(
+        incr_dedup_paragraphs(seen, delta, "doc_id", "text")
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_paras", "n_dropped", "text_clean"
     )

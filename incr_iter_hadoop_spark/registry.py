@@ -197,11 +197,11 @@ def _load_all() -> None:
 # store suites — so they stay out of the window. The 46 fill slots are
 # pure staleness: the witness-less new queries first (the late-round
 # decontaminate_streamed, dedup_paragraphs_global, incr_decontaminate,
-# and text_gopher_filter — every new query enters via the fill), then
-# the complete 14-query r5 cohort, then the r6 cohort alphabetically
-# (28 of 38). After a green round 10 nothing in the ledger is older
-# than r6, with ten r6 stragglers (named in COVERAGE.md) for the r11
-# fill.
+# incr_dedup_paragraphs, and text_gopher_filter — every new query
+# enters via the fill), then the complete 14-query r5 cohort, then the
+# r6 cohort alphabetically (27 of 38). After a green round 10 nothing
+# in the ledger is older than r6, with eleven r6 stragglers (named in
+# COVERAGE.md) for the r11 fill.
 WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -269,6 +269,7 @@ FIRST_WINDOW: list[str] = [
     "decontaminate_streamed",
     "dedup_paragraphs_global",
     "incr_decontaminate",
+    "incr_dedup_paragraphs",
     "text_gopher_filter",
     "q7_nation_volume",
     "q8_market_share",
@@ -311,7 +312,6 @@ FIRST_WINDOW: list[str] = [
     "profile_orders",
     "sample_stratified_events",
     "scan_binaryfile_media",
-    "scan_csv_roundtrip",
 ]
 
 

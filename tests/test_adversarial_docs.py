@@ -65,6 +65,7 @@ DOC_QUERIES = [
     "decontaminate_streamed",
     "incr_decontaminate",
     "dedup_paragraphs_global",
+    "incr_dedup_paragraphs",
     "agg_histogram",
     "wordcount",
     "incr_dedup_clusters",

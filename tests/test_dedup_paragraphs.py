@@ -83,3 +83,80 @@ def test_reassembly_preserves_original_order(spark):
     docs = {0: "c\n\na\n\nb"}  # kept order is positional, never sorted
     got = _run(spark, docs)
     assert got[0] == (3, 0, "c\n\na\n\nb")
+
+
+def _run_incr(spark, base_docs, delta_docs, sep="\n\n"):
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _para_explode,
+        incr_dedup_paragraphs,
+    )
+
+    base = spark.createDataFrame(
+        sorted(base_docs.items()), "doc_id long, body string"
+    )
+    delta = spark.createDataFrame(
+        sorted(delta_docs.items()), "doc_id long, body string"
+    )
+    seen = _para_explode(base, "doc_id", "body", sep)[0].select(
+        "para"
+    ).distinct()
+    rows = incr_dedup_paragraphs(seen, delta, "doc_id", "body", sep=sep)
+    return {
+        r["id"]: (r["n_paras"], r["n_dropped"], r["text_clean"])
+        for r in rows.collect()
+    }
+
+
+def _ref_arrival(base_docs, delta_docs, sep):
+    """Full keep-first recompute under arrival order: every base doc
+    precedes every delta doc; (id, pos) within each batch."""
+    segs = {}
+    order = [("b", i) for i in sorted(base_docs)] + [
+        ("d", i) for i in sorted(delta_docs)
+    ]
+    import re as _re
+
+    for tag, i in order:
+        t = (base_docs if tag == "b" else delta_docs)[i]
+        lst = [s for s in t.split(sep) if _re.search(r"\S", s)]
+        if lst:
+            segs[(tag, i)] = lst
+    seen: set[str] = set()
+    out = {}
+    for key in [k for k in order if k in segs]:
+        kept = []
+        for s in segs[key]:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out[key] = (len(segs[key]), len(segs[key]) - len(kept), sep.join(kept))
+    return out
+
+
+def test_incremental_delta_matches_arrival_order_recompute(spark):
+    base = {
+        0: "alpha\n\nbeta",
+        1: "beta\n\ngamma",  # base's own dup: beta dropped here
+    }
+    delta = {
+        10: "beta\n\ndelta",  # beta seen in base (even its dropped copy)
+        11: "delta\n\nepsilon\n\ndelta",  # within-delta dup + cross hit
+        12: "alpha\n\nbeta\n\ngamma",  # fully wiped by base values
+        13: "",  # degenerate: no row
+    }
+    got = _run_incr(spark, base, delta)
+    ref = _ref_arrival(base, delta, "\n\n")
+    assert got == {i: ref[("d", i)] for i in delta if ("d", i) in ref}
+    assert got[12] == (3, 3, "")  # the wipeout survives as a row
+    assert got[10] == (2, 1, "delta")  # 'delta' is new: doc 10 keeps it
+    # doc 11's 'delta' copies both lose to doc 10's within the SAME batch
+    assert got[11] == (3, 2, "epsilon")
+
+
+def test_incremental_base_values_include_dropped_copies(spark):
+    # a paragraph the BASE run itself dropped is still 'seen' — the
+    # delta copy must not resurrect it
+    base = {0: "x\n\nx"}
+    delta = {10: "x"}
+    got = _run_incr(spark, base, delta)
+    assert got[10] == (1, 1, "")

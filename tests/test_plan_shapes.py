@@ -460,3 +460,14 @@ def test_dedup_paragraphs_hash_agg_no_window_no_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_incr_dedup_paragraphs_probe_is_equi_anti_no_product(spark, sf_dir):
+    # the delta's within-batch first-occurrence is a hash agg; the
+    # seen-set probe must stay an equi ANTI-join on the paragraph value
+    # — linear in the delta, never a pair product or nested loop
+    plan = _executed_plan(spark, sf_dir, "incr_dedup_paragraphs")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
