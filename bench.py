@@ -398,6 +398,9 @@ def main() -> None:
         # Gopher filter (single map stage) — trended from day one
         ("decontaminate_substring", "decontaminate_substring_sec"),
         ("text_gopher_filter", "text_gopher_filter_sec"),
+        # r10 (late): the at-rest CCNet keep-first paragraph dedup
+        # (content-keyed agg + reassembly) — trended from day one
+        ("dedup_paragraphs_global", "dedup_paragraphs_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -407,6 +410,37 @@ def main() -> None:
             ).save()
             xs.append(round(time.perf_counter() - t0, 3))
         r6_extras[key] = _median(xs)
+
+    # r10 (late): the incremental paragraph-dedup twin, timed STEADY-
+    # STATE like the substring pair — the preserved distinct-paragraph
+    # seen set is materialized once on disk, and only the delta pass
+    # (batch-local first-occurrence agg + seen-set anti-join +
+    # reassembly) is on the clock.
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _para_explode,
+        _synth_para_docs,
+        incr_dedup_paragraphs,
+    )
+
+    para_synth = _synth_para_docs(spark, SF_DIR)
+    para_base = para_synth.where(F.col("doc_id") % 10 != 0)
+    para_delta = para_synth.where(F.col("doc_id") % 10 == 0)
+    seen_path = os.path.join(
+        tempfile.mkdtemp(prefix="bench_para_seen_"), "seen"
+    )
+    _para_explode(para_base, "doc_id", "text", "\n\n")[0].select(
+        "para"
+    ).distinct().write.parquet(seen_path)
+    para_seen = spark.read.parquet(seen_path)
+    para_runs_s: list[float] = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        incr_dedup_paragraphs(
+            para_seen, para_delta, "doc_id", "text"
+        ).write.format("noop").mode("overwrite").save()
+        para_runs_s.append(round(time.perf_counter() - t0, 3))
+    r6_extras["incr_dedup_paragraphs_sec"] = _median(para_runs_s)
+    shutil.rmtree(os.path.dirname(seen_path), ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
