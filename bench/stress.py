@@ -216,6 +216,94 @@ def main() -> None:
         "flags_ok": df1 == small_docs // 100 and df2 == big_docs // 100,
     }
 
+    # ---- 2c. Paragraph-dedup scaling (r10) -------------------------------
+    # the CCNet keep-first corpus mutation on the same synthetic docs,
+    # re-chunked into 4-token paragraphs: the id%100==1 near-copy shares
+    # tokens 1-36 with id-1 (paragraphs 1-9 identical; paragraph 10
+    # carries the two mutated tokens), so EXACTLY 9 paragraphs drop per
+    # planted pair and sum(n_dropped) = 9 * n/100 by construction
+    # (accidental 4-hashed-token chunk collisions ~ 0). s/kdoc must stay
+    # ~flat at 50x (content-keyed hash agg + id-keyed reassembly, both
+    # linear); the drop invariant is recall/exactness at scale. The
+    # incremental twin is timed steady-state on the big corpus: the
+    # id%100==1 near-copies are the arriving batch, everything else is
+    # the committed base (its seen set materialized off the clock) —
+    # delta work must be a small fraction of the at-rest wall.
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _para_explode,
+        dedup_paragraphs,
+        incr_dedup_paragraphs,
+    )
+
+    def para_docs(n_docs: int):
+        toks = F.split(F.col("text"), " ")
+        return synth_docs(n_docs).select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(37), F.lit(4)),
+                    lambda i: F.array_join(F.slice(toks, i, 4), " "),
+                ),
+                "\n\n",
+            ).alias("text"),
+        )
+
+    def time_paragraphs(n_docs: int):
+        docs = para_docs(n_docs).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        dropped = (
+            dedup_paragraphs(docs, "doc_id", "text")
+            .agg(F.sum("n_dropped").alias("d"))
+            .collect()[0]["d"]
+        )
+        wall = time.perf_counter() - t0
+        docs.unpersist()
+        return int(dropped), round(wall, 2), round(wall / (n_docs / 1e3), 3)
+
+    pd1, pw1, pc1 = time_paragraphs(small_docs)
+    pd2, pw2, pc2 = time_paragraphs(big_docs)
+    exp1, exp2 = 9 * (small_docs // 100), 9 * (big_docs // 100)
+    if pd1 != exp1 or pd2 != exp2:
+        violations.append(
+            f"paragraphs: dropped {pd1}/{pd2}, expected {exp1}/{exp2} "
+            "(9 shared paragraphs per planted pair)"
+        )
+    # incremental twin, steady-state at the big scale: the id%100==1
+    # near-copies arrive as the batch; everything else is committed base
+    big_para = para_docs(big_docs).persist()
+    big_para.count()
+    p_base = big_para.where(F.col("doc_id") % 100 != 1)
+    p_delta = big_para.where(F.col("doc_id") % 100 == 1)
+    seen_dir = tempfile.mkdtemp(prefix="stress_para_seen_")
+    _para_explode(p_base, "doc_id", "text", "\n\n")[0].select(
+        "para"
+    ).distinct().write.parquet(os.path.join(seen_dir, "seen"))
+    p_seen = spark.read.parquet(os.path.join(seen_dir, "seen"))
+    t0 = time.perf_counter()
+    incr_dropped = (
+        incr_dedup_paragraphs(p_seen, p_delta, "doc_id", "text")
+        .agg(F.sum("n_dropped").alias("d"))
+        .collect()[0]["d"]
+    )
+    incr_wall = round(time.perf_counter() - t0, 2)
+    big_para.unpersist()
+    shutil.rmtree(seen_dir, ignore_errors=True)
+    if int(incr_dropped) != exp2:
+        violations.append(
+            f"incr paragraphs: dropped {incr_dropped}, expected {exp2}"
+        )
+    out["paragraph_dedup"] = {
+        "docs_small": small_docs, "dropped_small": pd1,
+        "wall_small_sec": pw1, "sec_per_kdocs_small": pc1,
+        "docs_big": big_docs, "dropped_big": pd2,
+        "wall_big_sec": pw2, "sec_per_kdocs_big": pc2,
+        "scaling_ratio": round(pc2 / pc1, 3) if pc1 else None,
+        "drops_ok": pd1 == exp1 and pd2 == exp2 and int(incr_dropped) == exp2,
+        "incr_delta_wall_big_sec": incr_wall,
+        "incr_vs_full_big": round(incr_wall / pw2, 3) if pw2 else None,
+    }
+
     # ---- 3. Disk-store refresh ratio vs state size ----------------------
     from incr_iter_hadoop_spark.catalog import load_table
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
@@ -727,10 +815,11 @@ def _write_stress_md(results_dir: str) -> None:
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
         " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
         " 1x -> Nx (ratio) | decontam s/kdocs 1x -> Nx (ratio, flags ok)"
+        " | para-dedup s/kdocs 1x -> Nx (ratio, drops ok, incr/full)"
         " | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -771,6 +860,13 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({dc.get('scaling_ratio')}, {dc.get('flags_ok')})"
             if dc else "—"
         )
+        pa = r.get("paragraph_dedup", {})
+        para = (
+            f"{pa.get('sec_per_kdocs_small')} -> {pa.get('sec_per_kdocs_big')}"
+            f" ({pa.get('scaling_ratio')}, {pa.get('drops_ok')},"
+            f" {pa.get('incr_vs_full_big')})"
+            if pa else "—"
+        )
         ds = r.get("depth_sweep", {})
         depth = (
             f"{ds.get('early_med')} -> {ds.get('late_med')}"
@@ -789,7 +885,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
             f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
-            f" | {decon} | {depth} | {era} |"
+            f" | {decon} | {para} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
