@@ -270,7 +270,20 @@ def main() -> None:
             "(9 shared paragraphs per planted pair)"
         )
     # incremental twin, steady-state at the big scale: the id%100==1
-    # near-copies arrive as the batch; everything else is committed base
+    # near-copies arrive as the batch; everything else is committed base.
+    # FRAMING (measured, r10): the delta pass is bounded by the seen-set
+    # SCAN — on a RAM-resident 2.5M-paragraph corpus that is the same
+    # order as simply re-running the at-rest agg, so incr_vs_full sits
+    # near 1 here BY CONSTRUCTION and is recorded as a floor, not a win
+    # (a bucketed-at-rest seen table was measured too: the sort survives
+    # with >1 file per bucket and it is no faster at this scale). The
+    # incremental claim is an I/O property — the delta pass never
+    # re-READS the corpus text — which shows up when the corpus lives on
+    # disk (bench.py extras: incr_dedup_paragraphs_sec ~ 1/3 of
+    # dedup_paragraphs_sec at sf0.1) and dominates at 100 TB, where
+    # re-reading the corpus is the cost and the seen set is the small
+    # relation. What 50x must pin here is EXACTNESS under scale: the
+    # drop count.
     big_para = para_docs(big_docs).persist()
     big_para.count()
     p_base = big_para.where(F.col("doc_id") % 100 != 1)
@@ -301,6 +314,7 @@ def main() -> None:
         "scaling_ratio": round(pc2 / pc1, 3) if pc1 else None,
         "drops_ok": pd1 == exp1 and pd2 == exp2 and int(incr_dropped) == exp2,
         "incr_delta_wall_big_sec": incr_wall,
+        # ~1 at this scale by construction — see the framing note above
         "incr_vs_full_big": round(incr_wall / pw2, 3) if pw2 else None,
     }
 

@@ -1480,11 +1480,20 @@ def incr_dedup_paragraphs(
     100 TB shape: the delta's within-batch dedup is the same
     content-keyed hash agg as the at-rest operator but over the BATCH
     only; the seen-set probe is an equi anti-join on the paragraph
-    value — with the seen set bucketed at rest by ``para`` (the
-    preserve-store discipline) the index side never reshuffles, and
-    per-batch work is O(|delta| + touched index buckets), never
-    O(corpus). (Dolma's Bloom-filter dedupe is the probabilistic
-    map-side variant of exactly this probe.)"""
+    value. The incremental WIN is an I/O property: the delta pass never
+    re-reads the corpus text — at rest the full recompute must re-scan
+    and re-shuffle the whole corpus, the delta pass scans only the seen
+    set (a distinct-paragraph relation, far smaller than the corpus) and
+    the batch. Measured honestly at stress scale (bench/stress.py §2c):
+    on a RAM-resident corpus the seen-set scan is the same order as just
+    re-running the at-rest agg, so the ratio sits near 1 there and the
+    advantage appears exactly when the corpus lives on disk (bench.py
+    extras at sf0.1: ~3x) — bucketing the seen set by ``para`` removes
+    the probe's index-side Exchange but not its sort when buckets span
+    multiple files, and bought nothing at that scale. Dolma's
+    Bloom-filter dedupe is the probabilistic map-side variant of this
+    probe and is the right call when even the seen-set scan is too
+    expensive per batch."""
     ex, totals = _para_explode(delta, id_col, text_col, sep)
     kept = (
         ex.groupBy("para")
