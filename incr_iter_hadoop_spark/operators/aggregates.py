@@ -283,6 +283,56 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile_bounded",
+    oracle="""
+    SELECT o_orderpriority, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
+    """,
+    doc="The sketch path for percentiles, driver-gated by its RANK-ERROR "
+    "bound (the percentile analogue of agg_approx_distinct_bounded): "
+    "agg_percentiles' exact percentile sorts every group — at 100 TB "
+    "group sizes you run percentile_approx (Greenwald-Khanna, rank "
+    "error <= N/accuracy in constant memory) instead, and its VALUES "
+    "can't hash-match across engines, but the guarantee can. Per "
+    "o_orderpriority: percentile_approx(o_totalprice, [.5,.9,.99], "
+    "accuracy=1000) in one pass, then one rank-validation pass — the "
+    "5-row sketch frame broadcasts back onto the scan and for each "
+    "quantile q the value's rank interval [frac(< v), frac(<= v)] must "
+    "intersect [q - 0.01, q + 0.01] (10x the sketch's 0.001 guarantee, "
+    "the same generous-slack discipline as the HLL twin's 5 sigma, and "
+    "tie-robust: with duplicates the INTERVAL test is the correct "
+    "statement of the GK guarantee, a point test is not). The oracle "
+    "emits the all-true frame. NULL prices are filtered on BOTH sides: "
+    "percentile_approx ignores NULLs while the rank denominator would "
+    "count them, and an all-NULL group must vanish from both engines.",
+)
+def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_totalprice")
+        .where(F.col("o_totalprice").isNotNull())
+    )
+    qs = [0.5, 0.9, 0.99]
+    tol = 0.01  # 10x the 1/accuracy rank-error guarantee
+    sketch = o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+        ).alias("ap")
+    )
+    j = o.join(F.broadcast(sketch), "o_orderpriority")
+    n = F.count(F.lit(1)).cast("double")
+    checks = []
+    for i, q in enumerate(qs, start=1):
+        v = F.element_at("ap", i)
+        lt = F.sum((F.col("o_totalprice") < v).cast("double")) / n
+        le = F.sum((F.col("o_totalprice") <= v).cast("double")) / n
+        checks.append(
+            ((lt <= q + tol) & (le >= q - tol)).alias(f"p{int(q * 100)}_ok")
+        )
+    return j.groupBy("o_orderpriority").agg(*checks)
+
+
 def _profile_piece_sql(col: str, minmax: str) -> str:
     return f"""
     SELECT '{col}' AS col,

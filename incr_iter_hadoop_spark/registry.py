@@ -196,12 +196,13 @@ def _load_all() -> None:
 # — re-verified against DuckDB on every pytest run and covered by the
 # store suites — so they stay out of the window. The 46 fill slots are
 # pure staleness: the witness-less new queries first (the late-round
-# decontaminate_streamed, dedup_paragraphs_global, incr_decontaminate,
-# incr_dedup_paragraphs, and text_gopher_filter — every new query
-# enters via the fill), then the complete 14-query r5 cohort, then the
-# r6 cohort alphabetically (27 of 38). After a green round 10 nothing
-# in the ledger is older than r6, with eleven r6 stragglers (named in
-# COVERAGE.md) for the r11 fill.
+# agg_approx_percentile_bounded, decontaminate_streamed,
+# dedup_paragraphs_global, incr_decontaminate, incr_dedup_paragraphs,
+# and text_gopher_filter — every new query enters via the fill), then
+# the complete 14-query r5 cohort, then the r6 cohort alphabetically
+# (26 of 38). After a green round 10 nothing in the ledger is older
+# than r6, with twelve r6 stragglers (named in COVERAGE.md) for the
+# r11 fill.
 WINDOW_ROUND = 10
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -266,6 +267,7 @@ FIRST_WINDOW: list[str] = [
     "scd2_store_occ_retry",
     "decontaminate_substring",
     "text_dup_line_stats",
+    "agg_approx_percentile_bounded",
     "decontaminate_streamed",
     "dedup_paragraphs_global",
     "incr_decontaminate",
@@ -311,7 +313,6 @@ FIRST_WINDOW: list[str] = [
     "multimodal_meta",
     "profile_orders",
     "sample_stratified_events",
-    "scan_binaryfile_media",
 ]
 
 
