@@ -1330,15 +1330,18 @@ def dedup_paragraphs(
     100 TB shape: dedup-by-content NEEDS one shuffle keyed by paragraph
     content — that is the canonical CCNet plan, and grouping by the VALUE
     (not a 64-bit hash) keeps the operator exact / oracle-checkable while
-    shuffling the same bytes a (hash, text)-keyed variant would. Three
-    exchanges total, all necessary: (1) paragraph text keyed by content
-    for first-occurrence selection (min struct(id, pos) — one hash agg,
-    never a window sort), (2) surviving paragraphs keyed by id for
-    reassembly, (3) a NARROW (id, count) agg for per-doc totals; nothing
-    is ever a pair join, and a boilerplate paragraph in f docs costs f
-    rows, never f². (The probabilistic alternative — a Bloom/exact-hash
-    filter map-side — trades exactness for zero shuffle and is what
-    Dolma's dedupe tool does; this engine keeps the exact formulation.)"""
+    shuffling the same bytes a (hash, text)-keyed variant would. Two
+    aggregation exchanges, both necessary: (1) paragraph text keyed by
+    content for first-occurrence selection (min struct(id, pos) — one
+    hash agg, never a window sort), (2) surviving paragraphs keyed by id
+    for reassembly; the per-doc totals are MAP-ONLY (size of the split
+    array, no aggregation) and the totals⋈rebuilt join has per-doc
+    cardinality on both sides (broadcast at small scale, co-partitioned
+    at cluster scale — no hint forced). Nothing is ever a pair join, and
+    a boilerplate paragraph in f docs costs f rows, never f². (The
+    probabilistic alternative — a Bloom/exact-hash filter map-side —
+    trades exactness for zero shuffle and is what Dolma's dedupe tool
+    does; this engine keeps the exact formulation.)"""
     ex, totals = _para_explode(df, id_col, text_col, sep)
     # first occurrence per distinct paragraph value: the kept set IS the
     # groupBy output (non-duplicated paragraphs are their own winners)
