@@ -417,14 +417,16 @@ def main() -> None:
     # (batch-local first-occurrence agg + seen-set anti-join +
     # reassembly) is on the clock.
     from incr_iter_hadoop_spark.operators.dedup import (
+        _NEW_DOC_MOD,
         _para_explode,
         _synth_para_docs,
         incr_dedup_paragraphs,
     )
 
+    # the SAME base/delta split as the registered query it trends
     para_synth = _synth_para_docs(spark, SF_DIR)
-    para_base = para_synth.where(F.col("doc_id") % 10 != 0)
-    para_delta = para_synth.where(F.col("doc_id") % 10 == 0)
+    para_base = para_synth.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
+    para_delta = para_synth.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
     seen_path = os.path.join(
         tempfile.mkdtemp(prefix="bench_para_seen_"), "seen"
     )

@@ -313,11 +313,12 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("o_orderpriority", "o_totalprice")
         .where(F.col("o_totalprice").isNotNull())
     )
-    qs = [0.5, 0.9, 0.99]
+    qs = [0.5, 0.9, 0.99]  # the expr below derives from this list
     tol = 0.01  # 10x the 1/accuracy rank-error guarantee
+    q_array = ", ".join(str(q) for q in qs)
     sketch = o.groupBy("o_orderpriority").agg(
         F.expr(
-            "percentile_approx(o_totalprice, array(0.5, 0.9, 0.99), 1000)"
+            f"percentile_approx(o_totalprice, array({q_array}), 1000)"
         ).alias("ap")
     )
     j = o.join(F.broadcast(sketch), "o_orderpriority")

@@ -1283,10 +1283,15 @@ def incr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_b = bench.where(F.col("doc_id") % 20 == 0)
     new_b = bench.where(F.col("doc_id") % 20 != 0)
     # preserved state, built inline at query granularity (same convention
-    # as incr_dedup_substring's base index): fingerprints + old hits
+    # as incr_dedup_substring's base index): fingerprints + old hits.
+    # MATERIALIZED once (localCheckpoint, the decontaminate_streamed
+    # prepared-index pattern) — the old-hit rebuild and the delta probe
+    # both consume it, and without this the lazy subtree re-runs the full
+    # corpus md5 fingerprint scan twice (r10 review) in the query whose
+    # point is that the corpus is read once.
     corpus_fp = _fingerprint_grams(
         corpus, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX
-    )
+    ).localCheckpoint(eager=True)
     old_hits = (
         corpus_fp.join(
             F.broadcast(benchmark_gram_set(old_b, "doc_id", "text")),
@@ -1354,9 +1359,16 @@ def dedup_paragraphs(
 
 
 def _para_explode(df: DataFrame, id_col: str, text_col: str, sep: str):
-    """(exploded (id, pos, para) of non-blank segments, per-doc totals)."""
+    """(exploded (id, pos, para) of non-blank segments, per-doc totals).
+
+    ``sep`` is a LITERAL separator (the reassembly joiner), so the split
+    pattern is Pattern.quote'd — a sep containing regex metacharacters
+    (e.g. '. ') would otherwise split on match-any-char while rejoining
+    with the literal, silently corrupting text_clean (r10 review)."""
     text = F.col(text_col)
-    segs = F.filter(F.split(text, sep), lambda x: x.rlike(r"(?U)\S"))
+    # java.util.regex.Pattern.quote: \Q...\E with embedded \E broken out
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    segs = F.filter(F.split(text, quoted), lambda x: x.rlike(r"(?U)\S"))
     ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs)).toDF(
         "id", "pos", "para"
     )
@@ -1390,12 +1402,21 @@ def _para_reassemble(
     )
 
 
-@register(
-    "dedup_paragraphs_global",
-    oracle="""
+def _para_oracle(order_by: str) -> str:
+    """The full keep-first recompute oracle, shared by both paragraph
+    registrations (only the winner ORDER BY differs — plain (doc_id,
+    pos) for the at-rest query, arrival order (is_delta, doc_id, pos)
+    for the incremental twin). One template so a synthesis edit cannot
+    silently desynchronize the two (r10 review). Newlines are
+    normalized to spaces before tokenizing, mirroring
+    ``_synth_para_docs``: the synthesis round-trips chunks through a
+    '\\n\\n' join that the Spark side re-splits, so a token carrying a
+    newline would desynchronize the engines."""
+    return f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+             list_filter(string_split(trim(replace(text, chr(10), ' ')),
+                                      ' '), x -> x <> '') AS w
       FROM documents
     ), arrs AS (
       SELECT doc_id,
@@ -1409,7 +1430,7 @@ def _para_reassemble(
     ), marked AS (
       SELECT doc_id, pos, para,
              ROW_NUMBER() OVER (PARTITION BY para
-                                ORDER BY doc_id, pos) AS rn
+                                ORDER BY {order_by}) AS rn
       FROM ex
     ), stats AS (
       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
@@ -1423,7 +1444,12 @@ def _para_reassemble(
            CAST(n_paras - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
            COALESCE(text_clean, '') AS text_clean
     FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_paragraphs_global",
+    oracle=_para_oracle("doc_id, pos"),
     doc="cross-document paragraph-level exact dedup (round 10 — the "
     "CCNet/RefinedWeb corpus-dedupe step: repeated paragraphs keep their "
     "first occurrence by (doc_id, position) corpus-wide, documents are "
@@ -1511,9 +1537,14 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared paragraph-structure synthesis for the registered
     paragraph-dedup queries: the sf corpora carry no newlines, so docs
     are rebuilt as 3-token chunks joined by '\\n\\n' — deterministically
-    and identically on both engines."""
+    and identically on both engines. Newlines are normalized to spaces
+    FIRST (mirrored in ``_para_oracle``): the synthesis round-trips
+    chunks through a '\\n\\n' join the operator re-splits, so a hostile
+    token carrying a newline would otherwise yield more paragraphs on
+    the Spark side than in the oracle's chunk list (r10 review — the
+    adversarial battery may add newline docs at any time)."""
     d = load_table(spark, sf_dir, "documents")
-    w = ws_tokens(F.col("text"))
+    w = ws_tokens(F.regexp_replace(F.col("text"), "\n", " "))
     return (
         d.select("doc_id", w.alias("w"))
         .where(F.size("w") > 0)
@@ -1532,40 +1563,10 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "incr_dedup_paragraphs",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
-      FROM documents
-    ), arrs AS (
-      SELECT doc_id,
-             list_transform(range(1, len(w) + 1, 3),
-                            i -> array_to_string(w[i:i+2], ' ')) AS paras
-      FROM t WHERE len(w) > 0
-    ), ex AS (
-      SELECT doc_id, i AS pos, paras[i] AS para
-      FROM (SELECT doc_id, paras, unnest(range(1, len(paras) + 1)) AS i
-            FROM arrs)
-    ), marked AS (
-      SELECT doc_id, pos, para,
-             ROW_NUMBER() OVER (PARTITION BY para
-                                ORDER BY CASE WHEN doc_id % {_NEW_DOC_MOD} = 0
-                                              THEN 1 ELSE 0 END,
-                                         doc_id, pos) AS rn
-      FROM ex
-    ), stats AS (
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
-      FROM ex GROUP BY doc_id
-    ), kept AS (
-      SELECT doc_id, COUNT(*) AS n_kept,
-             string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text_clean
-      FROM marked WHERE rn = 1 GROUP BY doc_id
-    )
-    SELECT s.doc_id, n_paras,
-           CAST(n_paras - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
-           COALESCE(text_clean, '') AS text_clean
-    FROM stats s LEFT JOIN kept k ON s.doc_id = k.doc_id
-    """,
+    oracle=_para_oracle(
+        f"CASE WHEN doc_id % {_NEW_DOC_MOD} = 0 THEN 1 ELSE 0 END, "
+        "doc_id, pos"
+    ),
     doc="incremental paragraph dedup under corpus growth (round 10 — I7 "
     f"on the paragraph domain): base corpus = doc_id % {_NEW_DOC_MOD} != "
     "0 (committed, immutable under keep-first insertion), delta = the "
@@ -1582,7 +1583,12 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incr_dedup_paragraphs_query(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    synth = _synth_para_docs(spark, sf_dir)
+    # synthesized corpus MATERIALIZED once (localCheckpoint): the base
+    # split feeds BOTH the seen-set build and the base cleaning pass —
+    # lazy, the synth projection + split would re-run per consumer
+    # (r10 review), doubling the dominant scan in the query registered
+    # to demonstrate O(|delta|) incremental work
+    synth = _synth_para_docs(spark, sf_dir).localCheckpoint(eager=True)
     base = synth.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
     delta = synth.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
     # preserved state, built inline at query granularity: the committed

@@ -160,3 +160,12 @@ def test_incremental_base_values_include_dropped_copies(spark):
     delta = {10: "x"}
     got = _run_incr(spark, base, delta)
     assert got[10] == (1, 1, "")
+
+
+def test_separator_with_regex_metachars_is_literal(spark):
+    # sep is a LITERAL: '. ' must not behave as match-any-char-plus-space
+    docs = {0: "one. two. one", 1: "two. three"}
+    got = _run(spark, docs, sep=". ")
+    assert got == _ref(docs, ". ")
+    assert got[0] == (3, 1, "one. two")  # within-doc repeat of 'one'
+    assert got[1] == (2, 1, "three")
