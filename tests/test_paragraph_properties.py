@@ -115,3 +115,49 @@ def test_incremental_equals_arrival_order_full(spark, texts, cut):
         _collect(incr_dedup_paragraphs(seen, delta, "doc_id", "body"))
     )
     assert got == full_ref
+
+
+def test_whitespace_normalizer_cross_engine_equivalence(spark):
+    """The paragraph synthesis normalizes ALL Unicode whitespace to spaces
+    (r11, ADVICE r10) via Java's (?U)\\s on the Spark side and WS_RE2_CLASS
+    on the DuckDB side. This pins the two expressions to the same character
+    set over every plausible candidate: Unicode White_Space members, the
+    ASCII separators Java's plain \\s would miss-or-match differently, and
+    near-miss codepoints (ZWSP, BOM, Mongolian vowel separator) that are
+    NOT whitespace in either engine."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from incr_iter_hadoop_spark.operators.dedup import WS_RE2_CLASS
+
+    cands = [
+        0x09, 0x0A, 0x0B, 0x0C, 0x0D,           # tab..CR
+        0x1C, 0x1D, 0x1E, 0x1F,                  # info separators (NOT ws)
+        0x20, 0x85, 0xA0, 0x1680,                # space, NEL, NBSP, ogham
+        *range(0x2000, 0x200C),                  # en/em/etc spaces + ZWSP
+        0x2028, 0x2029, 0x202F, 0x205F, 0x3000,  # LS, PS, NNBSP, MMSP, ideo
+        0xFEFF, 0x180E,                          # BOM, MVS (NOT ws)
+    ]
+    texts = [f"x{chr(c)}y" for c in cands]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    spark_out = [
+        r[0]
+        for r in df.select(F.regexp_replace("t", r"(?U)\s", " ")).collect()
+    ]
+    con = duckdb.connect()
+    try:
+        ddb_out = [
+            con.sql(
+                f"SELECT regexp_replace(?, '{WS_RE2_CLASS}', ' ', 'g')",
+                params=[t],
+            ).fetchone()[0]
+            for t in texts
+        ]
+    finally:
+        con.close()
+    bad = [
+        (hex(c), repr(s), repr(d))
+        for c, s, d in zip(cands, spark_out, ddb_out)
+        if s != d
+    ]
+    assert not bad, f"whitespace class divergence: {bad}"

@@ -438,6 +438,19 @@ def test_decontaminate_substring_is_broadcast_semi_no_product(
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_normalized_is_broadcast_semi_no_product(
+    spark, sf_dir
+):
+    # same contract as the raw flavor: normalization is a map-side
+    # expression in front of the fingerprint scan, the normalized
+    # benchmark gram set broadcasts into a LEFT-SEMI, zero corpus
+    # shuffle before the span merge, never a doc-pair product
+    plan = _executed_plan(spark, sf_dir, "decontaminate_normalized")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_incr_decontaminate_both_probes_broadcast_semi(spark, sf_dir):
     # old-state rebuild AND the delta pass each broadcast a benchmark gram
     # set into a LEFT-SEMI over the corpus fingerprints; the hit-position
