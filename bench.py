@@ -401,6 +401,11 @@ def main() -> None:
         # r10 (late): the at-rest CCNet keep-first paragraph dedup
         # (content-keyed agg + reassembly) — trended from day one
         ("dedup_paragraphs_global", "dedup_paragraphs_sec"),
+        # r11: the fingerprint-keyed paragraph-dedup twin (16-byte md5
+        # through the content exchange instead of paragraph text) and
+        # the normalized decontamination gate — trended from day one
+        ("dedup_paragraphs_fp", "dedup_paragraphs_fp_sec"),
+        ("decontaminate_normalized", "decontaminate_normalized_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -443,6 +448,51 @@ def main() -> None:
         para_runs_s.append(round(time.perf_counter() - t0, 3))
     r6_extras["incr_dedup_paragraphs_sec"] = _median(para_runs_s)
     shutil.rmtree(os.path.dirname(seen_path), ignore_errors=True)
+
+    # r11 (VERDICT r10 ask #3): shuffle-bytes A/B of the two paragraph-
+    # dedup plans — the fp twin exists because the value-keyed plan's
+    # content exchange carries full paragraph text; this records how many
+    # bytes each variant actually shuffles at sf0.1 so the claimed
+    # order-of-magnitude cut is measured, not asserted. Wall-clock for
+    # both is already in r6_extras; this is the byte-level evidence.
+    def _shuffle_write_bytes() -> int:
+        """Total shuffle-write bytes across all stages the app status
+        store currently retains (local mode, spark.ui.retainedStages
+        default 1000 ≫ the handful of stages per query — deltas taken
+        immediately around a single query run are exact)."""
+        sc = spark.sparkContext
+        jvm, gw = sc._jvm, sc._gateway
+        store = sc._jsc.sc().statusStore()
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),  # all statuses
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        return sum(
+            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
+        )
+
+    b0 = _shuffle_write_bytes()
+    specs["dedup_paragraphs_global"].fn(spark, SF_DIR).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    b1 = _shuffle_write_bytes()
+    specs["dedup_paragraphs_fp"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    b2 = _shuffle_write_bytes()
+    para_value_bytes, para_fp_bytes = b1 - b0, b2 - b1
+    r6_extras["dedup_paragraphs_shuffle_mb"] = round(
+        para_value_bytes / 1e6, 3
+    )
+    r6_extras["dedup_paragraphs_fp_shuffle_mb"] = round(
+        para_fp_bytes / 1e6, 3
+    )
+    r6_extras["paragraph_fp_shuffle_ratio"] = (
+        round(para_fp_bytes / para_value_bytes, 3) if para_value_bytes else None
+    )
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -549,6 +599,13 @@ def _write_trend_table(results_dir: str) -> None:
         "scd2_store_pit_streamed_sec",
         "decontaminate_substring_sec",
         "text_gopher_filter_sec",
+        "dedup_paragraphs_sec",
+        "incr_dedup_paragraphs_sec",
+        "dedup_paragraphs_fp_sec",
+        "decontaminate_normalized_sec",
+        "dedup_paragraphs_shuffle_mb",
+        "dedup_paragraphs_fp_shuffle_mb",
+        "paragraph_fp_shuffle_ratio",
     ]
     out = [
         "# Per-query bench trend (sec; columns are recorded runs,",

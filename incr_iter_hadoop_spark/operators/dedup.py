@@ -1503,17 +1503,23 @@ def dedup_paragraphs(
     return _para_reassemble(kept, totals, sep)
 
 
-def _para_explode(df: DataFrame, id_col: str, text_col: str, sep: str):
-    """(exploded (id, pos, para) of non-blank segments, per-doc totals).
+def _para_segs(text_col: str, sep: str) -> Column:
+    """Non-blank paragraph segments of ``text_col`` as an array column.
 
     ``sep`` is a LITERAL separator (the reassembly joiner), so the split
     pattern is Pattern.quote'd — a sep containing regex metacharacters
     (e.g. '. ') would otherwise split on match-any-char while rejoining
     with the literal, silently corrupting text_clean (r10 review)."""
-    text = F.col(text_col)
     # java.util.regex.Pattern.quote: \Q...\E with embedded \E broken out
     quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
-    segs = F.filter(F.split(text, quoted), lambda x: x.rlike(r"(?U)\S"))
+    return F.filter(
+        F.split(F.col(text_col), quoted), lambda x: x.rlike(r"(?U)\S")
+    )
+
+
+def _para_explode(df: DataFrame, id_col: str, text_col: str, sep: str):
+    """(exploded (id, pos, para) of non-blank segments, per-doc totals)."""
+    segs = _para_segs(text_col, sep)
     ex = df.select(F.col(id_col).alias("id"), F.posexplode(segs)).toDF(
         "id", "pos", "para"
     )
@@ -1632,6 +1638,98 @@ def _para_oracle(order_by: str) -> str:
 def dedup_paragraphs_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = _synth_para_docs(spark, sf_dir)
     return dedup_paragraphs(synth, "doc_id", "text").select(
+        F.col("id").alias("doc_id"),
+        "n_paras",
+        "n_dropped",
+        "text_clean",
+    )
+
+
+def dedup_paragraphs_fp(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n\n"
+) -> DataFrame:
+    """FINGERPRINT-KEYED paragraph dedup — the 100 TB shuffle-bytes twin
+    of ``dedup_paragraphs`` (VERDICT r10 ask #3). Identical contract
+    (keep first occurrence by (id, pos) corpus-wide, reassemble cleaned
+    docs), different physical plan: the first-occurrence agg keys on a
+    128-bit md5 of the paragraph instead of its value, so the
+    content-keyed exchange carries (fp BINARY(16), id, pos) — ~30
+    bytes/row — instead of full paragraph text (hundreds of bytes for
+    real prose; the dominant shuffle cost of the value-keyed plan at
+    corpus scale). Winners come back as a per-doc kept-position ARRAY
+    (narrow), joined to the original doc rows on id, and the cleaned
+    text is rebuilt MAP-SIDE by indexing the re-split segment array at
+    the kept positions — paragraph text crosses the wire exactly once
+    (the id-keyed join of doc rows), vs twice in the value-keyed plan
+    (content exchange + reassembly exchange), and the reassembly
+    needs no collect_list at all.
+
+    Exactness caveat (why the value-keyed variant stays registered as
+    the exact twin): two DISTINCT paragraphs colliding on md5 would
+    dedup as one. P(collision) ≈ n²/2¹²⁹ — at 10¹² corpus paragraphs
+    that is ~10⁻¹⁵, negligible but nonzero, so this variant is
+    "exact up to 128-bit hashing" while the value-keyed one is exact
+    unconditionally. Both registered queries share the same full
+    keep-first recompute oracle (a collision would fail the driver
+    hash-check loudly, not silently).
+
+    Plan shape (pinned in tests/test_plan_shapes.py): three hash
+    exchanges — narrow (fp,id,pos) by fp, narrow winners by id, doc
+    rows by id for the join — no window, no product, no global sort;
+    the final per-doc projection is map-side on the join output."""
+    segs = _para_segs(text_col, sep)
+    docs = df.select(F.col(id_col).alias("id"), segs.alias("segs")).where(
+        F.size("segs") > 0
+    )
+    ex = docs.select("id", F.posexplode("segs")).toDF("id", "pos", "para")
+    winners = (
+        ex.select("id", "pos", F.unhex(F.md5("para")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    keep_pos = winners.groupBy("id").agg(
+        F.sort_array(F.collect_list("pos")).alias("keep")
+    )
+    # a doc losing EVERY paragraph has no keep_pos row: coalesce the
+    # ARRAY (size(NULL) is -1 under legacy sizeOfNull, so coalescing the
+    # size would silently over-count drops)
+    keep = F.coalesce(F.col("keep"), F.array().cast("array<int>"))
+    return docs.join(keep_pos, "id", "left").select(
+        "id",
+        F.size("segs").cast("bigint").alias("n_paras"),
+        (F.size("segs") - F.size(keep)).cast("bigint").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                keep,
+                # posexplode positions are 0-based; element_at 1-based
+                lambda p: F.element_at(F.col("segs"), p + 1),
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+
+
+@register(
+    "dedup_paragraphs_fp",
+    oracle=_para_oracle("doc_id, pos"),
+    doc="fingerprint-keyed paragraph dedup (round 11 — VERDICT r10 ask "
+    "#3): same keep-first contract and same full-recompute oracle as "
+    "dedup_paragraphs_global, but the content-keyed exchange carries a "
+    "16-byte md5 + (id, pos) instead of full paragraph text — an order "
+    "of magnitude fewer shuffle bytes on real prose, the dominant cost "
+    "of the value-keyed plan at 100 TB (bench.py records "
+    "shuffle-bytes for both variants side by side). Cleaned docs are "
+    "rebuilt map-side by indexing each doc's re-split segment array at "
+    "its kept positions — paragraph text crosses the wire once (the "
+    "id-keyed doc join), never through the content exchange. Exact up "
+    "to 128-bit hashing (collision ~n²/2¹²⁹; the value-keyed twin "
+    "stays the unconditional-exact registration; a collision would "
+    "fail this query's own full-recompute oracle loudly).",
+)
+def dedup_paragraphs_fp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    synth = _synth_para_docs(spark, sf_dir)
+    return dedup_paragraphs_fp(synth, "doc_id", "text").select(
         F.col("id").alias("doc_id"),
         "n_paras",
         "n_dropped",

@@ -66,6 +66,7 @@ DOC_QUERIES = [
     "decontaminate_streamed",
     "incr_decontaminate",
     "dedup_paragraphs_global",
+    "dedup_paragraphs_fp",
     "incr_dedup_paragraphs",
     "agg_histogram",
     "wordcount",

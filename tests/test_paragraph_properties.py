@@ -72,6 +72,13 @@ def test_keep_first_equals_reference_and_conserves(spark, texts):
     got = _collect(dedup_paragraphs(docs, "doc_id", "body"))
     ref = _ref_keep_first(list(enumerate(texts)))
     assert got == ref
+    # the fingerprint-keyed twin (r11): identical contract, md5-keyed
+    # first-occurrence agg + map-side reassembly — must equal the same
+    # sequential reference on every generated document set
+    from incr_iter_hadoop_spark.operators.dedup import dedup_paragraphs_fp
+
+    got_fp = _collect(dedup_paragraphs_fp(docs, "doc_id", "body"))
+    assert got_fp == ref
     # conservation: the kept paragraphs, over all docs, are exactly the
     # distinct non-blank paragraph values of the corpus, each once
     kept_all = [

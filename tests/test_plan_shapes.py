@@ -475,6 +475,27 @@ def test_dedup_paragraphs_hash_agg_no_window_no_product(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_dedup_paragraphs_fp_shuffles_fingerprints_not_text(spark, sf_dir):
+    # the whole point of the fp twin: the content-keyed exchange must key
+    # on the 16-byte md5 fingerprint, never the paragraph value — and the
+    # paragraph text must not appear as a partitioning key of ANY
+    # exchange (it crosses the wire only inside the id-keyed doc join).
+    # Same hygiene as the value-keyed plan: no window, no product, no
+    # global sort (sort_array/array ops are per-row).
+    plan = _executed_plan(spark, sf_dir, "dedup_paragraphs_fp")
+    assert "hashpartitioning(fp#" in plan, plan
+    assert "hashpartitioning(para#" not in plan, plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    # narrow fp + winners exchanges always; the keep_pos->docs join may
+    # broadcast at small SF (a hint-free planner choice) or add one
+    # id-keyed exchange at scale
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert 2 <= n_ex <= 4, plan
+
+
 def test_incr_dedup_paragraphs_probe_is_equi_anti_no_product(spark, sf_dir):
     # the delta's within-batch first-occurrence is a hash agg; the
     # seen-set probe must stay an equi ANTI-join on the paragraph value
