@@ -451,6 +451,18 @@ def test_decontaminate_normalized_is_broadcast_semi_no_product(
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_decontaminate_store_probe_is_broadcast_semi_no_product(
+    spark, sf_dir
+):
+    # the committed index's reconstructed gram set must broadcast into
+    # the same LEFT-SEMI gate as the inline flavors — routing the index
+    # through the store layer must not change the corpus-side plan
+    plan = _executed_plan(spark, sf_dir, "decontaminate_store")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_incr_decontaminate_both_probes_broadcast_semi(spark, sf_dir):
     # old-state rebuild AND the delta pass each broadcast a benchmark gram
     # set into a LEFT-SEMI over the corpus fingerprints; the hit-position
