@@ -286,7 +286,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_percentile_bounded",
     oracle="""
-    SELECT o_orderpriority, TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
     FROM orders WHERE o_totalprice IS NOT NULL GROUP BY o_orderpriority
     """,
     doc="The sketch path for percentiles, driver-gated by its RANK-ERROR "
@@ -298,14 +301,21 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "o_orderpriority: percentile_approx(o_totalprice, [.5,.9,.99], "
     "accuracy=1000) in one pass, then one rank-validation pass — the "
     "5-row sketch frame broadcasts back onto the scan and for each "
-    "quantile q the value's rank interval [frac(< v), frac(<= v)] must "
-    "intersect [q - 0.01, q + 0.01] (10x the sketch's 0.001 guarantee, "
-    "the same generous-slack discipline as the HLL twin's 5 sigma, and "
-    "tie-robust: with duplicates the INTERVAL test is the correct "
-    "statement of the GK guarantee, a point test is not). The oracle "
-    "emits the all-true frame. NULL prices are filtered on BOTH sides: "
-    "percentile_approx ignores NULLs while the rank denominator would "
-    "count them, and an all-NULL group must vanish from both engines.",
+    "quantile q the sketch value's rank interval [frac(< v), frac(<= v)] "
+    "must intersect [q - 0.01, q + 0.01] (10x the sketch's 0.001 "
+    "guarantee, the same generous-slack discipline as the HLL twin's 5 "
+    "sigma, and tie-robust: with duplicates the INTERVAL test is the "
+    "correct statement of the GK guarantee, a point test is not). "
+    "ORACLE INDEPENDENCE (r11, ADVICE r10 — the earlier all-TRUE frame "
+    "made the check self-verifying): the emitted values are the EXACT "
+    "interpolated quantiles, which DuckDB recomputes independently "
+    "(quantile_cont == Spark percentile, the agg_percentiles-proven "
+    "pair), and each value is POISONED to -1.0 when its sketch fails "
+    "the rank gate — a broken sketch or a broken gate flips the driver "
+    "hash loudly instead of passing a tautology. NULL prices filtered "
+    "on BOTH sides: percentile_approx ignores NULLs while the rank "
+    "denominator would count them, and an all-NULL group must vanish "
+    "from both engines.",
 )
 def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
@@ -323,15 +333,17 @@ def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     j = o.join(F.broadcast(sketch), "o_orderpriority")
     n = F.count(F.lit(1)).cast("double")
-    checks = []
+    cols = []
     for i, q in enumerate(qs, start=1):
         v = F.element_at("ap", i)
         lt = F.sum((F.col("o_totalprice") < v).cast("double")) / n
         le = F.sum((F.col("o_totalprice") <= v).cast("double")) / n
-        checks.append(
-            ((lt <= q + tol) & (le >= q - tol)).alias(f"p{int(q * 100)}_ok")
+        ok = (lt <= q + tol) & (le >= q - tol)
+        exact = F.round(F.expr(f"percentile(o_totalprice, {q})"), 6)
+        cols.append(
+            F.when(ok, exact).otherwise(F.lit(-1.0)).alias(f"p{int(q * 100)}")
         )
-    return j.groupBy("o_orderpriority").agg(*checks)
+    return j.groupBy("o_orderpriority").agg(*cols)
 
 
 def _profile_piece_sql(col: str, minmax: str) -> str:
