@@ -318,6 +318,69 @@ def main() -> None:
         "incr_vs_full_big": round(incr_wall / pw2, 3) if pw2 else None,
     }
 
+    # ---- 2d. Boilerplate skew on the content-keyed dedup (r11) ----------
+    # VERDICT r10 ask #5: the adversary for any content-keyed agg is ONE
+    # paragraph present in EVERY doc (nav bar / license header) — its
+    # content key receives n_docs rows, the maximal skew. The plan
+    # argument says partial aggregation collapses the hot key map-side
+    # (each task emits one (para, min-struct) partial), so the reduce
+    # side sees ~n_partitions rows for the hot key and the wall stays
+    # LINEAR in corpus size, within a small factor of the uniform
+    # corpus. Both properties are measured: wall_skew/wall_uniform at
+    # 50x must stay < 2.0, and the drop count stays EXACT under skew —
+    # every doc but the global first loses its boilerplate copy, on top
+    # of the 9-per-planted-pair drops (exactness under skew, the thing
+    # a sampling/skew-mitigation shortcut would silently break).
+    def boiler_docs(n_docs: int):
+        return para_docs(n_docs).select(
+            "doc_id",
+            F.concat(
+                F.lit("shared boilerplate nav header\n\n"), F.col("text")
+            ).alias("text"),
+        )
+
+    def time_boiler(n_docs: int):
+        docs = boiler_docs(n_docs).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        dropped = (
+            dedup_paragraphs(docs, "doc_id", "text")
+            .agg(F.sum("n_dropped").alias("d"))
+            .collect()[0]["d"]
+        )
+        wall = time.perf_counter() - t0
+        docs.unpersist()
+        return int(dropped), round(wall, 2), round(wall / (n_docs / 1e3), 3)
+
+    bd1, bw1, bc1 = time_boiler(small_docs)
+    bd2, bw2, bc2 = time_boiler(big_docs)
+    # per-pair drops unchanged (9 each) + one boilerplate copy per doc
+    # beyond the global first occurrence
+    bexp1 = 9 * (small_docs // 100) + (small_docs - 1)
+    bexp2 = 9 * (big_docs // 100) + (big_docs - 1)
+    if bd1 != bexp1 or bd2 != bexp2:
+        violations.append(
+            f"boilerplate skew: dropped {bd1}/{bd2}, expected "
+            f"{bexp1}/{bexp2} (9/pair + one boilerplate copy per doc)"
+        )
+    skew_vs_uniform = round(bw2 / pw2, 3) if pw2 else None
+    if skew_vs_uniform is not None and skew_vs_uniform > 2.0:
+        violations.append(
+            f"boilerplate skew: 50x wall {bw2}s is {skew_vs_uniform}x the "
+            f"uniform corpus ({pw2}s) — hot content key not collapsing "
+            "map-side"
+        )
+    out["paragraph_skew"] = {
+        "docs_small": small_docs, "dropped_small": bd1,
+        "wall_small_sec": bw1, "sec_per_kdocs_small": bc1,
+        "docs_big": big_docs, "dropped_big": bd2,
+        "wall_big_sec": bw2, "sec_per_kdocs_big": bc2,
+        "scaling_ratio": round(bc2 / bc1, 3) if bc1 else None,
+        "skew_wall_vs_uniform_big": skew_vs_uniform,
+        "drops_ok": bd1 == bexp1 and bd2 == bexp2,
+        "skew_ok": skew_vs_uniform is None or skew_vs_uniform <= 2.0,
+    }
+
     # ---- 3. Disk-store refresh ratio vs state size ----------------------
     from incr_iter_hadoop_spark.catalog import load_table
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
@@ -830,10 +893,11 @@ def _write_stress_md(results_dir: str) -> None:
         " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
         " 1x -> Nx (ratio) | decontam s/kdocs 1x -> Nx (ratio, flags ok)"
         " | para-dedup s/kdocs 1x -> Nx (ratio, drops ok, incr/full)"
+        " | para-skew s/kdocs 1x -> Nx (ratio, drops ok, skew/uniform)"
         " | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -881,6 +945,13 @@ def _write_stress_md(results_dir: str) -> None:
             f" {pa.get('incr_vs_full_big')})"
             if pa else "—"
         )
+        ps = r.get("paragraph_skew", {})
+        para_skew = (
+            f"{ps.get('sec_per_kdocs_small')} -> {ps.get('sec_per_kdocs_big')}"
+            f" ({ps.get('scaling_ratio')}, {ps.get('drops_ok')},"
+            f" {ps.get('skew_wall_vs_uniform_big')})"
+            if ps else "—"
+        )
         ds = r.get("depth_sweep", {})
         depth = (
             f"{ds.get('early_med')} -> {ds.get('late_med')}"
@@ -899,7 +970,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
             f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
-            f" | {decon} | {para} | {depth} | {era} |"
+            f" | {decon} | {para} | {para_skew} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
