@@ -203,15 +203,34 @@ def _load_all() -> None:
 # (26 of 38). After a green round 10 nothing in the ledger is older
 # than r6, with twelve r6 stragglers (named in COVERAGE.md) for the
 # r11 fill.
-WINDOW_ROUND = 10
+# ROTATION (round 11): retire the r6 witness tail (VERDICT r10 ask #2).
+# Priority: the three NEW r11 queries (decontaminate_normalized — the
+# case/punct/whitespace-insensitive Lee-et-al. matching flavor, ask #1;
+# dedup_paragraphs_fp — the fingerprint-keyed paragraph-dedup twin whose
+# content exchange carries 16-byte hashes instead of text, ask #3;
+# decontaminate_store — the benchmark gram index routed through the
+# durable PreserveStore with era appends, ask #4) plus the three queries
+# whose ORACLES round 11 redefined: agg_approx_percentile_bounded (the
+# all-TRUE tautology replaced by independently-recomputed exact
+# quantiles with poison-on-bound-violation, ADVICE r10) and the two
+# paragraph registrations (synthesis + oracle normalization widened from
+# newline-only to all Unicode whitespace, ADVICE r10 — their r10 rows
+# witnessed the old oracle text). The 44 fill slots are pure staleness:
+# the complete 12-query r6 straggler cohort, then the r7 cohort
+# alphabetically (32 of 42). After a green round 11 nothing in the
+# ledger is older than r7 (10 r7 stragglers remain, q3/q4/q5 + the
+# scd2 transformation pair et al., for the r12 fill).
+WINDOW_ROUND = 11
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "scd2_store_vacuum_reads",
-    "scd2_store_occ_retry",
-    "decontaminate_substring",
-    "text_dup_line_stats",
+    "decontaminate_normalized",
+    "dedup_paragraphs_fp",
+    "decontaminate_store",
+    "agg_approx_percentile_bounded",
+    "dedup_paragraphs_global",
+    "incr_dedup_paragraphs",
 ]
 
 
@@ -258,61 +277,59 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-10 priority: the two behaviorally-changed store paths
-    # + the two headline new r10 queries; fill = pure staleness
-    # (the late-round decontaminate_streamed and
-    # text_gopher_filter, witness-less, enter first; then the
-    # full 14-query r5 cohort; then the r6 cohort alphabetically)
-    "scd2_store_vacuum_reads",
-    "scd2_store_occ_retry",
-    "decontaminate_substring",
-    "text_dup_line_stats",
+    # round-11 priority: three new queries + the three whose oracles
+    # this round redefined; fill = pure staleness (the full 12-query
+    # r6 straggler cohort, then the r7 cohort alphabetically)
+    "decontaminate_normalized",
+    "dedup_paragraphs_fp",
+    "decontaminate_store",
     "agg_approx_percentile_bounded",
-    "decontaminate_streamed",
     "dedup_paragraphs_global",
-    "incr_decontaminate",
     "incr_dedup_paragraphs",
-    "text_gopher_filter",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_token_budget",
-    "scan_jdbc_roundtrip",
-    "scan_jsonl_roundtrip",
-    "scan_multi_path_combine",
-    "shard_manifest",
-    "streaming_dedup_events",
-    "streaming_incr_pagerank",
-    "text_lang_id",
-    "text_unigram_logprob",
-    "tokenize_to_ids",
-    "udf_cogrouped_stats",
-    "array_battery",
-    "bpe_pair_counts",
-    "corpus_top_tokens",
-    "data_quality_report",
-    "dedup_keep_best",
-    "embedding_dedup_clusters",
-    "embedding_label_centroids",
-    "embedding_top_pairs",
-    "events_enriched_streamed",
-    "events_funnel",
-    "events_resample_gaps",
-    "events_running_totals_streamed",
-    "events_session",
-    "events_sliding",
-    "events_stream_stream_join",
-    "events_unpivot",
-    "graph_kcore_bounded3",
-    "incr_nmf_delta2",
-    "incr_sssp_warm3",
-    "inverted_index_trigrams",
-    "multimodal_adpcm_decode",
-    "multimodal_features",
-    "multimodal_gif_decode",
-    "multimodal_meta",
-    "profile_orders",
-    "sample_stratified_events",
+    "scan_binaryfile_media",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "setop_intersect",
+    "skew_report_suppkey",
+    "split_train_test_counts",
+    "text_pii_redact",
+    "text_regex_tokens",
+    "text_repetition_quality",
+    "tfidf_top_terms",
+    "udf_apply_in_pandas",
+    "window_battery2",
+    "agg_cube",
+    "agg_distinct",
+    "agg_global",
+    "agg_grouping_sets",
+    "agg_histogram",
+    "agg_percentiles",
+    "agg_rollup",
+    "agg_value_battery",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "decontaminate_overlap",
+    "dedup_cc_clusters",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_pairs",
+    "dedup_simhash_pairs",
+    "doc_fingerprint",
+    "embedding_top_pairs_lsh",
+    "events_pivot",
+    "field_selection",
+    "gen_random_kv",
+    "incr_pagerank_reconverge",
+    "incr_refresh_orders",
+    "join_anti",
+    "join_left_outer",
+    "join_override",
+    "json_extract",
+    "kmeans_assign",
+    "nmf_bounded2",
+    "power_bounded3",
+    "projection_inverse_map",
+    "q18_large_orders",
 ]
 
 
