@@ -60,6 +60,62 @@ def _median(xs: list[float]) -> float:
     return round(statistics.median(xs), 3)
 
 
+def _drain_listener_bus(spark) -> None:
+    """Block until the async listener bus has delivered all events — the
+    app status store is listener-fed, so metrics read without draining can
+    miss a just-finished stage (r11 review)."""
+    bus = spark.sparkContext._jsc.sc().listenerBus()
+    try:
+        bus.waitUntilEmpty()
+    except Exception:
+        try:
+            bus.waitUntilEmpty(10_000)
+        except Exception:
+            pass  # best-effort: metrics may lag one stage
+
+
+def _stage_shuffle_writes(spark) -> dict[int, int]:
+    """stage_id -> shuffle-write bytes for every stage the app status
+    store retains."""
+    sc = spark.sparkContext
+    jvm, gw = sc._jvm, sc._gateway
+    _drain_listener_bus(spark)
+    store = sc._jsc.sc().statusStore()
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),  # all statuses
+        False,
+        False,
+        gw.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    return {
+        stages.apply(i).stageId(): stages.apply(i).shuffleWriteBytes()
+        for i in range(stages.size())
+    }
+
+
+def _max_stage_id(spark) -> int:
+    ids = _stage_shuffle_writes(spark)
+    return max(ids) if ids else -1
+
+
+def shuffle_write_bytes_after(spark, min_stage_id: int) -> int:
+    """Shuffle-write bytes of stages with id > ``min_stage_id``.
+
+    Keyed on stage ID, not a before/after TOTAL: the status store caps
+    retained stages (spark.ui.retainedStages, a CUMULATIVE cap), so by
+    late-bench a total-delta can go negative when old stages evict
+    between snapshots (r11 review). Eviction is oldest-first, so the
+    just-created stages of a query run measured immediately after it are
+    retained and the per-id sum is exact (worst case under pathological
+    eviction: an undercount, never cross-query contamination)."""
+    return sum(
+        b
+        for sid, b in _stage_shuffle_writes(spark).items()
+        if sid > min_stage_id
+    )
+
+
 def main() -> None:
     from incr_iter_hadoop_spark.registry import all_queries
     from incr_iter_hadoop_spark.session import get_spark
@@ -455,35 +511,18 @@ def main() -> None:
     # bytes each variant actually shuffles at sf0.1 so the claimed
     # order-of-magnitude cut is measured, not asserted. Wall-clock for
     # both is already in r6_extras; this is the byte-level evidence.
-    def _shuffle_write_bytes() -> int:
-        """Total shuffle-write bytes across all stages the app status
-        store currently retains (local mode, spark.ui.retainedStages
-        default 1000 ≫ the handful of stages per query — deltas taken
-        immediately around a single query run are exact)."""
-        sc = spark.sparkContext
-        jvm, gw = sc._jvm, sc._gateway
-        store = sc._jsc.sc().statusStore()
-        stages = store.stageList(
-            jvm.java.util.ArrayList(),  # all statuses
-            False,
-            False,
-            gw.new_array(jvm.double, 0),
-            jvm.java.util.ArrayList(),
-        )
-        return sum(
-            stages.apply(i).shuffleWriteBytes() for i in range(stages.size())
-        )
-
-    b0 = _shuffle_write_bytes()
+    # Stage-id-keyed sums (shuffle_write_bytes_after), never total
+    # deltas — see the helper's eviction note.
+    m0 = _max_stage_id(spark)
     specs["dedup_paragraphs_global"].fn(spark, SF_DIR).write.format(
         "noop"
     ).mode("overwrite").save()
-    b1 = _shuffle_write_bytes()
+    para_value_bytes = shuffle_write_bytes_after(spark, m0)
+    m1 = _max_stage_id(spark)
     specs["dedup_paragraphs_fp"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
     ).save()
-    b2 = _shuffle_write_bytes()
-    para_value_bytes, para_fp_bytes = b1 - b0, b2 - b1
+    para_fp_bytes = shuffle_write_bytes_after(spark, m1)
     r6_extras["dedup_paragraphs_shuffle_mb"] = round(
         para_value_bytes / 1e6, 3
     )

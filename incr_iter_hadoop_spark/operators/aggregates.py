@@ -312,10 +312,16 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(quantile_cont == Spark percentile, the agg_percentiles-proven "
     "pair), and each value is POISONED to -1.0 when its sketch fails "
     "the rank gate — a broken sketch or a broken gate flips the driver "
-    "hash loudly instead of passing a tautology. NULL prices filtered "
-    "on BOTH sides: percentile_approx ignores NULLs while the rank "
-    "denominator would count them, and an all-NULL group must vanish "
-    "from both engines.",
+    "hash loudly instead of passing a tautology. Honest scale note: "
+    "emitting the exact quantile makes THIS registered query a "
+    "verification HARNESS, not the production plan — Spark's exact "
+    "percentile buffers each group (O(group) agg memory), affordable "
+    "at gate scale, infeasible at 100 TB groups; the production path "
+    "is the sketch plus the STREAMING rank gate alone (two sums, "
+    "constant memory), which is exactly what this harness certifies. "
+    "NULL prices filtered on BOTH sides: percentile_approx ignores "
+    "NULLs while the rank denominator would count them, and an "
+    "all-NULL group must vanish from both engines.",
 )
 def agg_approx_percentile_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (

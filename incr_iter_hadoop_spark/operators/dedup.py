@@ -21,6 +21,9 @@ has a brute-force baseline here and an LSH-bucketed variant in similarity.py.
 
 from __future__ import annotations
 
+import itertools
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1108,19 +1111,28 @@ def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The Lee et al. / GPT-3 appendix-C matching normalization, as ONE shared
-# expression pair: lowercase, then collapse every run of anything outside
-# [a-z0-9] (punctuation, whitespace, digits-adjacent symbols, every
-# non-ASCII codepoint) to a single space, then trim. Case folding that
-# lands in ASCII (e.g. Kelvin sign U+212A → 'k') is identical across
-# engines; everything still non-ASCII after lower() is stripped by the
-# class, so Unicode-casing edge divergence cannot reach the grams —
-# pinned over a hostile battery in tests/test_incr_decontaminate.py.
-_NORM_SQL = "trim(regexp_replace(lower({src}), '[^a-z0-9]+', ' ', 'g'))"
+# expression pair: collapse every run of anything outside [a-zA-Z0-9]
+# (punctuation, whitespace, every non-ASCII codepoint) to a single space
+# FIRST, then lowercase, then trim. The order is the cross-engine fence:
+# stripping non-ASCII *before* the case map means lower() only ever acts
+# on pure ASCII, where every engine agrees — lowering first would route
+# Unicode one-to-many / combining-mark case maps through the class and
+# the engines DIVERGE exactly where a fold crosses the ASCII boundary
+# (r11 review, confirmed live: Java lower('İ') = 'i'+U+0307 → the
+# combining mark strips to a spurious space, DuckDB's utf8proc gives
+# plain 'i'; Java upper('ß')='SS' vs DuckDB 'ẞ' is the same class of
+# hazard). Cost: non-ASCII content (including folds that would land in
+# ASCII, e.g. Kelvin K) never reaches the grams — deterministic
+# cross-engine matching beats exotic-case recall for a train/test
+# overlap gate. Pinned over a hostile battery incl. MID-WORD İ in
+# tests/test_incr_decontaminate.py.
+_NORM_SQL = "trim(lower(regexp_replace({src}, '[^a-zA-Z0-9]+', ' ', 'g')))"
 
 
 def normalize_for_matching(col: Column) -> Column:
-    """Spark half of ``_NORM_SQL`` (char-for-char the same semantics)."""
-    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+    """Spark half of ``_NORM_SQL`` (char-for-char the same semantics:
+    strip-then-lower — see the ordering note on ``_NORM_SQL``)."""
+    return F.trim(F.lower(F.regexp_replace(col, "[^a-zA-Z0-9]+", " ")))
 
 
 def decontaminate_spans_normalized(
@@ -1270,7 +1282,6 @@ def decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontaminate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
-    import os
     import shutil
     import tempfile
 
@@ -1454,6 +1465,25 @@ def incr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bench_gram_pairs(
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SPAN_K,
+    keep_hex: str = SPAN_KEEP_HEX,
+) -> DataFrame:
+    """Distinct (gram, bench_id) contribution rows of a benchmark
+    relation — THE canonical store contribution builder, shared by
+    initialize, era append, and retirement (r11 review: retraction only
+    shrinks the probe set if '-' rows reproduce EXACTLY the pairs the
+    append inserted, so all three paths must build from one helper)."""
+    return (
+        _fingerprint_grams(bench, id_col, text_col, k, keep_hex)
+        .select("gram", F.col("id").alias("bench_id"))
+        .distinct()
+    )
+
+
 def decontamination_index_store(
     spark: SparkSession,
     path: str,
@@ -1482,11 +1512,7 @@ def decontamination_index_store(
     broadcast probe itself only needs the gram column."""
     from ..sources.preserve_store import PreserveStore
 
-    pairs = (
-        _fingerprint_grams(bench, id_col, text_col, k, keep_hex)
-        .select("gram", F.col("id").alias("bench_id"))
-        .distinct()
-    )
+    pairs = bench_gram_pairs(bench, id_col, text_col, k, keep_hex)
     store = PreserveStore(spark, path)
     store.initialize(
         pairs,
@@ -1512,13 +1538,8 @@ def append_benchmark_era(
     committed corpus-side index untouched. Returns the new store
     version. ``token`` makes an at-least-once orchestrator replay a
     no-op (the store's idempotence contract)."""
-    pairs = (
-        _fingerprint_grams(new_bench, id_col, text_col, k, keep_hex)
-        .select("gram", F.col("id").alias("bench_id"))
-        .distinct()
-        .withColumn("op", F.lit("+"))
-    )
-    return store.refresh(pairs, token=token)
+    pairs = bench_gram_pairs(new_bench, id_col, text_col, k, keep_hex)
+    return store.refresh(pairs.withColumn("op", F.lit("+")), token=token)
 
 
 def store_gram_set(store) -> DataFrame:
@@ -1529,7 +1550,7 @@ def store_gram_set(store) -> DataFrame:
     return store.current_results().where(F.col("n_bench") > 0).select("gram")
 
 
-_DECONTAM_STORE_SEQ = __import__("itertools").count()
+_DECONTAM_STORE_SEQ = itertools.count()
 
 
 @register(
@@ -1553,7 +1574,6 @@ _DECONTAM_STORE_SEQ = __import__("itertools").count()
     "tests/test_decontam_store.py.",
 )
 def decontaminate_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import re
     import tempfile
 
@@ -1575,12 +1595,12 @@ def decontaminate_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(root, "bench_grams"), old_b, "doc_id", "text"
     )
     append_benchmark_era(store, new_b, "doc_id", "text")
-    hits = (
-        _fingerprint_grams(corpus, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX)
-        .join(F.broadcast(store_gram_set(store)), "gram", "left_semi")
-        .select("id", "pos")
-    )
-    return _merge_spans(hits, SPAN_K).select(
+    # the probe IS the shared helper — the store only changes where the
+    # gram set comes from (r11 review: an inline copy would let a future
+    # probe fix silently skip the store-backed flavor)
+    return decontaminate_spans_against(
+        corpus, store_gram_set(store), "doc_id", "text"
+    ).select(
         F.col("id").alias("doc_id"),
         F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
         F.col("dup_chars").cast("bigint").alias("contam_chars"),

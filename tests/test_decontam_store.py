@@ -140,19 +140,19 @@ def test_store_backed_index_survives_restart_and_era_append(
         assert out_all[doc_id] == flag
     assert 1 not in out_all and 2 not in out_all
 
-    # ---- retirement: the era-append's contributions retract as '-' rows;
-    # the probe set shrinks and passage B stops matching
+    # ---- retirement: the era-append's contributions retract as '-' rows
+    # built by the SAME helper the append used (byte-identical pairs are
+    # what makes count-to-zero exact); the probe set shrinks and passage
+    # B stops matching
     from incr_iter_hadoop_spark.operators.dedup import (
         SPAN_K,
         SPAN_KEEP_HEX,
         _fingerprint_grams,
+        bench_gram_pairs,
     )
 
-    retract = (
-        _fingerprint_grams(new_b, "id", "body", SPAN_K, SPAN_KEEP_HEX)
-        .select("gram", F.col("id").alias("bench_id"))
-        .distinct()
-        .withColumn("op", F.lit("-"))
+    retract = bench_gram_pairs(new_b, "id", "body").withColumn(
+        "op", F.lit("-")
     )
     store.refresh(retract)
     after = {r["gram"] for r in store_gram_set(store).collect()}

@@ -200,6 +200,13 @@ def test_normalizer_cross_engine_battery(spark):
         "Hello, World!  multiple   spaces",
         "MiXeD CaSe-Punct;All",
         "ß ẞ İ I K KK",
+        # MID-WORD Unicode case edges (r11 review): lowering FIRST would
+        # route Java's lower('\u0130') = 'i'+combining-dot through the
+        # strip (a spurious space) while DuckDB's utf8proc gives plain
+        # 'i' — the strip-then-lower order drops the codepoint
+        # identically on both engines before any case map can act
+        "\u0130stanbul x\u0130y SS\u00df matter",
+        "stra\u00dfe STRASSE Stra\u00dfe",
         "ΑΣ σ Σ",
         "héllo wörld naïve café",
         "tab\tand\xa0nbsp and ls",
