@@ -1265,6 +1265,59 @@ def decontaminate_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incr_decontaminate_normalized",
+    oracle=_DECONTAM_NORM_ORACLE,
+    doc="incremental NORMALIZED decontamination (round 11): the "
+    "production composition — benchmarks grow (I7/I8) AND matching is "
+    "case/punct/whitespace-insensitive. Same perturbed benchmark split "
+    "as decontaminate_normalized (ASCII-translate uppercase + comma "
+    "noise, washed out by normalization), same preserved-state "
+    "discipline as incr_decontaminate: the NORMALIZED corpus "
+    "fingerprint relation is materialized once, the old benchmark "
+    "half's hits are the preserved state, and only the newly-shipped "
+    "half's normalized grams (broadcast) probe the fingerprints — the "
+    "corpus is never re-read. Semi-joins distribute over gram-set "
+    "union, so the result equals the full normalized recompute exactly "
+    "(the oracle is decontaminate_normalized's verbatim). Demonstrates "
+    "that normalization composes with the whole incremental machinery "
+    "unchanged: it is a map-side expression in front of the shared "
+    "fingerprint scan, invisible to the probe/union/merge layers.",
+)
+def incr_decontaminate_normalized(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    norm = normalize_for_matching(F.col("text")).alias("text")
+    corpus_n = corpus.select("doc_id", norm)
+    bench_n = bench.select(
+        "doc_id", F.expr(_PERTURB_SQL.format(src="text")).alias("text")
+    ).select("doc_id", norm)
+    old_b = bench_n.where(F.col("doc_id") % 20 == 0)
+    new_b = bench_n.where(F.col("doc_id") % 20 != 0)
+    # preserved state at query granularity, exactly the incr_decontaminate
+    # convention: normalized fingerprints materialized ONCE (both the
+    # old-hit rebuild and the delta probe consume them)
+    corpus_fp = _fingerprint_grams(
+        corpus_n, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX
+    ).localCheckpoint(eager=True)
+    old_hits = (
+        corpus_fp.join(
+            F.broadcast(benchmark_gram_set(old_b, "doc_id", "text")),
+            "gram",
+            "left_semi",
+        )
+        .select("id", "pos")
+    )
+    return incr_decontaminate_spans(
+        corpus_fp, old_hits, new_b, "doc_id", "text"
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+        F.col("dup_chars").cast("bigint").alias("contam_chars"),
+    )
+
+
+@register(
     "decontaminate_streamed",
     oracle=_DECONTAM_ORACLE,
     doc="decontamination AT INGEST (round 10 — §2.9 × the "

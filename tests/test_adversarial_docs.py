@@ -63,6 +63,7 @@ DOC_QUERIES = [
     "decontaminate_overlap",
     "decontaminate_substring",
     "decontaminate_normalized",
+    "incr_decontaminate_normalized",
     "decontaminate_streamed",
     "incr_decontaminate",
     "dedup_paragraphs_global",

@@ -466,11 +466,14 @@ def test_decontaminate_store_probe_is_broadcast_semi_no_product(
 def test_incr_decontaminate_both_probes_broadcast_semi(spark, sf_dir):
     # old-state rebuild AND the delta pass each broadcast a benchmark gram
     # set into a LEFT-SEMI over the corpus fingerprints; the hit-position
-    # union is narrow (id, pos) and nothing is ever a doc-pair product
-    plan = _executed_plan(spark, sf_dir, "incr_decontaminate")
-    assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # union is narrow (id, pos) and nothing is ever a doc-pair product.
+    # The normalized twin must keep the identical shape — normalization
+    # is a map-side expression invisible to the probe machinery.
+    for name in ("incr_decontaminate", "incr_decontaminate_normalized"):
+        plan = _executed_plan(spark, sf_dir, name)
+        assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_dedup_paragraphs_hash_agg_no_window_no_product(spark, sf_dir):
