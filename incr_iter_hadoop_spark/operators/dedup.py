@@ -1395,6 +1395,89 @@ def decontaminate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "decontaminate_normalized_streamed",
+    oracle=_DECONTAM_NORM_ORACLE,
+    doc="NORMALIZED decontamination AT INGEST (round 11 — completing the "
+    "normalized family three-deep, mirroring the raw family's "
+    "at-rest/incremental/streamed trio): the same corpus split arrives "
+    "as two file-source micro-batches, each probing the PREPARED "
+    "normalized benchmark gram set (materialized once) via foreachBatch "
+    "with idempotent per-batch partition overwrites. Normalization is a "
+    "map-side expression on the streaming relation itself — the "
+    "streaming machinery (streaming_decontaminate) is byte-identical to "
+    "the raw flavor's, which is the point: the Kappa-pattern gate "
+    "composes with normalized matching with zero new moving parts. "
+    "Containment is per-doc against static state, so the drained union "
+    "equals decontaminate_normalized exactly (verbatim oracle).",
+)
+def decontaminate_normalized_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_decontaminate
+
+    _, corpus, bench = _doc_split(spark, sf_dir)
+    norm = normalize_for_matching(F.col("text")).alias("text")
+    docs = corpus.select("doc_id", norm)
+    bench_n = bench.select(
+        "doc_id", F.expr(_PERTURB_SQL.format(src="text")).alias("text")
+    ).select("doc_id", norm)
+    # the prepared normalized index: materialized once, probed per batch
+    bench_grams = benchmark_gram_set(
+        bench_n, "doc_id", "text"
+    ).localCheckpoint(eager=True)
+    root = tempfile.mkdtemp(prefix="decontam_norm_stream_")
+    feed = os.path.join(root, "feed")
+    sink = os.path.join(root, "sink")
+    os.makedirs(feed)
+    q = None
+    try:
+        for i, half in enumerate(
+            [docs.where(F.col("doc_id") % 2 == 0),
+             docs.where(F.col("doc_id") % 2 == 1)],
+            start=1,
+        ):
+            staging = os.path.join(root, f"stage{i}")
+            half.coalesce(1).write.parquet(staging)
+            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+            dst = os.path.join(feed, f"batch{i}.parquet")
+            os.rename(part, dst)
+            os.utime(dst, (i, i))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = streaming_decontaminate(
+            stream,
+            bench_grams,
+            "doc_id",
+            "text",
+            sink,
+            os.path.join(root, "checkpoint"),
+        )
+        if not q.awaitTermination(120):
+            raise RuntimeError(
+                "streamed normalized decontamination did not drain"
+            )
+        parts = sorted(glob.glob(os.path.join(sink, "batch=*")))
+        flagged = spark.read.parquet(*parts)
+        out = flagged.select(
+            F.col("id").alias("doc_id"),
+            F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
+            F.col("dup_chars").cast("bigint").alias("contam_chars"),
+        ).localCheckpoint(eager=True)
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 _DEL_DOC_MOD = 7  # deletion delta: every 7th doc leaves the corpus
 
 

@@ -216,12 +216,13 @@ def _load_all() -> None:
 # paragraph registrations (synthesis + oracle normalization widened from
 # newline-only to all Unicode whitespace, ADVICE r10 — their r10 rows
 # witnessed the old oracle text). The 44 fill slots are pure staleness:
-# the late-round incr_decontaminate_normalized (witness-less, enters
-# via the fill as every new query does), the complete 12-query r6
-# straggler cohort, then the r7 cohort alphabetically (31 of 42).
-# After a green round 11 nothing in the ledger is older than r7
-# (11 r7 stragglers remain, q3/q4/q5/q18 + the scd2 transformation
-# pair et al., for the r12 fill).
+# the two late-round normalized-family twins
+# (decontaminate_normalized_streamed, incr_decontaminate_normalized —
+# witness-less, entering via the fill as every new query does), the
+# complete 12-query r6 straggler cohort, then the r7 cohort
+# alphabetically (30 of 42). After a green round 11 nothing in the
+# ledger is older than r7 (12 r7 stragglers remain, q3/q4/q5/q18 +
+# the scd2 transformation pair et al., for the r12 fill).
 WINDOW_ROUND = 11
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -288,6 +289,7 @@ FIRST_WINDOW: list[str] = [
     "agg_approx_percentile_bounded",
     "dedup_paragraphs_global",
     "incr_dedup_paragraphs",
+    "decontaminate_normalized_streamed",
     "incr_decontaminate_normalized",
     "scan_binaryfile_media",
     "scan_csv_roundtrip",
@@ -331,7 +333,6 @@ FIRST_WINDOW: list[str] = [
     "kmeans_assign",
     "nmf_bounded2",
     "power_bounded3",
-    "projection_inverse_map",
 ]
 
 

@@ -64,6 +64,7 @@ DOC_QUERIES = [
     "decontaminate_substring",
     "decontaminate_normalized",
     "incr_decontaminate_normalized",
+    "decontaminate_normalized_streamed",
     "decontaminate_streamed",
     "incr_decontaminate",
     "dedup_paragraphs_global",

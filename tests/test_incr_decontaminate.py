@@ -273,3 +273,59 @@ def test_registered_perturbation_washes_out_under_normalization(spark):
     ).collect()
     for r in both:
         assert r["plain"] == r["pert"]
+
+
+def test_normalized_matching_invariant_under_perturbation(spark):
+    """Property (hypothesis-style over a seeded grid): normalized
+    decontamination flags are INVARIANT under any case/punctuation/
+    whitespace rewrite of either relation — the defining contract of the
+    normalized flavor. Perturbations: case flips, punctuation injection
+    after tokens, whitespace doubling, mixed. A normalizer regression
+    (e.g. an order-of-operations change reintroducing engine-specific
+    case maps) breaks the invariance before it can reach an oracle."""
+    from incr_iter_hadoop_spark.operators.dedup import (
+        decontaminate_spans_normalized,
+    )
+
+    rng = random.Random(1111)
+    passage = _rand_text(rng, 240)
+    corpus_rows = [
+        (0, _rand_text(rng, 50) + passage + _rand_text(rng, 50)),
+        (1, _rand_text(rng, 400)),
+    ]
+    bench_rows = [(1000, _rand_text(rng, 30) + passage)]
+
+    def perturb(t: str, mode: int, r: random.Random) -> str:
+        if mode == 0:
+            return "".join(
+                c.upper() if r.random() < 0.5 else c for c in t
+            )
+        if mode == 1:
+            return t.replace(" ", r.choice([", ", "; ", " . ", " - "]))
+        if mode == 2:
+            return t.replace(" ", "   ").upper()
+        return "".join(
+            (c.upper() if r.random() < 0.3 else c)
+            + ("," if c == " " and r.random() < 0.4 else "")
+            for c in t
+        )
+
+    def flags(c_rows, b_rows):
+        c = spark.createDataFrame(c_rows, "id long, body string")
+        b = spark.createDataFrame(b_rows, "id long, body string")
+        return {
+            r["id"]: (r["n_dup_spans"], r["dup_chars"])
+            for r in decontaminate_spans_normalized(
+                c, b, "id", "body"
+            ).collect()
+        }
+
+    baseline = flags(corpus_rows, bench_rows)
+    assert 0 in baseline and 1 not in baseline
+    for mode in range(4):
+        r = random.Random(mode)
+        pc = [(i, perturb(t, mode, r)) for i, t in corpus_rows]
+        pb = [(i, perturb(t, mode, r)) for i, t in bench_rows]
+        assert flags(pc, bench_rows) == baseline, f"corpus mode {mode}"
+        assert flags(corpus_rows, pb) == baseline, f"bench mode {mode}"
+        assert flags(pc, pb) == baseline, f"both mode {mode}"
