@@ -58,6 +58,7 @@ DOC_QUERIES = [
     "incr_dedup_minhash_pairs",
     "sample_documents_10pct",
     "sample_token_budget",
+    "sample_mixture_epochs",
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",

@@ -451,6 +451,20 @@ def test_decontaminate_normalized_is_broadcast_semi_no_product(
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_mixture_epochs_two_level_no_product(spark, sf_dir):
+    # the weighted-mixture sampler must keep sample_token_budget's
+    # two-level shape: cumulative windows only on (source, bucket) /
+    # tiny per-bucket relations (16x the parallelism of a whole-source
+    # window), per-source offsets and weights BROADCAST back, and the
+    # epoch repetition as a per-row sequence explode (Generate) — never
+    # a join-multiplied product
+    plan = _executed_plan(spark, sf_dir, "sample_mixture_epochs")
+    assert "Generate" in plan  # the explode(sequence(0, n_ep-1))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_decontaminate_store_probe_is_broadcast_semi_no_product(
     spark, sf_dir
 ):
