@@ -1966,17 +1966,37 @@ def dedup_paragraphs_fp(
     exchanges — narrow (fp,id,pos) by fp, narrow winners by id, doc
     rows by id for the join — no window, no product, no global sort;
     the final per-doc projection is map-side on the join output."""
+    docs, fp = _para_fp_explode(df, id_col, text_col, sep)
+    winners = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    return _para_rebuild_from_positions(docs, winners, sep)
+
+
+def _para_fp_explode(df: DataFrame, id_col: str, text_col: str, sep: str):
+    """(doc rows (id, segs array), fingerprint rows (id, pos, fp)) — the
+    shared front half of the fp-keyed paragraph family."""
     segs = _para_segs(text_col, sep)
     docs = df.select(F.col(id_col).alias("id"), segs.alias("segs")).where(
         F.size("segs") > 0
     )
-    ex = docs.select("id", F.posexplode("segs")).toDF("id", "pos", "para")
-    winners = (
-        ex.select("id", "pos", F.unhex(F.md5("para")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min(F.struct("id", "pos")).alias("w"))
-        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    fp = (
+        docs.select("id", F.posexplode("segs"))
+        .toDF("id", "pos", "para")
+        .select("id", "pos", F.unhex(F.md5("para")).alias("fp"))
     )
+    return docs, fp
+
+
+def _para_rebuild_from_positions(
+    docs: DataFrame, winners: DataFrame, sep: str
+) -> DataFrame:
+    """Map-side reassembly of the fp-keyed family: winners (id, pos)
+    collapse to per-doc kept-position arrays and each doc's cleaned text
+    is rebuilt by indexing its re-split segment array — paragraph text
+    never crosses a content-keyed exchange."""
     keep_pos = winners.groupBy("id").agg(
         F.sort_array(F.collect_list("pos")).alias("keep")
     )
@@ -1996,6 +2016,74 @@ def dedup_paragraphs_fp(
             ),
             sep,
         ).alias("text_clean"),
+    )
+
+
+def incr_dedup_paragraphs_fp(
+    seen_fps: DataFrame,
+    delta: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Incremental fp-keyed paragraph dedup — the scale completion of
+    the fp family (round 11): at 100 TB the PRESERVED SEEN SET is the
+    large relation a deployed dedupe carries between batches, and
+    keying it by 16-byte fingerprints instead of paragraph values cuts
+    its storage AND the per-batch probe's shuffle bytes by the same
+    paragraph-size/16 factor as the at-rest content exchange.
+
+    ``seen_fps``: column ``fp`` (BINARY(16) md5) — the committed
+    corpus's distinct paragraph fingerprints. Delta pass: batch-local
+    first-occurrence agg on fp, ONE equi anti-join against the seen
+    set (both sides 16-byte keys), map-side reassembly. Same
+    exactness-up-to-hashing caveat as ``dedup_paragraphs_fp``; same
+    arrival-order contract as ``incr_dedup_paragraphs`` (base before
+    delta), so base-fp output ∪ this equals the fp full recompute."""
+    docs, fp = _para_fp_explode(delta, id_col, text_col, sep)
+    winners = (
+        fp.groupBy("fp")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+        .join(seen_fps.select("fp"), "fp", "left_anti")
+        .select(F.col("w.id").alias("id"), F.col("w.pos").alias("pos"))
+    )
+    return _para_rebuild_from_positions(docs, winners, sep)
+
+
+@register(
+    "incr_dedup_paragraphs_fp",
+    oracle=_para_oracle(
+        f"CASE WHEN doc_id % {_NEW_DOC_MOD} = 0 THEN 1 ELSE 0 END, "
+        "doc_id, pos"
+    ),
+    doc="incremental FP-KEYED paragraph dedup (round 11 — the scale "
+    "completion of the fingerprint family): identical arrival-order "
+    "contract and verbatim oracle as incr_dedup_paragraphs, but the "
+    "preserved seen set holds 16-byte md5 fingerprints instead of "
+    "paragraph text — at 100 TB the seen set is the big preserved "
+    "relation, so fingerprinting it cuts its storage and the per-batch "
+    "anti-join probe's shuffle by the same order as the at-rest "
+    "content exchange. Delta pass: batch-local fp-keyed "
+    "first-occurrence agg + ONE 16-byte-keyed equi anti-join + "
+    "map-side reassembly. Exact up to 128-bit hashing; a collision "
+    "fails the shared exact-recompute oracle loudly.",
+)
+def incr_dedup_paragraphs_fp_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    synth = _synth_para_docs(spark, sf_dir).localCheckpoint(eager=True)
+    base = synth.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
+    delta = synth.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
+    # preserved state: the committed corpus's distinct paragraph
+    # FINGERPRINTS (16 bytes/paragraph vs full text)
+    seen_fps = _para_fp_explode(base, "doc_id", "text", "\n\n")[1].select(
+        "fp"
+    ).distinct()
+    out = dedup_paragraphs_fp(base, "doc_id", "text").unionByName(
+        incr_dedup_paragraphs_fp(seen_fps, delta, "doc_id", "text")
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_paras", "n_dropped", "text_clean"
     )
 
 

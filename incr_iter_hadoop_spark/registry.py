@@ -216,14 +216,14 @@ def _load_all() -> None:
 # paragraph registrations (synthesis + oracle normalization widened from
 # newline-only to all Unicode whitespace, ADVICE r10 — their r10 rows
 # witnessed the old oracle text). The 44 fill slots are pure staleness:
-# the three late-round additions (the normalized-family twins
-# decontaminate_normalized_streamed / incr_decontaminate_normalized
+# the four late-round additions (the normalized-family twins
+# decontaminate_normalized_streamed / incr_decontaminate_normalized,
+# the incremental fp-keyed paragraph twin incr_dedup_paragraphs_fp,
 # and the weighted-mixture sampler sample_mixture_epochs —
 # witness-less, entering via the fill as every new query does), the
 # complete 12-query r6 straggler cohort, then the r7 cohort
-# alphabetically (29 of 42). After a green round 11 nothing in the
-# ledger is older than r7 (13 r7 stragglers remain, q3/q4/q5/q18 +
-# the scd2 transformation pair et al., for the r12 fill).
+# alphabetically (28 of 42). After a green round 11 nothing in the
+# ledger is older than r7 (14 r7 stragglers remain for the r12 fill).
 WINDOW_ROUND = 11
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -292,6 +292,7 @@ FIRST_WINDOW: list[str] = [
     "incr_dedup_paragraphs",
     "decontaminate_normalized_streamed",
     "incr_decontaminate_normalized",
+    "incr_dedup_paragraphs_fp",
     "sample_mixture_epochs",
     "scan_binaryfile_media",
     "scan_csv_roundtrip",
@@ -333,7 +334,6 @@ FIRST_WINDOW: list[str] = [
     "join_override",
     "json_extract",
     "kmeans_assign",
-    "nmf_bounded2",
 ]
 
 

@@ -71,6 +71,7 @@ DOC_QUERIES = [
     "dedup_paragraphs_global",
     "dedup_paragraphs_fp",
     "incr_dedup_paragraphs",
+    "incr_dedup_paragraphs_fp",
     "agg_histogram",
     "wordcount",
     "incr_dedup_clusters",

@@ -122,6 +122,24 @@ def test_incremental_equals_arrival_order_full(spark, texts, cut):
         _collect(incr_dedup_paragraphs(seen, delta, "doc_id", "body"))
     )
     assert got == full_ref
+    # the fp-keyed incremental twin (r11): 16-byte seen set, same
+    # arrival-order contract — must equal the same sequential reference
+    from incr_iter_hadoop_spark.operators.dedup import (
+        _para_fp_explode,
+        dedup_paragraphs_fp,
+        incr_dedup_paragraphs_fp,
+    )
+
+    seen_fps = _para_fp_explode(base, "doc_id", "body", "\n\n")[1].select(
+        "fp"
+    ).distinct()
+    got_fp = _collect(dedup_paragraphs_fp(base, "doc_id", "body"))
+    got_fp.update(
+        _collect(
+            incr_dedup_paragraphs_fp(seen_fps, delta, "doc_id", "body")
+        )
+    )
+    assert got_fp == full_ref
 
 
 def test_whitespace_normalizer_cross_engine_equivalence(spark):

@@ -528,9 +528,18 @@ def test_dedup_paragraphs_fp_shuffles_fingerprints_not_text(spark, sf_dir):
 def test_incr_dedup_paragraphs_probe_is_equi_anti_no_product(spark, sf_dir):
     # the delta's within-batch first-occurrence is a hash agg; the
     # seen-set probe must stay an equi ANTI-join on the paragraph value
-    # — linear in the delta, never a pair product or nested loop
+    # — linear in the delta, never a pair product or nested loop. The
+    # fp twin keeps the same shape with 16-byte keys: its anti-join and
+    # content exchange must key on fp, never the paragraph value.
     plan = _executed_plan(spark, sf_dir, "incr_dedup_paragraphs")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "rangepartitioning" not in plan.lower()
+    plan_fp = _executed_plan(spark, sf_dir, "incr_dedup_paragraphs_fp")
+    assert "LeftAnti" in plan_fp
+    assert "hashpartitioning(fp#" in plan_fp
+    assert "hashpartitioning(para#" not in plan_fp
+    assert "CartesianProduct" not in plan_fp
+    assert "BroadcastNestedLoopJoin" not in plan_fp
+    assert "rangepartitioning" not in plan_fp.lower()
