@@ -1288,33 +1288,10 @@ def incr_decontaminate_normalized(
 ) -> DataFrame:
     _, corpus, bench = _doc_split(spark, sf_dir)
     norm = normalize_for_matching(F.col("text")).alias("text")
-    corpus_n = corpus.select("doc_id", norm)
     bench_n = bench.select(
         "doc_id", F.expr(_PERTURB_SQL.format(src="text")).alias("text")
     ).select("doc_id", norm)
-    old_b = bench_n.where(F.col("doc_id") % 20 == 0)
-    new_b = bench_n.where(F.col("doc_id") % 20 != 0)
-    # preserved state at query granularity, exactly the incr_decontaminate
-    # convention: normalized fingerprints materialized ONCE (both the
-    # old-hit rebuild and the delta probe consume them)
-    corpus_fp = _fingerprint_grams(
-        corpus_n, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX
-    ).localCheckpoint(eager=True)
-    old_hits = (
-        corpus_fp.join(
-            F.broadcast(benchmark_gram_set(old_b, "doc_id", "text")),
-            "gram",
-            "left_semi",
-        )
-        .select("id", "pos")
-    )
-    return incr_decontaminate_spans(
-        corpus_fp, old_hits, new_b, "doc_id", "text"
-    ).select(
-        F.col("id").alias("doc_id"),
-        F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
-        F.col("dup_chars").cast("bigint").alias("contam_chars"),
-    )
+    return _incr_decontaminate_query(corpus.select("doc_id", norm), bench_n)
 
 
 @register(
@@ -1334,21 +1311,37 @@ def incr_decontaminate_normalized(
     "exactly: the oracle is decontaminate_substring's verbatim.",
 )
 def decontaminate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob
-    import shutil
-    import tempfile
-
-    from ..streaming.incremental_stream import streaming_decontaminate
-
     _, corpus, bench = _doc_split(spark, sf_dir)
-    docs = corpus.select("doc_id", "text")
     # the prepared index: materialized once, probed per batch
     # (localCheckpoint, not persist — registered queries cannot unpersist
     # after the driver collects)
     bench_grams = benchmark_gram_set(
         bench, "doc_id", "text"
     ).localCheckpoint(eager=True)
-    root = tempfile.mkdtemp(prefix="decontam_stream_")
+    return _drain_decontaminate_stream(
+        spark, corpus.select("doc_id", "text"), bench_grams,
+        "decontam_stream_",
+    )
+
+
+def _drain_decontaminate_stream(
+    spark: SparkSession, docs: DataFrame, bench_grams: DataFrame, prefix: str
+) -> DataFrame:
+    """The shared driver harness of the streamed decontamination
+    registered queries (r11 review: one copy, so a harness fix — the
+    finally q.stop(), the pre-cleanup localCheckpoint, the utime batch
+    ordering — cannot silently diverge between the raw and normalized
+    flavors): land ``docs`` as two parity-split micro-batch files, drain
+    ``streaming_decontaminate`` against the prepared ``bench_grams``,
+    and return the flagged spans materialized before the temp dir goes
+    away."""
+    import glob
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental_stream import streaming_decontaminate
+
+    root = tempfile.mkdtemp(prefix=prefix)
     feed = os.path.join(root, "feed")
     sink = os.path.join(root, "sink")
     os.makedirs(feed)
@@ -1414,15 +1407,8 @@ def decontaminate_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_normalized_streamed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import glob
-    import shutil
-    import tempfile
-
-    from ..streaming.incremental_stream import streaming_decontaminate
-
     _, corpus, bench = _doc_split(spark, sf_dir)
     norm = normalize_for_matching(F.col("text")).alias("text")
-    docs = corpus.select("doc_id", norm)
     bench_n = bench.select(
         "doc_id", F.expr(_PERTURB_SQL.format(src="text")).alias("text")
     ).select("doc_id", norm)
@@ -1430,52 +1416,10 @@ def decontaminate_normalized_streamed(
     bench_grams = benchmark_gram_set(
         bench_n, "doc_id", "text"
     ).localCheckpoint(eager=True)
-    root = tempfile.mkdtemp(prefix="decontam_norm_stream_")
-    feed = os.path.join(root, "feed")
-    sink = os.path.join(root, "sink")
-    os.makedirs(feed)
-    q = None
-    try:
-        for i, half in enumerate(
-            [docs.where(F.col("doc_id") % 2 == 0),
-             docs.where(F.col("doc_id") % 2 == 1)],
-            start=1,
-        ):
-            staging = os.path.join(root, f"stage{i}")
-            half.coalesce(1).write.parquet(staging)
-            part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
-            dst = os.path.join(feed, f"batch{i}.parquet")
-            os.rename(part, dst)
-            os.utime(dst, (i, i))
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-        )
-        q = streaming_decontaminate(
-            stream,
-            bench_grams,
-            "doc_id",
-            "text",
-            sink,
-            os.path.join(root, "checkpoint"),
-        )
-        if not q.awaitTermination(120):
-            raise RuntimeError(
-                "streamed normalized decontamination did not drain"
-            )
-        parts = sorted(glob.glob(os.path.join(sink, "batch=*")))
-        flagged = spark.read.parquet(*parts)
-        out = flagged.select(
-            F.col("id").alias("doc_id"),
-            F.col("n_dup_spans").cast("bigint").alias("n_contam_spans"),
-            F.col("dup_chars").cast("bigint").alias("contam_chars"),
-        ).localCheckpoint(eager=True)
-    finally:
-        if q is not None:
-            q.stop()
-        shutil.rmtree(root, ignore_errors=True)
-    return out
+    return _drain_decontaminate_stream(
+        spark, corpus.select("doc_id", norm), bench_grams,
+        "decontam_norm_stream_",
+    )
 
 
 _DEL_DOC_MOD = 7  # deletion delta: every 7th doc leaves the corpus
@@ -1572,15 +1516,25 @@ def incr_decontaminate_spans(
 )
 def incr_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, corpus, bench = _doc_split(spark, sf_dir)
+    return _incr_decontaminate_query(corpus, bench)
+
+
+def _incr_decontaminate_query(
+    corpus: DataFrame, bench: DataFrame
+) -> DataFrame:
+    """Shared body of the incremental decontamination registered queries
+    (raw + normalized inputs — r11 review: one copy, so the %20 split
+    convention and the preserved-state discipline cannot silently
+    diverge between the flavors): preserved state built inline at query
+    granularity (same convention as incr_dedup_substring's base index) —
+    fingerprints + old hits. The fingerprints are MATERIALIZED once
+    (localCheckpoint, the decontaminate_streamed prepared-index pattern):
+    the old-hit rebuild and the delta probe both consume them, and
+    without this the lazy subtree re-runs the full corpus md5
+    fingerprint scan twice (r10 review) in the query whose point is that
+    the corpus is read once."""
     old_b = bench.where(F.col("doc_id") % 20 == 0)
     new_b = bench.where(F.col("doc_id") % 20 != 0)
-    # preserved state, built inline at query granularity (same convention
-    # as incr_dedup_substring's base index): fingerprints + old hits.
-    # MATERIALIZED once (localCheckpoint, the decontaminate_streamed
-    # prepared-index pattern) — the old-hit rebuild and the delta probe
-    # both consume it, and without this the lazy subtree re-runs the full
-    # corpus md5 fingerprint scan twice (r10 review) in the query whose
-    # point is that the corpus is read once.
     corpus_fp = _fingerprint_grams(
         corpus, "doc_id", "text", SPAN_K, SPAN_KEEP_HEX
     ).localCheckpoint(eager=True)

@@ -162,51 +162,21 @@ def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUDGET_TOKENS = 800  # per-source token budget
 
 
-@register(
-    "sample_token_budget",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
-               AS tok,
-             md5('budget|' || CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
-    ),
-    b AS (SELECT *, substring(h, 1, 1) AS bkt FROM t),
-    l1 AS (
-      SELECT *, SUM(tok) OVER (PARTITION BY source, bkt ORDER BY h
-                 ROWS UNBOUNDED PRECEDING) AS cum_in
-      FROM b
-    ),
-    bt AS (SELECT source, bkt, SUM(tok) AS btot FROM b GROUP BY 1, 2),
-    off AS (
-      SELECT source, bkt,
-             SUM(btot) OVER (PARTITION BY source ORDER BY bkt
-                 ROWS UNBOUNDED PRECEDING) - btot AS boff
-      FROM bt
-    )
-    SELECT l1.doc_id, l1.source, CAST(l1.tok AS BIGINT) AS tok,
-           CAST(o.boff + l1.cum_in AS BIGINT) AS cum
-    FROM l1 JOIN off o ON l1.source = o.source AND l1.bkt = o.bkt
-    WHERE o.boff + l1.cum_in - l1.tok < {_BUDGET_TOKENS}
-    """,
-    doc=f"budget-capped mixture sampling: each corpus source contributes "
-    f"documents in deterministic md5 order until a {_BUDGET_TOKENS}-token "
-    "budget fills — the data-mixture step that assembles a training set "
-    "from per-source token quotas. TWO-LEVEL cumulative sum so the heavy "
-    "window never runs on a whole source: level 1 accumulates within "
-    "(source, hash-bucket) — 16 buckets/source, so 16x the parallelism — "
-    "and level 2 offsets each bucket by the (tiny, broadcast) per-bucket "
-    "totals. The single-window-per-source formulation would serialize "
-    "each source through one task at 100 TB. All-integer arithmetic and "
-    "md5 string ordering, so the selection is exactly reproducible.",
-)
-def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _budget_positions(d: DataFrame, seed: str):
+    """The shared two-level cumulative-sum machinery of the token-budget
+    samplers (ONE implementation so a cumsum-formulation fix cannot
+    desynchronize the two registered queries — the _para_oracle
+    precedent): documents → (doc_id, source, tok, bkt, boff + cum_in =
+    per-source md5-ordered token position). Level 1 accumulates within
+    (source, hash-bucket) — 16 buckets/source, 16× the parallelism of a
+    whole-source window; level 2 offsets each bucket by the tiny,
+    broadcast per-bucket totals. Returns (positions df, per-(source,
+    bucket) totals ``bt`` for callers needing per-source sums without
+    another scan)."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     tok = F.size(ws_tokens(F.col("text")))
-    h = F.md5(F.concat(F.lit("budget|"), F.col("doc_id").cast("string")))
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col("doc_id").cast("string")))
     b = d.select(
         "doc_id",
         "source",
@@ -229,7 +199,59 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     off = bt.withColumn("boff", F.sum("btot").over(w2) - F.col("btot")).select(
         "source", "bkt", "boff"
     )
-    joined = l1.join(F.broadcast(off), ["source", "bkt"])
+    return l1.join(F.broadcast(off), ["source", "bkt"]), bt
+
+
+def _budget_positions_sql(seed: str) -> str:
+    """The DuckDB half of ``_budget_positions`` — the shared CTE prefix
+    (t/b/l1/bt/off) both samplers' oracles build on, one template so an
+    edit cannot desynchronize them."""
+    return f"""
+    t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+               AS tok,
+             md5('{seed}|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    b AS (SELECT *, substring(h, 1, 1) AS bkt FROM t),
+    l1 AS (
+      SELECT *, SUM(tok) OVER (PARTITION BY source, bkt ORDER BY h
+                 ROWS UNBOUNDED PRECEDING) AS cum_in
+      FROM b
+    ),
+    bt AS (SELECT source, bkt, SUM(tok) AS btot FROM b GROUP BY 1, 2),
+    off AS (
+      SELECT source, bkt,
+             SUM(btot) OVER (PARTITION BY source ORDER BY bkt
+                 ROWS UNBOUNDED PRECEDING) - btot AS boff
+      FROM bt
+    )"""
+
+
+@register(
+    "sample_token_budget",
+    oracle=f"""
+    WITH {_budget_positions_sql("budget")}
+    SELECT l1.doc_id, l1.source, CAST(l1.tok AS BIGINT) AS tok,
+           CAST(o.boff + l1.cum_in AS BIGINT) AS cum
+    FROM l1 JOIN off o ON l1.source = o.source AND l1.bkt = o.bkt
+    WHERE o.boff + l1.cum_in - l1.tok < {_BUDGET_TOKENS}
+    """,
+    doc=f"budget-capped mixture sampling: each corpus source contributes "
+    f"documents in deterministic md5 order until a {_BUDGET_TOKENS}-token "
+    "budget fills — the data-mixture step that assembles a training set "
+    "from per-source token quotas. TWO-LEVEL cumulative sum so the heavy "
+    "window never runs on a whole source: level 1 accumulates within "
+    "(source, hash-bucket) — 16 buckets/source, so 16x the parallelism — "
+    "and level 2 offsets each bucket by the (tiny, broadcast) per-bucket "
+    "totals. The single-window-per-source formulation would serialize "
+    "each source through one task at 100 TB. All-integer arithmetic and "
+    "md5 string ordering, so the selection is exactly reproducible.",
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    joined, _bt = _budget_positions(d, "budget")
     cum = F.col("boff") + F.col("cum_in")
     return joined.where(cum - F.col("tok") < _BUDGET_TOKENS).select(
         "doc_id",
@@ -248,31 +270,12 @@ _MIX_BUDGET = 2000
 @register(
     "sample_mixture_epochs",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, source,
-             len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
-               AS tok,
-             md5('mix|' || CAST(doc_id AS VARCHAR)) AS h
-      FROM documents
-    ),
-    b AS (SELECT *, substring(h, 1, 1) AS bkt FROM t),
-    l1 AS (
-      SELECT *, SUM(tok) OVER (PARTITION BY source, bkt ORDER BY h
-                 ROWS UNBOUNDED PRECEDING) AS cum_in
-      FROM b
-    ),
-    bt AS (SELECT source, bkt, SUM(tok) AS btot FROM b GROUP BY 1, 2),
-    off AS (
-      SELECT source, bkt,
-             SUM(btot) OVER (PARTITION BY source ORDER BY bkt
-                 ROWS UNBOUNDED PRECEDING) - btot AS boff
-      FROM bt
-    ),
+    WITH {_budget_positions_sql("mix")},
     wts AS (
-      SELECT source, SUM(tok) AS stot,
+      SELECT source, SUM(btot) AS stot,
              1 + (COALESCE(TRY_CAST(substring(source, 4) AS INTEGER), 0) % 3)
                AS w
-      FROM b GROUP BY source HAVING SUM(tok) > 0
+      FROM bt GROUP BY source HAVING SUM(btot) > 0
     ),
     wb AS (
       SELECT source, stot, w, w * {_MIX_BUDGET} AS budget,
@@ -315,39 +318,17 @@ _MIX_BUDGET = 2000
     "across engines, executor counts, and reruns.",
 )
 def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
-    tok = F.size(ws_tokens(F.col("text")))
-    h = F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string")))
-    b = d.select(
-        "doc_id",
-        "source",
-        tok.alias("tok"),
-        h.alias("h"),
-        F.substring(h, 1, 1).alias("bkt"),
-    )
-    w1 = (
-        Window.partitionBy("source", "bkt")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    l1 = b.withColumn("cum_in", F.sum("tok").over(w1))
-    bt = b.groupBy("source", "bkt").agg(F.sum("tok").alias("btot"))
-    w2 = (
-        Window.partitionBy("source")
-        .orderBy("bkt")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = bt.withColumn("boff", F.sum("btot").over(w2) - F.col("btot")).select(
-        "source", "bkt", "boff"
-    )
+    positions, bt = _budget_positions(d, "mix")
     srcnum = F.coalesce(
         F.expr("try_cast(substring(source, 4) AS INT)"), F.lit(0)
     )
+    # per-source totals from the per-bucket totals (r11 review: a third
+    # full scan + re-tokenization of documents summed the same tokens bt
+    # already holds — integer-exact either way)
     wb = (
-        b.groupBy("source")
-        .agg(F.sum("tok").alias("stot"))
+        bt.groupBy("source")
+        .agg(F.sum("btot").alias("stot"))
         .where(F.col("stot") > 0)
         .select(
             "source",
@@ -358,9 +339,7 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ep", F.ceil(F.col("budget") * 1.0 / F.col("stot")).cast("bigint")
         )
     )
-    joined = l1.join(F.broadcast(off), ["source", "bkt"]).join(
-        F.broadcast(wb), "source"
-    )
+    joined = positions.join(F.broadcast(wb), "source")
     ex = joined.select(
         "doc_id",
         "source",

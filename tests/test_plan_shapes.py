@@ -485,7 +485,8 @@ def test_incr_decontaminate_both_probes_broadcast_semi(spark, sf_dir):
     # is a map-side expression invisible to the probe machinery.
     for name in ("incr_decontaminate", "incr_decontaminate_normalized"):
         plan = _executed_plan(spark, sf_dir, name)
-        assert plan.count("BroadcastHashJoin") >= 2 and "LeftSemi" in plan
+        assert plan.count("BroadcastHashJoin") >= 2, name
+        assert "LeftSemi" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
 
