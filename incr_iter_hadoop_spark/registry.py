@@ -224,17 +224,25 @@ def _load_all() -> None:
 # complete 12-query r6 straggler cohort, then the r7 cohort
 # alphabetically (28 of 42). After a green round 11 nothing in the
 # ledger is older than r7 (14 r7 stragglers remain for the r12 fill).
-WINDOW_ROUND = 11
+# ROTATION (round 12): retire the r7 witness tail (VERDICT r11 ask #2).
+# Priority: the two NEW r12 queries (sort_skewed_validate — the
+# TeraGen-shaped adversarial skewed-key sort with a rank-weighted global
+# order checksum, VERDICT r11 missing #2 / ask #5; and
+# sample_mixture_temperature — the T5-style temperature-scaled mixture
+# weights completing the weighted sampler, ask #6). No oracle was
+# redefined this round (the fp-paragraph work is stress/bench evidence
+# only; bench --concurrent and the shuffle-bytes extension touch no
+# query code), so the 48 fill slots are pure staleness: the complete
+# 14-query r7 straggler cohort, then the r8 cohort alphabetically
+# (34 of 51). After a green round 12 nothing in the ledger is older
+# than r8 (17 r8 stragglers remain for the r13 fill).
+WINDOW_ROUND = 12
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "decontaminate_normalized",
-    "dedup_paragraphs_fp",
-    "decontaminate_store",
-    "agg_approx_percentile_bounded",
-    "dedup_paragraphs_global",
-    "incr_dedup_paragraphs",
+    "sort_skewed_validate",
+    "sample_mixture_temperature",
 ]
 
 
@@ -281,59 +289,59 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-11 priority: three new queries + the three whose oracles
-    # this round redefined; fill = pure staleness (the full 12-query
-    # r6 straggler cohort, then the r7 cohort alphabetically)
-    "decontaminate_normalized",
-    "dedup_paragraphs_fp",
-    "decontaminate_store",
-    "agg_approx_percentile_bounded",
-    "dedup_paragraphs_global",
-    "incr_dedup_paragraphs",
-    "decontaminate_normalized_streamed",
-    "incr_decontaminate_normalized",
-    "incr_dedup_paragraphs_fp",
-    "sample_mixture_epochs",
-    "scan_binaryfile_media",
-    "scan_csv_roundtrip",
-    "scan_orc_roundtrip",
-    "setop_intersect",
-    "skew_report_suppkey",
-    "split_train_test_counts",
-    "text_pii_redact",
-    "text_regex_tokens",
-    "text_repetition_quality",
-    "tfidf_top_terms",
-    "udf_apply_in_pandas",
-    "window_battery2",
-    "agg_cube",
-    "agg_distinct",
-    "agg_global",
-    "agg_grouping_sets",
-    "agg_histogram",
-    "agg_percentiles",
-    "agg_rollup",
-    "agg_value_battery",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "decontaminate_overlap",
-    "dedup_cc_clusters",
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_ngram_pairs",
-    "dedup_simhash_pairs",
-    "doc_fingerprint",
-    "embedding_top_pairs_lsh",
-    "events_pivot",
-    "field_selection",
-    "gen_random_kv",
-    "incr_pagerank_reconverge",
-    "incr_refresh_orders",
-    "join_anti",
-    "join_left_outer",
-    "join_override",
-    "json_extract",
-    "kmeans_assign",
+    # round-12 priority: the two new queries; fill = pure staleness
+    # (the complete 14-query r7 straggler cohort, then the r8 cohort
+    # alphabetically — 34 of 51)
+    "sort_skewed_validate",
+    "sample_mixture_temperature",
+    "nmf_bounded2",
+    "power_bounded3",
+    "projection_inverse_map",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_multiway_join",
+    "scd2_customer_history",
+    "scd2_point_in_time_join",
+    "secondary_sort_top3",
+    "setop_union",
+    "total_sort_top100",
+    "udf_scalar_pandas",
+    "wordcount",
+    "events_tumbling",
+    "events_tumbling_streamed",
+    "gen_graph_degrees",
+    "grep_regex",
+    "incr_dedup_minhash_pairs",
+    "incr_media_dedup_phash",
+    "incr_pagerank_delta5",
+    "incr_pagerank_pruned4",
+    "incr_refresh_orders_linear",
+    "incr_sssp_delete3",
+    "join_broadcast_chain",
+    "join_inner",
+    "join_nonequi_range",
+    "join_semi",
+    "join_skew_salted",
+    "kmeans_bounded2",
+    "loop_iteration_counters",
+    "media_dedup_exact",
+    "media_dedup_phash",
+    "multimodal_frames",
+    "multimodal_jpeg_decode",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "pagerank_bounded5",
+    "pipe_external_transform",
+    "pipeline_build_multimodal_set",
+    "pipeline_clean_corpus",
+    "q1_pricing_summary",
+    "q21_waiting_suppliers",
+    "sample_documents_10pct",
+    "scalar_battery",
+    "scan_pruned_filter",
+    "scan_text_kv_roundtrip",
+    "scan_webdataset_shards",
 ]
 
 
