@@ -258,6 +258,26 @@ def main() -> None:
         else None
     )
 
+    # r12 (VERDICT r11 ask #3): the in-memory ratios sit on Spark's fixed
+    # per-job floor at sf0.1 — measure that floor explicitly (median noop
+    # write of a trivial one-row plan, the minimum any job pays) and emit
+    # a meaningfulness flag: the ratio separates refresh cost from
+    # recompute cost only when the DENOMINATOR clears several floors.
+    # At sf0.1 full_recompute ≈ 0.5-0.7s vs floor ≈ 0.1-0.2s, so drift
+    # like r10→r11's 0.758→0.984 is floor noise amplified by a small
+    # denominator, not a refresh regression (same discipline as the
+    # disk ratio's incr_disk_ratio_meaningful, BASELINE.md amendment r8).
+    floor_df = spark.range(1).select(F.lit(1).alias("x"))
+    floor_runs = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        floor_df.write.format("noop").mode("overwrite").save()
+        floor_runs.append(round(time.perf_counter() - t0, 3))
+    mem_job_floor_sec = _median(floor_runs)
+    mem_ratio_meaningful = bool(
+        full_recompute_sec and full_recompute_sec >= 5 * mem_job_floor_sec
+    )
+
     # The on-disk preserve-store scenario: state ≫ delta (the reference's
     # actual operating point — IFile.PreserveFile holds the converged state,
     # deltas are small). State = orders contributions replicated 150×
@@ -533,6 +553,24 @@ def main() -> None:
         round(para_fp_bytes / para_value_bytes, 3) if para_value_bytes else None
     )
 
+    # r12 (VERDICT r11 ask #7): extend the shuffle-bytes instrumentation
+    # across the dedup family — the 100 TB arguments for the banded
+    # minhash join, the simhash twin, and the broadcast decontamination
+    # gate become quantitative trend lines instead of plan-shape prose.
+    # Same stage-id-keyed protocol as the paragraph pair above.
+    for qname, key in [
+        ("dedup_minhash_pairs", "dedup_minhash_shuffle_mb"),
+        ("dedup_simhash_pairs", "dedup_simhash_shuffle_mb"),
+        ("decontaminate_normalized", "decontaminate_normalized_shuffle_mb"),
+    ]:
+        m0 = _max_stage_id(spark)
+        specs[qname].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        r6_extras[key] = round(
+            shuffle_write_bytes_after(spark, m0) / 1e6, 3
+        )
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -572,6 +610,12 @@ def main() -> None:
         # contribution reads (updateResKV analogue)
         "incr_mem_linear_refresh_sec": linear_refresh_sec,
         "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
+        # the measured per-job floor + the flag that gates both in-memory
+        # ratios (r12, VERDICT r11 ask #3): when full_recompute_sec is
+        # within 5x the floor, the ratios read floor noise, not refresh
+        # quality — interpret the disk-store ratio instead
+        "incr_mem_job_floor_sec": mem_job_floor_sec,
+        "incr_mem_ratio_meaningful": mem_ratio_meaningful,
         # substring-span dedup (non-headline, new r4): full corpus vs
         # delta-restricted incremental
         "substring_dedup_sec": substring_sec,
@@ -600,9 +644,11 @@ def main() -> None:
 
 def _write_trend_table(results_dir: str) -> None:
     """Regenerate bench/results/TREND.md: per-query medians (or single-shot
-    values for pre-median history) across every recorded bench line, one
-    row per query, one column per recorded run — the at-a-glance drift
-    check BASELINE.md's 2x regression rule needs."""
+    values for pre-median history) across recorded bench lines, one row
+    per query, one column per recorded run — the at-a-glance drift check
+    BASELINE.md's 2x regression rule needs. TREND.md holds the LAST 20
+    runs (r12, VERDICT r11 ask #8 — 90+ columns had outgrown at-a-glance);
+    the complete history is regenerated alongside as TREND-full.md."""
     import glob
 
     lines = []
@@ -645,22 +691,38 @@ def _write_trend_table(results_dir: str) -> None:
         "dedup_paragraphs_shuffle_mb",
         "dedup_paragraphs_fp_shuffle_mb",
         "paragraph_fp_shuffle_ratio",
+        "dedup_minhash_shuffle_mb",
+        "dedup_simhash_shuffle_mb",
+        "decontaminate_normalized_shuffle_mb",
+        "incr_mem_job_floor_sec",
+        "incr_mem_linear_refresh_vs_full_recompute",
     ]
-    out = [
-        "# Per-query bench trend (sec; columns are recorded runs,",
-        "# `*` = median-of-N line, others single-shot)",
-        "",
-        "| query | " + " | ".join(label for label, _r in lines) + " |",
-        "|---|" + "---|" * len(lines),
-    ]
-    for q in names + extra:
-        cells = []
-        for _label, rec in lines:
-            v = rec.get("queries", {}).get(q, rec.get(q))
-            cells.append("" if v is None else str(v))
-        out.append(f"| {q} | " + " | ".join(cells) + " |")
+    def render(subset, header_note):
+        out = [
+            "# Per-query bench trend (sec; columns are recorded runs,",
+            f"# `*` = median-of-N line, others single-shot){header_note}",
+            "",
+            "| query | " + " | ".join(label for label, _r in subset) + " |",
+            "|---|" + "---|" * len(subset),
+        ]
+        for q in names + extra:
+            cells = []
+            for _label, rec in subset:
+                v = rec.get("queries", {}).get(q, rec.get(q))
+                cells.append("" if v is None else str(v))
+            out.append(f"| {q} | " + " | ".join(cells) + " |")
+        return "\n".join(out) + "\n"
+
     with open(os.path.join(results_dir, "TREND.md"), "w") as f:
-        f.write("\n".join(out) + "\n")
+        f.write(
+            render(
+                lines[-20:],
+                f"; last 20 of {len(lines)} runs — full history in"
+                " TREND-full.md",
+            )
+        )
+    with open(os.path.join(results_dir, "TREND-full.md"), "w") as f:
+        f.write(render(lines, ""))
 
 
 def main_ab(ref: str, draws: int) -> None:
@@ -775,6 +837,135 @@ def main_ab(ref: str, draws: int) -> None:
         pass
 
 
+CONCURRENT_SET = [
+    # one per plan shape, all single-job-chain queries (the gridmix mix:
+    # scan+agg, multiway join, join+topk, window, agg battery, LSH dedup
+    # banded join, brute-force ANN, preserve+refresh) — iterative loop
+    # drivers are excluded so per-query walls measure CONTENTION, not
+    # convergence-loop scheduling
+    "q1_pricing_summary",
+    "q5_multiway_join",
+    "q10_returned_items",
+    "window_battery",
+    "agg_value_battery",
+    "dedup_minhash_pairs",
+    "ann_bruteforce_topk",
+    "incr_refresh_orders",
+]
+
+
+def main_concurrent(workers: int) -> None:
+    """Mixed concurrent-workload bench (r12, VERDICT r11 missing #1 — the
+    analogue of the reference's gridmix/gridmix2 contention harness,
+    incr-hadoop-0.1/src/benchmarks/gridmix/: many heterogeneous jobs
+    submitted to ONE cluster at once). Runs CONCURRENT_SET serially
+    (median-of-REPS per query), then submits all of them to the shared
+    SparkSession from ``workers`` threads at once (Spark schedules
+    concurrent jobs from one session across the same executor pool —
+    exactly the multi-tenant shape), repeated REPS times. Records the
+    per-query inflation (concurrent wall / serial wall — queueing +
+    cache/CPU contention) and the throughput speedup (serial total /
+    concurrent makespan — > 1 means the engine converts concurrency into
+    throughput instead of thrashing)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from incr_iter_hadoop_spark.registry import all_queries
+    from incr_iter_hadoop_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-concurrent")
+    specs = all_queries()
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
+
+    def run_one(name: str) -> float:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    serial_runs: dict[str, list[float]] = {n: [] for n in CONCURRENT_SET}
+    for _rep in range(REPS):
+        for n in CONCURRENT_SET:
+            serial_runs[n].append(run_one(n))
+    serial = {n: _median(xs) for n, xs in serial_runs.items()}
+
+    conc_runs: dict[str, list[float]] = {n: [] for n in CONCURRENT_SET}
+    makespans: list[float] = []
+    for _rep in range(REPS):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = {n: ex.submit(run_one, n) for n in CONCURRENT_SET}
+            for n, f in futs.items():
+                conc_runs[n].append(f.result())
+        makespans.append(round(time.perf_counter() - t0, 3))
+    concurrent = {n: _median(xs) for n, xs in conc_runs.items()}
+    makespan = _median(makespans)
+
+    inflation = {
+        n: round(concurrent[n] / serial[n], 3) if serial[n] else None
+        for n in CONCURRENT_SET
+    }
+    serial_total = round(sum(serial.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "concurrent_bench",
+        "unit": "sec",
+        "value": round(serial_total / makespan, 3) if makespan else None,
+        "workers": workers,
+        "reps": REPS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "serial_total_sec": serial_total,
+        "concurrent_makespan_sec": makespan,
+        "makespan_runs": makespans,
+        "serial": serial,
+        "concurrent": concurrent,
+        "inflation": inflation,
+        "median_inflation": _median(
+            [v for v in inflation.values() if v is not None]
+        ),
+    }
+    print(json.dumps(result))
+    try:
+        os.makedirs("bench/results", exist_ok=True)
+        with open("bench/results/concurrent-runs.jsonl", "a") as f:
+            f.write(json.dumps(result) + "\n")
+        _write_concurrent_table("bench/results")
+    except OSError:
+        pass
+
+
+def _write_concurrent_table(results_dir: str) -> None:
+    path = os.path.join(results_dir, "concurrent-runs.jsonl")
+    with open(path) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    lines = [
+        "# Mixed concurrent-workload runs (bench.py --concurrent; the",
+        "# gridmix analogue: per-query inflation = concurrent/serial wall",
+        "# under full contention, throughput speedup = serial total /",
+        "# concurrent makespan — > 1 means concurrency buys throughput)",
+        "",
+    ]
+    for r in recs:
+        lines.append(
+            f"## sf{r['sf']} x{r['workers']} workers, reps {r['reps']} — "
+            f"serial {r['serial_total_sec']}s -> makespan "
+            f"{r['concurrent_makespan_sec']}s (speedup x{r['value']}, "
+            f"median inflation x{r['median_inflation']})"
+        )
+        lines.append("")
+        lines.append("| query | serial med | concurrent med | inflation |")
+        lines.append("|---|---|---|---|")
+        for q in r["serial"]:
+            lines.append(
+                f"| {q} | {r['serial'][q]} | {r['concurrent'][q]} | "
+                f"{r['inflation'][q]} |"
+            )
+        lines.append("")
+    with open(os.path.join(results_dir, "CONCURRENT.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def _write_ab_table(results_dir: str) -> None:
     path = os.path.join(results_dir, "ab-runs.jsonl")
     recs = []
@@ -813,5 +1004,12 @@ if __name__ == "__main__":
             else 4
         )
         main_ab(ab_ref, n_draws)
+    elif "--concurrent" in sys.argv:
+        n_workers = (
+            int(sys.argv[sys.argv.index("--workers") + 1])
+            if "--workers" in sys.argv
+            else len(CONCURRENT_SET)
+        )
+        main_concurrent(n_workers)
     else:
         main()

@@ -1899,7 +1899,14 @@ def dedup_paragraphs_fp(
     content-keyed exchange carries (fp BINARY(16), id, pos) — ~30
     bytes/row — instead of full paragraph text (hundreds of bytes for
     real prose; the dominant shuffle cost of the value-keyed plan at
-    corpus scale). Winners come back as a per-doc kept-position ARRAY
+    corpus scale). MEASURED crossover (bench/stress.py section 2e, r12):
+    at realistic ~1 KB paragraphs the fp plan shuffles 0.51x the bytes
+    AND runs 0.5-0.6x the wall-time of the value-keyed twin (both at 5k
+    and 50x docs); at sf0.1's ~40-char synthetic paragraphs the md5 +
+    rebuild overhead makes it ~1.5x SLOWER in wall — so the value-keyed
+    twin stays primary for short-paragraph corpora and this twin is the
+    plan for prose-sized paragraphs. Winners come back as a per-doc
+    kept-position ARRAY
     (narrow), joined to the original doc rows on id, and the cleaned
     text is rebuilt MAP-SIDE by indexing the re-split segment array at
     the kept positions — paragraph text crosses the wire exactly once
