@@ -232,10 +232,13 @@ def _load_all() -> None:
 # weights completing the weighted sampler, ask #6). No oracle was
 # redefined this round (the fp-paragraph work is stress/bench evidence
 # only; bench --concurrent and the shuffle-bytes extension touch no
-# query code), so the 48 fill slots are pure staleness: the complete
-# 14-query r7 straggler cohort, then the r8 cohort alphabetically
-# (34 of 51). After a green round 12 nothing in the ledger is older
-# than r8 (17 r8 stragglers remain for the r13 fill).
+# query code), so the 48 fill slots are the witness-less late addition
+# jdbc_count_verify (the DBCountPageView transactional verify demo,
+# missing #3 — every new query enters via the fill) then pure
+# staleness: the complete 14-query r7 straggler cohort, then the r8
+# cohort alphabetically (33 of 51). After a green round 12 nothing in
+# the ledger is older than r8 (18 r8 stragglers remain for the r13
+# fill).
 WINDOW_ROUND = 12
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
@@ -289,11 +292,13 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-12 priority: the two new queries; fill = pure staleness
-    # (the complete 14-query r7 straggler cohort, then the r8 cohort
-    # alphabetically — 34 of 51)
+    # round-12 priority: the two new headline queries; fill = witness-less
+    # new queries first (jdbc_count_verify), then pure staleness (the
+    # complete 14-query r7 straggler cohort, then the r8 cohort
+    # alphabetically — 33 of 51)
     "sort_skewed_validate",
     "sample_mixture_temperature",
+    "jdbc_count_verify",
     "nmf_bounded2",
     "power_bounded3",
     "projection_inverse_map",
@@ -341,7 +346,6 @@ FIRST_WINDOW: list[str] = [
     "scalar_battery",
     "scan_pruned_filter",
     "scan_text_kv_roundtrip",
-    "scan_webdataset_shards",
 ]
 
 
