@@ -465,6 +465,18 @@ def test_sample_mixture_epochs_two_level_no_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_mixture_temperature_two_level_no_product(spark, sf_dir):
+    # the temperature twin must keep the identical two-level shape: the
+    # sqrt-weight/budget relation is per-source (tiny) and BROADCAST
+    # back; the global weight sum enters as a broadcast one-row relation
+    # (a nested-loop join on a single row is the legitimate scalar
+    # cross, not a data product); epochs stay a per-row sequence explode
+    plan = _executed_plan(spark, sf_dir, "sample_mixture_temperature")
+    assert "Generate" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_store_probe_is_broadcast_semi_no_product(
     spark, sf_dir
 ):
