@@ -258,24 +258,32 @@ def main() -> None:
         else None
     )
 
-    # r12 (VERDICT r11 ask #3): the in-memory ratios sit on Spark's fixed
-    # per-job floor at sf0.1 — measure that floor explicitly (median noop
-    # write of a trivial one-row plan, the minimum any job pays) and emit
-    # a meaningfulness flag: the ratio separates refresh cost from
-    # recompute cost only when the DENOMINATOR clears several floors.
-    # At sf0.1 full_recompute ≈ 0.5-0.7s vs floor ≈ 0.1-0.2s, so drift
-    # like r10→r11's 0.758→0.984 is floor noise amplified by a small
-    # denominator, not a refresh regression (same discipline as the
-    # disk ratio's incr_disk_ratio_meaningful, BASELINE.md amendment r8).
-    floor_df = spark.range(1).select(F.lit(1).alias("x"))
+    # r12 (VERDICT r11 ask #3): the in-memory ratios sit on Spark's
+    # per-JOB fixed costs at sf0.1 — measure that floor with the SAME
+    # recompute plan over a trivial 100-row slice (scheduler + stage +
+    # 32-task launch + exchange setup, zero data-dependent work; a bare
+    # one-row noop reads ~0.05s and misses the per-stage costs, measured
+    # r12) and emit a meaningfulness flag. At sf0.1 the full recompute is
+    # ~0.47s of which ~0.18s (38%) is this plan floor, and the refresh
+    # side runs MORE stages (delta agg + state join) so its floor is
+    # higher — the ratio separates refresh quality from fixed costs only
+    # when the denominator clears several plan floors. The r10→r11
+    # linear drift 0.758→0.984 is floor noise on a small denominator,
+    # not a refresh regression (same discipline as the disk ratio's
+    # incr_disk_ratio_meaningful, BASELINE.md amendment r8).
+    floor_plan = o_all.limit(100).groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("o_totalprice").alias("max_price"),
+    )
     floor_runs = []
     for _rep in range(REPS):
         t0 = time.perf_counter()
-        floor_df.write.format("noop").mode("overwrite").save()
+        floor_plan.write.format("noop").mode("overwrite").save()
         floor_runs.append(round(time.perf_counter() - t0, 3))
     mem_job_floor_sec = _median(floor_runs)
     mem_ratio_meaningful = bool(
-        full_recompute_sec and full_recompute_sec >= 5 * mem_job_floor_sec
+        full_recompute_sec and full_recompute_sec >= 3 * mem_job_floor_sec
     )
 
     # The on-disk preserve-store scenario: state ≫ delta (the reference's
@@ -616,6 +624,17 @@ def main() -> None:
         # quality — interpret the disk-store ratio instead
         "incr_mem_job_floor_sec": mem_job_floor_sec,
         "incr_mem_ratio_meaningful": mem_ratio_meaningful,
+        # per-rep ratio extremes within THIS draw (r12): same code, same
+        # minute — the spread IS the ambient band the median wanders in
+        # (recorded same-day draws span 0.57-0.95 on identical code)
+        "incr_mem_linear_ratio_spread": (
+            [
+                round(min(lin_runs) / max(mem_full_runs), 3),
+                round(max(lin_runs) / min(mem_full_runs), 3),
+            ]
+            if mem_full_runs and min(mem_full_runs) > 0
+            else None
+        ),
         # substring-span dedup (non-headline, new r4): full corpus vs
         # delta-restricted incremental
         "substring_dedup_sec": substring_sec,
