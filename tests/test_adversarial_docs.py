@@ -59,6 +59,7 @@ DOC_QUERIES = [
     "sample_documents_10pct",
     "sample_token_budget",
     "sample_mixture_epochs",
+    "sample_mixture_temperature",
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",
