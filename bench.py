@@ -620,8 +620,8 @@ def main() -> None:
         "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
         # the measured per-job floor + the flag that gates both in-memory
         # ratios (r12, VERDICT r11 ask #3): when full_recompute_sec is
-        # within 5x the floor, the ratios read floor noise, not refresh
-        # quality — interpret the disk-store ratio instead
+        # within 3x the plan floor, the ratios read floor noise, not
+        # refresh quality — interpret the disk-store ratio instead
         "incr_mem_job_floor_sec": mem_job_floor_sec,
         "incr_mem_ratio_meaningful": mem_ratio_meaningful,
         # per-rep ratio extremes within THIS draw (r12): same code, same
@@ -893,7 +893,12 @@ def main_concurrent(workers: int) -> None:
 
     spark = get_spark(app_name="bench-concurrent")
     specs = all_queries()
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+    # warm EVERY table the mix touches (q5/q10 read the dims too) so the
+    # serial baselines are not biased cold vs the later concurrent phase
+    for t in (
+        "region", "nation", "supplier", "part", "lineitem", "orders",
+        "customer", "documents", "embeddings",
+    ):
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     def run_one(name: str) -> float:

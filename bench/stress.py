@@ -501,15 +501,12 @@ def main() -> None:
     # key-only range partitioner necessarily puts the hot key's whole
     # mass in one partition (3.2x the mean at 32 partitions) — the gate
     # here is max/mean <= 2.0 at BOTH scales, plus linear s/Mrows.
+    from incr_iter_hadoop_spark.operators.windows import _skewed_keys
+
     def time_skewed_sort(n_rows: int):
-        u = ((F.col("id") * 1103515245 + 12345) % 2**31) / F.lit(
-            float(2**31)
-        )
-        u6 = u * u * u * u * u * u
-        key = F.lpad(
-            F.floor(u6 * 1_000_000).cast("bigint").cast("string"), 10, "0"
-        )
-        df = spark.range(n_rows).select("id", key.alias("key")).persist()
+        # the REGISTERED fixture at a parameterized scale — not a copy
+        # that could drift if the distribution is ever tuned
+        df = _skewed_keys(spark, n_rows).persist()
         df.count()
         n_parts = int(CPUS)
         t0 = time.perf_counter()

@@ -855,11 +855,23 @@ def jdbc_count_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     url = f"jdbc:derby:{os.path.join(tmp, 'db')};create=true"
     driver = "org.apache.derby.jdbc.EmbeddedDriver"
     write_jdbc(counts, url, "PAGEVIEW_COUNTS", mode="overwrite", driver=driver)
-    back = read_jdbc(spark, url, "PAGEVIEW_COUNTS", driver=driver).select(
-        "page", F.col("n_views").cast("bigint").alias("n_views")
-    )
+    back = read_jdbc(
+        spark,
+        url,
+        "PAGEVIEW_COUNTS",
+        driver=driver,
+        # partitioned DBInputFormat-analogue scan: range predicates on the
+        # count column split the read across parallel connections (rows
+        # outside the bounds still arrive — the first/last partitions are
+        # unbounded, so the bounds need not be tight)
+        partitionColumn="n_views",
+        lowerBound="0",
+        upperBound="100000",
+        numPartitions="2",
+    ).select("page", F.col("n_views").cast("bigint").alias("n_views"))
     # the verify() step: DB total must equal the source total exactly
-    db_total = back.agg(F.sum("n_views")).collect()[0][0]
+    # (SUM over an empty read-back is NULL -> 0, matching an empty source)
+    db_total = back.agg(F.sum("n_views")).collect()[0][0] or 0
     src_total = e.count()
     if db_total != src_total:
         raise RuntimeError(

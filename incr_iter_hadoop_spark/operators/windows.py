@@ -230,7 +230,7 @@ _SKEW_N = 200_000
 _SKEW_FP_MOD = 1_000_000_007
 
 
-def _skewed_keys(spark: SparkSession) -> DataFrame:
+def _skewed_keys(spark: SparkSession, n: int = _SKEW_N) -> DataFrame:
     """TeraGen-analogue ADVERSARIAL fixture: wide (10-char, zero-padded)
     string keys whose value distribution is heavily skewed — u^6 of the
     LCG uniform puts ~10% of all rows on the single key '0000000000'
@@ -239,13 +239,15 @@ def _skewed_keys(spark: SparkSession) -> DataFrame:
     must SPLIT to avoid a straggler partition). u^6 is written as five
     explicit multiplications — IEEE multiply is correctly rounded, so the
     skew transform is bit-identical in Spark and DuckDB (general pow is
-    not correctly rounded and could flip floor at a boundary)."""
+    not correctly rounded and could flip floor at a boundary).
+    ``n`` parameterizes the scale so bench/stress.py measures THIS
+    fixture at 50x rather than a drift-prone copy."""
     from .generators import _A, _C, _M
 
     u = ((F.col("id") * _A + _C) % _M) / F.lit(float(_M))
     u6 = u * u * u * u * u * u
     k = F.floor(u6 * 1_000_000).cast("bigint")
-    return spark.range(_SKEW_N).select(
+    return spark.range(n).select(
         "id", F.lpad(k.cast("string"), 10, "0").alias("key")
     )
 

@@ -214,6 +214,7 @@ EVENT_QUERIES = [
     "join_null_safe",
     "join_asof",
     "agg_approx_distinct_bounded",
+    "jdbc_count_verify",
 ]
 
 
