@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import ws_tokens
 from ..registry import register
+from .textops import UNIGRAM_LP_SQL
 
 
 def _hex_threshold(fraction: float, digits: int = 4) -> str:
@@ -359,6 +360,85 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").cast("bigint").alias("tok"),
         cum.cast("bigint").alias("cum"),
     )
+
+
+# CCNet-style quality buckets: per-bucket keep rates (head kept whole,
+# middle hash-gated at 50%, tail at 10%)
+_QB_MID_FRAC, _QB_TAIL_FRAC = 0.5, 0.1
+
+
+@register(
+    "sample_quality_buckets",
+    oracle=f"""
+    WITH {UNIGRAM_LP_SQL},
+    th AS (
+      SELECT ROUND(quantile_cont(avg_logprob, 0.25), 6) AS t_lo,
+             ROUND(quantile_cont(avg_logprob, 0.75), 6) AS t_hi
+      FROM lp
+    ),
+    b AS (
+      SELECT lp.doc_id, lp.n_tokens, lp.avg_logprob,
+             CASE WHEN avg_logprob >= t_hi THEN 'head'
+                  WHEN avg_logprob >= t_lo THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM lp, th
+    )
+    SELECT doc_id, bucket, n_tokens, avg_logprob
+    FROM b
+    WHERE bucket = 'head'
+       OR (bucket = 'middle'
+           AND {_GATE_SQL.format(seed='qb-mid', key='doc_id',
+                                 thr=_hex_threshold(_QB_MID_FRAC))})
+       OR (bucket = 'tail'
+           AND {_GATE_SQL.format(seed='qb-tail', key='doc_id',
+                                 thr=_hex_threshold(_QB_TAIL_FRAC))})
+    """,
+    doc="CCNet-style QUALITY-BUCKETED sampling (round 12): per-doc unigram "
+    "log-prob (the perplexity proxy text_unigram_logprob computes) splits "
+    "the corpus into head (top quartile), middle, and tail (bottom "
+    "quartile) by corpus-level thresholds, then each bucket keeps a "
+    "different deterministic hash-gated fraction — head kept whole, "
+    f"middle at {_QB_MID_FRAC:.0%}, tail at {_QB_TAIL_FRAC:.0%} — the "
+    "CCNet head/middle/tail discipline that trains on fluent text while "
+    "retaining a controlled slice of the tail. Thresholds are ONE tiny "
+    "percentile aggregate broadcast back (CCNet computes them once per "
+    "language and ships constants — same shape; never a global "
+    "ntile/window sort over the corpus). Exactness: log-probs are "
+    "rounded to 6 on both sides BEFORE the quantile (the proven "
+    "percentile == quantile_cont pair interpolates at exact quarter "
+    "fractions), so bucket boundaries are bit-identical cross-engine; "
+    "the keep gates are the md5-prefix hash gates of this module.",
+)
+def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import unigram_logprob_df
+
+    d = load_table(spark, sf_dir, "documents")
+    lp = unigram_logprob_df(d)
+    th = lp.agg(
+        F.round(F.expr("percentile(avg_logprob, 0.25)"), 6).alias("t_lo"),
+        F.round(F.expr("percentile(avg_logprob, 0.75)"), 6).alias("t_hi"),
+    )
+    b = lp.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.when(F.col("avg_logprob") >= F.col("t_hi"), F.lit("head"))
+        .when(F.col("avg_logprob") >= F.col("t_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    keep = (
+        (F.col("bucket") == "head")
+        | (
+            (F.col("bucket") == "middle")
+            & hash_gate(F.col("doc_id"), _QB_MID_FRAC, seed="qb-mid")
+        )
+        | (
+            (F.col("bucket") == "tail")
+            & hash_gate(F.col("doc_id"), _QB_TAIL_FRAC, seed="qb-tail")
+        )
+    )
+    return b.where(keep).select("doc_id", "bucket", "n_tokens", "avg_logprob")
 
 
 # temperature-scaled mixture: one SHARED token budget split across sources

@@ -557,34 +557,30 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_unigram_logprob",
-    oracle="""
-    WITH tok AS (
+# shared unigram-LM CTE prefix (tok/vocab/tot/lp) — ONE template so the
+# quality-score query and the bucketed sampler built on it cannot
+# desynchronize (the _para_oracle precedent)
+UNIGRAM_LP_SQL = """
+    tok AS (
       SELECT doc_id,
              unnest(list_filter(string_split(trim(text), ' '),
                                 x -> x <> '')) AS tok
       FROM documents
     ),
     vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
-    tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab)
-    SELECT t.doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           ROUND(avg(ln(v.c / tot.n)), 6) AS avg_logprob
-    FROM tok t JOIN vocab v USING (tok), tot
-    GROUP BY t.doc_id
-    """,
-    doc="perplexity-proxy quality score (unigram LM): mean log-probability "
-    "of each document's tokens under the corpus's own unigram frequency "
-    "distribution — the classic cheap fluency/quality filter (gibberish "
-    "and boilerplate score far from the corpus mode). Two shuffles at "
-    "scale: one groupBy(token) for the frequency table, one groupBy(doc) "
-    "for the per-doc mean; the frequency join shuffles on token (or "
-    "broadcasts when the vocabulary is small — AQE decides). The corpus "
-    "total rides a broadcast cross join of a 1-row aggregate.",
-)
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+    lp AS (
+      SELECT t.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             ROUND(avg(ln(v.c / tot.n)), 6) AS avg_logprob
+      FROM tok t JOIN vocab v USING (tok), tot
+      GROUP BY t.doc_id
+    )"""
+
+
+def unigram_logprob_df(d: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, avg_logprob) under the corpus's own
+    unigram frequency distribution — the Spark half of UNIGRAM_LP_SQL."""
     tok = d.select("doc_id", F.explode(_toks(F.col("text"))).alias("tok"))
     vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
@@ -599,6 +595,26 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH {UNIGRAM_LP_SQL}
+    SELECT doc_id, n_tokens, avg_logprob FROM lp
+    """,
+    doc="perplexity-proxy quality score (unigram LM): mean log-probability "
+    "of each document's tokens under the corpus's own unigram frequency "
+    "distribution — the classic cheap fluency/quality filter (gibberish "
+    "and boilerplate score far from the corpus mode). Two shuffles at "
+    "scale: one groupBy(token) for the frequency table, one groupBy(doc) "
+    "for the per-doc mean; the frequency join shuffles on token (or "
+    "broadcasts when the vocabulary is small — AQE decides). The corpus "
+    "total rides a broadcast cross join of a 1-row aggregate.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_df(d)
 
 
 @register(

@@ -60,6 +60,7 @@ DOC_QUERIES = [
     "sample_token_budget",
     "sample_mixture_epochs",
     "sample_mixture_temperature",
+    "sample_quality_buckets",
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",
