@@ -465,6 +465,16 @@ def test_sample_mixture_epochs_two_level_no_product(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_sample_quality_buckets_no_global_window_no_product(spark, sf_dir):
+    # CCNet head/middle/tail: the thresholds must come from ONE tiny
+    # percentile aggregate broadcast back — never an ntile/global window
+    # that would drag the whole corpus through one task; the keep gates
+    # are map-side hash filters
+    plan = _executed_plan(spark, sf_dir, "sample_quality_buckets")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_sample_mixture_temperature_two_level_no_product(spark, sf_dir):
     # the temperature twin must keep the identical two-level shape: the
     # sqrt-weight/budget relation is per-source (tiny) and BROADCAST
