@@ -542,6 +542,86 @@ def main() -> None:
         "balance_ok": tb1 <= 2.0 and tb2 <= 2.0,
     }
 
+    # ---- 2g. ANN LSH recall + scaling (r12) ------------------------------
+    # The last family without a scale row: hyperplane-LSH ANN claims its
+    # candidate set is bounded by bucket occupancy (linear in corpus for
+    # balanced buckets), and recall for near-identical planted neighbors
+    # is (1 - theta/pi)^planes ~ 0.99. Both are measured: 50 fixed
+    # queries against a 10k and a Nx corpus of md5-deterministic vectors
+    # where id % 100 == 1 is a +-1% perturbed copy of id-1 — the true
+    # top-1 of query q is q+1 by construction (any unrelated 64-dim
+    # vector's |cos| ~ 0.12). Gate: recall@1 >= 0.9 at BOTH scales
+    # (misses are deterministic bucket-boundary flips, expected ~1%),
+    # and s/kvec must FALL at scale (fixed costs amortize; candidate
+    # growth is per-bucket, not per-corpus).
+    from incr_iter_hadoop_spark.operators.similarity import ann_lsh_topk
+
+    def synth_vecs(n_vecs: int):
+        u32 = float(0xFFFFFFFF)
+        base_id = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+
+        def unit(seed_col):
+            return (
+                F.conv(F.substring(F.md5(seed_col), 1, 8), 16, 10).cast(
+                    "double"
+                )
+                / u32
+            )
+
+        comp = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: (
+                (unit(F.concat_ws("_", base_id, d)) * 2.0 - 1.0)
+                + F.when(
+                    F.col("id") % 100 == 1,
+                    (unit(F.concat_ws("p", F.col("id"), d)) - 0.5) * 0.02,
+                ).otherwise(0.0)
+            ).cast("float"),
+        )
+        return spark.range(n_vecs).select(
+            F.col("id").alias("vec_id"), comp.alias("embedding")
+        )
+
+    def time_ann(n_vecs: int):
+        vecs = synth_vecs(n_vecs).persist()
+        vecs.count()
+        queries = vecs.where(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 5000)
+        )
+        t0 = time.perf_counter()
+        top1 = (
+            ann_lsh_topk(vecs, queries, k=1)
+            .where(F.col("pos") == 1)
+            .select("qid", "nid")
+            .collect()
+        )
+        wall = time.perf_counter() - t0
+        vecs.unpersist()
+        hits = sum(1 for r in top1 if r["nid"] == r["qid"] + 1)
+        return (
+            round(hits / 50.0, 3),
+            round(wall, 2),
+            round(wall / (n_vecs / 1e3), 3),
+        )
+
+    ann_small = 10_000
+    ann_big = ann_small * (10 if QUICK else 50)
+    ar1, aw1, ac1 = time_ann(ann_small)
+    ar2, aw2, ac2 = time_ann(ann_big)
+    if ar1 < 0.9 or ar2 < 0.9:
+        violations.append(
+            f"ann_lsh: recall@1 {ar1}/{ar2} below 0.9 — bucketing is "
+            "losing planted near-identical neighbors"
+        )
+    out["ann_lsh"] = {
+        "vecs_small": ann_small, "recall_small": ar1,
+        "wall_small_sec": aw1, "sec_per_kvecs_small": ac1,
+        "vecs_big": ann_big, "recall_big": ar2,
+        "wall_big_sec": aw2, "sec_per_kvecs_big": ac2,
+        "scaling_ratio": round(ac2 / ac1, 3) if ac1 else None,
+        "recall_ok": ar1 >= 0.9 and ar2 >= 0.9,
+    }
+
     # ---- 3. Disk-store refresh ratio vs state size ----------------------
     from incr_iter_hadoop_spark.catalog import load_table
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
@@ -1056,10 +1136,11 @@ def _write_stress_md(results_dir: str) -> None:
         " | para-dedup s/kdocs 1x -> Nx (ratio, drops ok, incr/full)"
         " | para-skew s/kdocs 1x -> Nx (ratio, drops ok, skew/uniform)"
         " | para-fp@1KB Nx wall fp/content (shuffle fp/content, drops ok)"
-        " | skewed-sort s/Mrows 1x -> Nx (ratio, balance) | depth sweep"
+        " | skewed-sort s/Mrows 1x -> Nx (ratio, balance)"
+        " | ann-lsh s/kvecs 1x -> Nx (ratio, recall@1) | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -1121,6 +1202,13 @@ def _write_stress_md(results_dir: str) -> None:
             f" {pf.get('drops_ok')})"
             if pf else "—"
         )
+        al = r.get("ann_lsh", {})
+        ann = (
+            f"{al.get('sec_per_kvecs_small')} -> {al.get('sec_per_kvecs_big')}"
+            f" ({al.get('scaling_ratio')},"
+            f" {al.get('recall_small')}/{al.get('recall_big')})"
+            if al else "—"
+        )
         ss = r.get("skewed_sort", {})
         skew_sort = (
             f"{ss.get('sec_per_Mrows_small')} -> {ss.get('sec_per_Mrows_big')}"
@@ -1147,7 +1235,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
             f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
             f" | {decon} | {para} | {para_skew} | {para_fp} | {skew_sort}"
-            f" | {depth} | {era} |"
+            f" | {ann} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
