@@ -362,6 +362,67 @@ def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# exact per-source quota (docs, not tokens — the eval-split primitive)
+_EXACT_QUOTA = 20
+
+
+@register(
+    "sample_exact_quota",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR))
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {_EXACT_QUOTA}
+    """,
+    doc=f"EXACT-N stratified sampling (round 12): exactly "
+    f"{_EXACT_QUOTA} documents per source in deterministic md5 order — "
+    "the eval-split/ablation primitive the Bernoulli hash gates cannot "
+    "give (a fraction gate yields a BINOMIAL count per stratum; audits "
+    "and paired ablations need exact quotas). A source smaller than the "
+    "quota contributes everything. Scale shape: the per-source rank is "
+    "the TWO-LEVEL construction of the token-budget samplers with "
+    "weight 1 — row_number within (source, md5-hex-bucket) + broadcast "
+    "per-bucket count offsets — so no whole-source window serializes a "
+    "100 TB stratum through one task; the oracle is the single-window "
+    "ROW_NUMBER recompute, so the two-level rank is verified exactly "
+    "equal to the global rank.",
+)
+def sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("quota|"), F.col("doc_id").cast("string")))
+    b = d.select(
+        "doc_id", "source", h.alias("h"), F.substring(h, 1, 1).alias("bkt")
+    )
+    w1 = Window.partitionBy("source", "bkt").orderBy("h")
+    ranked = b.withColumn("rk_in", F.row_number().over(w1))
+    bc = b.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("bn"))
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = bc.withColumn("boff", F.sum("bn").over(w2) - F.col("bn")).select(
+        "source", "bkt", "boff"
+    )
+    return (
+        ranked.join(F.broadcast(off), ["source", "bkt"])
+        .select(
+            "doc_id",
+            "source",
+            (F.col("boff") + F.col("rk_in")).cast("bigint").alias("rk"),
+        )
+        .where(F.col("rk") <= _EXACT_QUOTA)
+    )
+
+
 # CCNet-style quality buckets: per-bucket keep rates (head kept whole,
 # middle hash-gated at 50%, tail at 10%)
 _QB_MID_FRAC, _QB_TAIL_FRAC = 0.5, 0.1

@@ -234,11 +234,12 @@ def _load_all() -> None:
 # only; bench --concurrent and the shuffle-bytes extension touch no
 # query code), so the 48 fill slots are the witness-less late addition
 # jdbc_count_verify (the DBCountPageView transactional verify demo,
-# missing #3) and sample_quality_buckets (the CCNet head/middle/tail
-# sampler — every new query enters via the fill) then pure staleness:
-# the complete 14-query r7 straggler cohort, then the r8 cohort
-# alphabetically (32 of 51). After a green round 12 nothing in the
-# ledger is older than r8 (19 r8 stragglers remain for the r13
+# missing #3), sample_quality_buckets (the CCNet head/middle/tail
+# sampler) and sample_exact_quota (the exact-N stratified split
+# primitive — every new query enters via the fill) then pure
+# staleness: the complete 14-query r7 straggler cohort, then the r8
+# cohort alphabetically (31 of 51). After a green round 12 nothing in
+# the ledger is older than r8 (20 r8 stragglers remain for the r13
 # fill).
 WINDOW_ROUND = 12
 
@@ -294,12 +295,13 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 FIRST_WINDOW: list[str] = [
     # round-12 priority: the two new headline queries; fill = witness-less
-    # new queries first (jdbc_count_verify, sample_quality_buckets), then
-    # pure staleness (the complete 14-query r7 straggler cohort, then the
-    # r8 cohort alphabetically — 32 of 51)
+    # new queries first (jdbc_count_verify, sample_exact_quota,
+    # sample_quality_buckets), then pure staleness (the complete 14-query
+    # r7 straggler cohort, then the r8 cohort alphabetically — 31 of 51)
     "sort_skewed_validate",
     "sample_mixture_temperature",
     "jdbc_count_verify",
+    "sample_exact_quota",
     "sample_quality_buckets",
     "nmf_bounded2",
     "power_bounded3",
@@ -346,7 +348,6 @@ FIRST_WINDOW: list[str] = [
     "q21_waiting_suppliers",
     "sample_documents_10pct",
     "scalar_battery",
-    "scan_pruned_filter",
 ]
 
 

@@ -61,6 +61,7 @@ DOC_QUERIES = [
     "sample_mixture_epochs",
     "sample_mixture_temperature",
     "sample_quality_buckets",
+    "sample_exact_quota",
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",
