@@ -2292,3 +2292,107 @@ def graph_kcore_bounded3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("a").alias("node"), F.col("deg").cast("bigint").alias("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (round 12) — synchronous LPA through the iterate()
+# driver: one more workload shape the reference's iterative contract
+# (IterativeMapper/Reducer + Projector ONE2ONE, IterativeMapper.java:7-16)
+# expresses directly, beyond the shipped sp/pg/km/nmf/power generators.
+
+
+def label_propagation(
+    edges: DataFrame, *, max_iterations: int = 3
+) -> IterationResult:
+    """Synchronous label propagation on an UNDIRECTED graph: label₀(v)=v;
+    each round every node adopts the most frequent label among its
+    neighbors (ties → smallest label; isolated nodes keep their own).
+    All-integer state, so bounded runs are exactly oracle-checkable by
+    CTE unrolling. Community structure emerges in a few rounds; min-label
+    CC (dedup.py's star-CC twin) is the degenerate always-adopt-minimum
+    variant.
+
+    Plan per round: one (dst, label) count shuffle + one dst argmax
+    shuffle + the state left-join — argmax via max(struct(cnt, -label)),
+    never a per-node window sort."""
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    state0 = nodes.select("node", F.col("node").alias("label"))
+
+    def step(state: DataFrame, i: int) -> DataFrame:
+        counts = (
+            sym.join(state, sym.src == state.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winners = (
+            counts.groupBy("dst")
+            .agg(F.max(F.struct("cnt", (-F.col("label")).alias("nl"))).alias("w"))
+            .select("dst", (-F.col("w.nl")).alias("win"))
+        )
+        return state.join(
+            winners, state.node == winners.dst, "left"
+        ).select("node", F.coalesce("win", "label").alias("label"))
+
+    res = iterate(state0, step, max_iterations=max_iterations)
+    sym.unpersist()
+    edges.unpersist()
+    return res
+
+
+def _lpa_sql(n_iter: int, edges_sql: str = _PR_EDGES_SQL) -> str:
+    """Exact unrolled oracle: same symmetrized graph, same
+    count-DESC/label-ASC winner rule via ROW_NUMBER over the grouped
+    neighbor-label counts."""
+    parts = [
+        f"WITH base AS ({edges_sql}),",
+        "edges AS MATERIALIZED "
+        "(SELECT src, dst FROM base UNION SELECT dst, src FROM base),",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges),",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""", l{i} AS MATERIALIZED (
+  SELECT s.node, COALESCE(w.win, s.label) AS label
+  FROM l{i-1} s LEFT JOIN (
+    SELECT dst, label AS win FROM (
+      SELECT e.dst, r.label,
+             ROW_NUMBER() OVER (PARTITION BY e.dst
+               ORDER BY COUNT(*) DESC, r.label ASC) AS rn
+      FROM l{i-1} r JOIN edges e ON r.node = e.src
+      GROUP BY e.dst, r.label
+    ) WHERE rn = 1
+  ) w ON s.node = w.dst
+)"""
+        )
+    parts.append(
+        f"SELECT node, CAST(label AS BIGINT) AS label FROM l{n_iter}"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "lpa_bounded3",
+    oracle=_lpa_sql(3),
+    doc="synchronous label propagation, 3 bounded rounds on the "
+    "symmetrized part→supplier graph (round 12 — one more workload the "
+    "reference's ONE2ONE iterative contract expresses directly, beyond "
+    "the shipped generator types): every node adopts its neighbors' most "
+    "frequent label, ties to the smallest, isolated nodes keep their own. "
+    "All-integer state → the unrolled-CTE oracle is hash-exact. Argmax "
+    "is max(struct(cnt, -label)) — two hash-agg shuffles per round, "
+    "never a per-node window sort; the oracle uses the ROW_NUMBER "
+    "formulation as the independent cross-check.",
+)
+def lpa_bounded3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = label_propagation(
+        _lineitem_edges(spark, sf_dir), max_iterations=3
+    )
+    return res.state.select(
+        "node", F.col("label").cast("bigint").alias("label")
+    )

@@ -235,11 +235,12 @@ def _load_all() -> None:
 # query code), so the 48 fill slots are the witness-less late addition
 # jdbc_count_verify (the DBCountPageView transactional verify demo,
 # missing #3), sample_quality_buckets (the CCNet head/middle/tail
-# sampler) and sample_exact_quota (the exact-N stratified split
-# primitive — every new query enters via the fill) then pure
-# staleness: the complete 14-query r7 straggler cohort, then the r8
-# cohort alphabetically (31 of 51). After a green round 12 nothing in
-# the ledger is older than r8 (20 r8 stragglers remain for the r13
+# sampler), sample_exact_quota (the exact-N stratified split
+# primitive) and lpa_bounded3 (synchronous label propagation through
+# the iterate() driver — every new query enters via the fill) then
+# pure staleness: the complete 14-query r7 straggler cohort, then the
+# r8 cohort alphabetically (30 of 51). After a green round 12 nothing
+# in the ledger is older than r8 (21 r8 stragglers remain for the r13
 # fill).
 WINDOW_ROUND = 12
 
@@ -295,12 +296,14 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 FIRST_WINDOW: list[str] = [
     # round-12 priority: the two new headline queries; fill = witness-less
-    # new queries first (jdbc_count_verify, sample_exact_quota,
-    # sample_quality_buckets), then pure staleness (the complete 14-query
-    # r7 straggler cohort, then the r8 cohort alphabetically — 31 of 51)
+    # new queries first (jdbc_count_verify, lpa_bounded3,
+    # sample_exact_quota, sample_quality_buckets), then pure staleness
+    # (the complete 14-query r7 straggler cohort, then the r8 cohort
+    # alphabetically — 30 of 51)
     "sort_skewed_validate",
     "sample_mixture_temperature",
     "jdbc_count_verify",
+    "lpa_bounded3",
     "sample_exact_quota",
     "sample_quality_buckets",
     "nmf_bounded2",
@@ -347,7 +350,6 @@ FIRST_WINDOW: list[str] = [
     "q1_pricing_summary",
     "q21_waiting_suppliers",
     "sample_documents_10pct",
-    "scalar_battery",
 ]
 
 
