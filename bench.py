@@ -55,6 +55,27 @@ HEADLINE = [
     "ann_bruteforce_topk",     # brute-force ANN baseline
 ]
 
+# r13 (VERDICT r12 ask #7): the four queries whose driver-draw medians
+# historically swing the most under ambient sandbox contention (multi-job
+# iterative loops — most exposed to scheduling jitter). They run
+# NOISY_REPS samples per draw; EXPECTED_BAND is each one's min-max across
+# the last 20 recorded TREND.md draws on code whose plans did not change
+# (the controlled A/B read x0.958 flat across that whole span), emitted
+# in the compact line so the driver separates regressions from weather.
+NOISY_HEADLINE = [
+    "pagerank_converged",
+    "incr_pagerank_delta5",
+    "nmf_bounded2",
+    "dedup_cc_clusters",
+]
+NOISY_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_REPS", "5")))
+EXPECTED_BAND = {
+    "pagerank_converged": [3.2, 7.6],
+    "incr_pagerank_delta5": [3.2, 5.9],
+    "nmf_bounded2": [2.1, 3.9],
+    "dedup_cc_clusters": [2.5, 4.4],
+}
+
 
 def _median(xs: list[float]) -> float:
     return round(statistics.median(xs), 3)
@@ -128,19 +149,29 @@ def main() -> None:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     runs: dict[str, list[float]] = {}
+
+    def _run_one(name: str, rep: int) -> None:
+        spec = specs.get(name)
+        if spec is None:
+            if rep == 0:
+                print(f"bench: skipping unknown query {name}", file=sys.stderr)
+            return
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        runs.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+
     for rep in range(REPS):
         for name in HEADLINE:
-            spec = specs.get(name)
-            if spec is None:
-                if rep == 0:
-                    print(f"bench: skipping unknown query {name}", file=sys.stderr)
-                continue
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.setdefault(name, []).append(
-                round(time.perf_counter() - t0, 3)
-            )
+            _run_one(name, rep)
+    # r13 (VERDICT r12 ask #7): the four noisiest headline queries get
+    # extra reps up to NOISY_REPS — recorded same-day draws on identical
+    # code swung their medians ±40% at 3 reps; a 5-sample median plus the
+    # EXPECTED_BAND emitted in the compact line lets the driver flag true
+    # regressions (outside the ambient band) instead of sandbox weather.
+    for rep in range(REPS, NOISY_REPS):
+        for name in NOISY_HEADLINE:
+            _run_one(name, rep)
     timings = {name: _median(xs) for name, xs in runs.items()}
     spreads = {
         name: [min(xs), max(xs)] for name, xs in runs.items()
@@ -659,6 +690,30 @@ def main() -> None:
         _write_trend_table("bench/results")
     except OSError:
         pass  # read-only checkout: stdout line is the contract
+    # r13 (VERDICT r12 ask #1): the driver records only a 2000-char stdout
+    # TAIL and json-parses it — the verbose line above outgrew that window
+    # at round 4 and BENCH_r4..r12 all carry "parsed": null. This LAST line
+    # is the driver-facing contract: complete, compact (~1 KB), and final,
+    # so any tail window >= its length captures a parseable JSON line. The
+    # verbose blob stays above for humans and bench/results history.
+    compact = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": result["sf"],
+        "reps": REPS,
+        "noisy_reps": NOISY_REPS,
+        "queries": timings,
+        "incr_disk_refresh_vs_full_recompute": disk_ratio,
+        "incr_disk_ratio_meaningful": result["incr_disk_ratio_meaningful"],
+        "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
+        "incr_mem_ratio_meaningful": mem_ratio_meaningful,
+        "incr_substring_vs_full": result["incr_substring_vs_full"],
+        "expected_band": EXPECTED_BAND,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) < 1900, f"compact bench line too long: {len(line)}"
+    print(line)
 
 
 def _write_trend_table(results_dir: str) -> None:
@@ -857,11 +912,9 @@ def main_ab(ref: str, draws: int) -> None:
 
 
 CONCURRENT_SET = [
-    # one per plan shape, all single-job-chain queries (the gridmix mix:
-    # scan+agg, multiway join, join+topk, window, agg battery, LSH dedup
-    # banded join, brute-force ANN, preserve+refresh) — iterative loop
-    # drivers are excluded so per-query walls measure CONTENTION, not
-    # convergence-loop scheduling
+    # one per plan shape (the gridmix mix: scan+agg, multiway join,
+    # join+topk, window, agg battery, LSH dedup banded join, brute-force
+    # ANN, preserve+refresh)
     "q1_pricing_summary",
     "q5_multiway_join",
     "q10_returned_items",
@@ -870,6 +923,13 @@ CONCURRENT_SET = [
     "dedup_minhash_pairs",
     "ann_bruteforce_topk",
     "incr_refresh_orders",
+    # r13 (VERDICT r12 ask #8): the gridmix2 HETEROGENEITY — one
+    # multi-job iterative loop and one on-disk store refresh run WITH the
+    # eight single-job chains, so the mix exercises loop scheduling and
+    # store I/O under contention, not just chain queries. Their inflation
+    # columns land in CONCURRENT.md like every other member's.
+    "pagerank_bounded5",
+    "incr_refresh_orders_disk",
 ]
 
 

@@ -985,6 +985,69 @@ def main() -> None:
         "round_growth": sr2 - sr1,
     }
 
+    # ---- 5c. Label propagation at 10-25x edges (round 13, VERDICT r12
+    # ask #6) — planted communities with an EXACT-agreement pin. Graph:
+    # disjoint 20-node communities, each node chorded to offsets {1,2,3}
+    # mod 20 — non-bipartite (triangles), and synchronous min-tie LPA
+    # provably collapses every community to its MINIMUM node id in 4
+    # rounds (verified by direct simulation), stable at round 5. So after
+    # 5 bounded rounds: label(v) == 20*floor(v/20) for EVERY node — exact
+    # planted-community recovery, pinned as a violation on any miss.
+    from incr_iter_hadoop_spark.operators.iterative import label_propagation
+
+    _LPA_M = 20  # community size
+
+    def lpa_edges(n_nodes: int):
+        ids = spark.range(n_nodes)
+        base = (F.floor(F.col("id") / _LPA_M) * _LPA_M).cast("long")
+        off = F.col("id") % _LPA_M
+        return ids.select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    *[
+                        (base + (off + d) % _LPA_M).cast("long")
+                        for d in (1, 2, 3)
+                    ]
+                )
+            ).alias("dst"),
+        )
+
+    def time_lpa(n_nodes: int, rounds: int = 5):
+        edges = lpa_edges(n_nodes).persist()
+        n_edges = edges.count()
+        t0 = time.perf_counter()
+        res = label_propagation(edges, max_iterations=rounds)
+        wrong = res.state.where(
+            F.col("label")
+            != (F.floor(F.col("node") / _LPA_M) * _LPA_M).cast("long")
+        ).count()
+        wall = time.perf_counter() - t0
+        res.state.unpersist()
+        edges.unpersist()
+        if wrong:
+            violations.append(
+                f"lpa_communities: n={n_nodes} nodes, {wrong} labels off "
+                "the planted community minimum"
+            )
+        return n_edges, round(wall, 2), round(
+            wall / rounds / (n_edges / 1e6), 3
+        ), wrong
+
+    lpa_small = 100_000
+    lpa_big = lpa_small * (10 if QUICK else 25)
+    le1, lw1, lc1, lx1 = time_lpa(lpa_small)
+    le2, lw2, lc2, lx2 = time_lpa(lpa_big)
+    out["lpa_communities"] = {
+        "edges_small": le1, "wall_small_sec": lw1,
+        "sec_per_round_per_Medges_small": lc1,
+        "edges_big": le2, "wall_big_sec": lw2,
+        "sec_per_round_per_Medges_big": lc2,
+        "scaling_ratio": round(lc2 / lc1, 3) if lc1 else None,
+        "labels_wrong_small": lx1, "labels_wrong_big": lx2,
+        "agreement_exact": lx1 == 0 and lx2 == 0,
+    }
+
     # ---- 6. SCD2 point-in-time join at replicated history (round 6) -----
     # History built by the REAL scd2_apply operator (3 eras: every 2nd key
     # updated at era 1, every 3rd at era 2), facts join on the equi key
@@ -1131,7 +1194,8 @@ def _write_stress_md(results_dir: str) -> None:
         "| run | pagerank s/iter/Medges 1x -> Nx (ratio) | minhash s/kdocs"
         " 1x -> Nx (ratio) | disk ratio by state copies | media-phash"
         " s/kimgs 1x -> Nx (ratio, recall) | star-CC path rounds"
-        " 1x -> 10x | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
+        " 1x -> 10x | lpa s/round/Medges 1x -> Nx (ratio, exact-agree)"
+        " | scd2 PIT s/Mfacts 1x -> Nx (ratio) | store PIT s/Mfacts"
         " 1x -> Nx (ratio) | decontam s/kdocs 1x -> Nx (ratio, flags ok)"
         " | para-dedup s/kdocs 1x -> Nx (ratio, drops ok, incr/full)"
         " | para-skew s/kdocs 1x -> Nx (ratio, drops ok, skew/uniform)"
@@ -1140,7 +1204,7 @@ def _write_stress_md(results_dir: str) -> None:
         " | ann-lsh s/kvecs 1x -> Nx (ratio, recall@1) | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -1163,6 +1227,13 @@ def _write_stress_md(results_dir: str) -> None:
             f"{sc.get('rounds_small')} -> {sc.get('rounds_big')}"
             f" (+{sc.get('round_growth')})"
             if sc else "—"
+        )
+        lp = r.get("lpa_communities", {})
+        lpa = (
+            f"{lp.get('sec_per_round_per_Medges_small')}"
+            f" -> {lp.get('sec_per_round_per_Medges_big')}"
+            f" ({lp.get('scaling_ratio')}, {lp.get('agreement_exact')})"
+            if lp else "—"
         )
         scd2 = (
             f"{t2.get('sec_per_Mfacts_small')} -> {t2.get('sec_per_Mfacts_big')}"
@@ -1233,7 +1304,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
             f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} | {media} | {star} | {scd2} | {store_pit}"
+            f" | {disks} | {media} | {star} | {lpa} | {scd2} | {store_pit}"
             f" | {decon} | {para} | {para_skew} | {para_fp} | {skew_sort}"
             f" | {ann} | {depth} | {era} |"
         )

@@ -242,13 +242,20 @@ def _load_all() -> None:
 # r8 cohort alphabetically (30 of 51). After a green round 12 nothing
 # in the ledger is older than r8 (21 r8 stragglers remain for the r13
 # fill).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 # new queries this round (no CORRECTNESS row can exist yet) + queries on
 # code paths this round touched — these outrank staleness
 WINDOW_PRIORITY: list[str] = [
-    "sort_skewed_validate",
-    "sample_mixture_temperature",
+    # r13-new: the oscillation-guarded converged LPA (VERDICT r12 ask #3),
+    # the per-language CCNet buckets (ask #4), the parameterized exact
+    # 3-way split (ask #5)
+    "lpa_converged",
+    "sample_quality_buckets_by_lang",
+    "sample_exact_split_3way",
+    # refactored this round onto the shared stratified_rank helper (same
+    # plan, new code path) — re-witness
+    "sample_exact_quota",
 ]
 
 
@@ -295,61 +302,67 @@ def compute_first_window(size: int = 50) -> list[str]:
 
 
 FIRST_WINDOW: list[str] = [
-    # round-12 priority: the two new headline queries; fill = witness-less
-    # new queries first (jdbc_count_verify, lpa_bounded3,
-    # sample_exact_quota, sample_quality_buckets), then pure staleness
-    # (the complete 14-query r7 straggler cohort, then the r8 cohort
-    # alphabetically — 30 of 51)
-    "sort_skewed_validate",
-    "sample_mixture_temperature",
-    "jdbc_count_verify",
-    "lpa_bounded3",
+    # ROTATION (round 13): retire the r8 witness tail (VERDICT r12 ask
+    # #2). Priority: the three NEW r13 queries (lpa_converged — the
+    # oscillation-guarded I4 termination, ask #3;
+    # sample_quality_buckets_by_lang — CCNet per-language thresholds,
+    # ask #4; sample_exact_split_3way — the parameterized exact split,
+    # ask #5) plus sample_exact_quota, refactored this round onto the
+    # shared stratified_rank helper (same plan, new code path). Fill =
+    # pure staleness: the COMPLETE 17-query r8 straggler cohort, then
+    # the r9 cohort alphabetically (29 of 49). After a green round 13
+    # nothing in the ledger is older than r9 (20 r9 stragglers remain
+    # for the r14 fill).
+    "lpa_converged",
+    "sample_quality_buckets_by_lang",
+    "sample_exact_split_3way",
     "sample_exact_quota",
-    "sample_quality_buckets",
-    "nmf_bounded2",
-    "power_bounded3",
-    "projection_inverse_map",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_multiway_join",
-    "scd2_customer_history",
-    "scd2_point_in_time_join",
-    "secondary_sort_top3",
-    "setop_union",
-    "total_sort_top100",
-    "udf_scalar_pandas",
-    "wordcount",
-    "events_tumbling",
-    "events_tumbling_streamed",
-    "gen_graph_degrees",
-    "grep_regex",
-    "incr_dedup_minhash_pairs",
-    "incr_media_dedup_phash",
-    "incr_pagerank_delta5",
-    "incr_pagerank_pruned4",
-    "incr_refresh_orders_linear",
-    "incr_sssp_delete3",
-    "join_broadcast_chain",
-    "join_inner",
-    "join_nonequi_range",
-    "join_semi",
-    "join_skew_salted",
-    "kmeans_bounded2",
-    "loop_iteration_counters",
-    "media_dedup_exact",
-    "media_dedup_phash",
-    "multimodal_frames",
-    "multimodal_jpeg_decode",
-    "multimodal_resize",
-    "multimodal_video_frames",
-    "pagerank_bounded5",
-    "pipe_external_transform",
-    "pipeline_build_multimodal_set",
-    "pipeline_clean_corpus",
-    "q1_pricing_summary",
-    "q21_waiting_suppliers",
-    "sample_documents_10pct",
+    "scalar_battery",
+    "scan_pruned_filter",
+    "scan_text_kv_roundtrip",
+    "scan_webdataset_shards",
+    "setop_except",
+    "sort_validate",
+    "spmv_bounded2",
+    "sssp_bounded4",
+    "sssp_converged",
+    "streaming_refresh_orders",
+    "text_chunk_windows",
+    "text_quality",
+    "text_token_stats",
+    "topk_customers",
+    "udf_grouped_agg",
+    "udtf_explode_bigrams",
+    "window_battery",
+    "agg_approx_distinct_bounded",
+    "ann_ivf_topk",
+    "bm25_scores",
+    "dedup_cc_star",
+    "dedup_substring_spans",
+    "er_fuzzy_name_pairs",
+    "events_session_streamed",
+    "graph_triangle_count",
+    "incr_dedup_clusters",
+    "incr_dedup_minhash_delete",
+    "incr_dedup_substring",
+    "incr_kmeans_delta2",
+    "incr_refresh_orders_disk",
+    "incr_spmv_delta1",
+    "iteration_snapshot_roundtrip",
+    "join_asof",
+    "join_null_safe",
+    "kmeans_converged",
+    "multimodal_png_decode",
+    "multimodal_png_resize",
+    "multimodal_wav_decode",
+    "pack_sequences",
+    "pagerank_converged",
+    "pipeline_build_training_set",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_shipmode_priority",
+    "q13_order_distribution",
+    "q14_promo_share",
 ]
 
 

@@ -475,6 +475,29 @@ def test_sample_quality_buckets_no_global_window_no_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_sample_quality_buckets_by_lang_no_global_window_no_product(
+    spark, sf_dir
+):
+    # the per-language twin (r13): thresholds from ONE groupBy(lang)
+    # percentile aggregate (5 rows) joined back as a BROADCAST — still
+    # never an ntile/global window over the corpus, never a product
+    plan = _executed_plan(spark, sf_dir, "sample_quality_buckets_by_lang")
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sample_exact_split_3way_two_level_broadcast_quotas(spark, sf_dir):
+    # the parameterized exact split (r13): rank windows only on
+    # (source, md5-bucket) / the tiny per-bucket count relation — never
+    # one whole-stratum window task — with the bucket offsets AND the
+    # per-stratum quota map entering as BROADCAST joins; no product
+    plan = _executed_plan(spark, sf_dir, "sample_exact_split_3way")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_sample_mixture_temperature_two_level_no_product(spark, sf_dir):
     # the temperature twin must keep the identical two-level shape: the
     # sqrt-weight/budget relation is per-source (tiny) and BROADCAST
