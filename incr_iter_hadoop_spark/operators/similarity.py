@@ -645,3 +645,166 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select(
         F.col("node").alias("vec_id"), F.col("comp").alias("cluster")
     )
+
+
+# SemDeDup-style semantic dedup (round 13): cluster-then-prune. The
+# published recipe (Abbas et al. 2023, "SemDeDup") k-means-clusters the
+# embedding space, then looks for high-cosine pairs ONLY within a cluster
+# and keeps, of each duplicate pair, the example LESS similar to its
+# cluster centroid (retaining the less-prototypical one preserves
+# diversity). Scale shape: pair generation is an equi-join on cell id —
+# sum(|cell|^2) candidates, never corpus^2 — and the published deployment
+# keeps |cell| bounded by growing K with the corpus (50k clusters at 5B
+# embeddings), so cell occupancy, not corpus size, bounds the work.
+_SEMDEDUP_CELLS = 16
+_SEMDEDUP_TAU = 0.35  # within-cell cosine at/above this = semantic dup
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int = _SEMDEDUP_CELLS,
+    tau: float = _SEMDEDUP_TAU,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup cluster-then-prune over an embedding column.
+
+    1. Coarse quantizer: every vector goes to its max-cosine cell against
+       ``n_cells`` deterministic centroids (first ``n_cells`` vectors by
+       id — the IterKmeans.java:492-538 init convention the IVF index
+       shares); ties break to the smaller cell. The same pass yields
+       ``c_sim``, the vector's similarity to its own centroid.
+    2. Prune: a row is dropped iff some OTHER row in its cell has
+       cosine >= ``tau`` with it AND a strictly smaller priority key
+       ``(round(c_sim, 6), id)`` — i.e. of every duplicate pair the
+       LESS-prototypical member (lower centroid similarity) survives,
+       ids breaking ties. Pairwise and deterministic: no iteration, one
+       equi-self-join on cell, the drop set applied back as one join.
+
+    Returns (id, cell, c_sim, kept). Catalyst shape: centroids broadcast
+    (tiny dim table), assignment one hash-agg, candidate pairs equi-join
+    on cell, never a non-broadcast cartesian."""
+    cents = (
+        vectors.orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            F.col(id_col).cast("int").alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    asgn = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "nid", "nvec", "cell",
+            cosine(F.col("nvec"), F.col("cvec")).alias("s"),
+        )
+        .groupBy("nid", "nvec")
+        .agg(
+            F.max(
+                F.struct(F.col("s"), (-F.col("cell")).alias("nc"))
+            ).alias("b")
+        )
+        .select(
+            "nid",
+            "nvec",
+            (-F.col("b.nc")).cast("int").alias("cell"),
+            F.round(F.col("b.s"), 6).alias("c_sim"),
+        )
+    )
+    a = asgn.select(
+        "cell",
+        F.col("nid").alias("i"),
+        F.col("nvec").alias("va"),
+        F.col("c_sim").alias("ca"),
+    )
+    b = asgn.select(
+        "cell",
+        F.col("nid").alias("j"),
+        F.col("nvec").alias("vb"),
+        F.col("c_sim").alias("cb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .where(F.col("i") != F.col("j"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .where(
+            (F.col("ca") < F.col("cb"))
+            | ((F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
+        )
+        .select(F.col("j").alias("nid"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return asgn.join(dropped, "nid", "left").select(
+        F.col("nid").alias(id_col),
+        "cell",
+        "c_sim",
+        F.coalesce(~F.col("is_dup"), F.lit(True)).alias("kept"),
+    )
+
+
+_SEMDEDUP_COS = (
+    "CASE WHEN sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})) > 0"
+    " THEN list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b})))"
+    " ELSE 0.0 END"
+)
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(vec_id AS INT) AS cell,
+             list_transform(embedding, x -> x::DOUBLE) AS cvec
+      FROM embeddings WHERE vec_id < {_SEMDEDUP_CELLS}
+    ),
+    ev AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding, x -> x::DOUBLE) AS ev
+      FROM embeddings
+    ),
+    asgn AS (
+      SELECT nid, cell, ROUND(s, 6) AS c_sim FROM (
+        SELECT e.nid, c.cell,
+               {_SEMDEDUP_COS.format(a='e.ev', b='c.cvec')} AS s,
+               ROW_NUMBER() OVER (PARTITION BY e.nid ORDER BY
+                 {_SEMDEDUP_COS.format(a='e.ev', b='c.cvec')} DESC,
+                 c.cell) AS rn
+        FROM ev e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT
+             CASE WHEN (a.c_sim, a.nid) < (b.c_sim, b.nid)
+                  THEN b.nid ELSE a.nid END AS nid
+      FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.nid < b.nid
+      JOIN ev ea ON ea.nid = a.nid
+      JOIN ev eb ON eb.nid = b.nid
+      WHERE ROUND({_SEMDEDUP_COS.format(a='ea.ev', b='eb.ev')}, 6)
+              >= {_SEMDEDUP_TAU}
+    )
+    SELECT a.nid AS vec_id, a.cell, a.c_sim,
+           (d.nid IS NULL) AS kept
+    FROM asgn a LEFT JOIN dup d ON d.nid = a.nid
+    """,
+    doc="SemDeDup cluster-then-prune (round 13): 16-cell deterministic "
+    "coarse quantizer (centroids = first 16 vectors, max-cosine "
+    f"assignment, ties to the smaller cell), then within-cell pairs at "
+    f"cosine >= {_SEMDEDUP_TAU} drop their MORE-prototypical member — "
+    "priority key (round(c_sim,6), id), so of each duplicate pair the "
+    "row less similar to its centroid survives, the published "
+    "diversity-preserving keep rule. Pair stream is an equi-join on "
+    "cell id (sum(|cell|^2), never corpus^2; at scale K grows with the "
+    "corpus to bound occupancy — 50k clusters at 5B in the paper). "
+    "Fully deterministic; the oracle replicates quantizer, priority "
+    "rule, and drop set, so every row's kept flag is hash-checked.",
+)
+def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb)

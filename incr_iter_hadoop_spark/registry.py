@@ -253,6 +253,8 @@ WINDOW_PRIORITY: list[str] = [
     "lpa_converged",
     "sample_quality_buckets_by_lang",
     "sample_exact_split_3way",
+    # r13-new: SemDeDup cluster-then-prune over embeddings
+    "semantic_dedup_prune",
     # refactored this round onto the shared stratified_rank helper (same
     # plan, new code path) — re-witness
     "sample_exact_quota",
@@ -307,15 +309,17 @@ FIRST_WINDOW: list[str] = [
     # oscillation-guarded I4 termination, ask #3;
     # sample_quality_buckets_by_lang — CCNet per-language thresholds,
     # ask #4; sample_exact_split_3way — the parameterized exact split,
-    # ask #5) plus sample_exact_quota, refactored this round onto the
-    # shared stratified_rank helper (same plan, new code path). Fill =
-    # pure staleness: the COMPLETE 17-query r8 straggler cohort, then
-    # the r9 cohort alphabetically (29 of 49). After a green round 13
-    # nothing in the ledger is older than r9 (20 r9 stragglers remain
+    # ask #5; semantic_dedup_prune — SemDeDup cluster-then-prune) plus
+    # sample_exact_quota, refactored this round onto the shared
+    # stratified_rank helper (same plan, new code path). Fill = pure
+    # staleness: the COMPLETE 17-query r8 straggler cohort, then the
+    # r9 cohort alphabetically (28 of 49). After a green round 13
+    # nothing in the ledger is older than r9 (21 r9 stragglers remain
     # for the r14 fill).
     "lpa_converged",
     "sample_quality_buckets_by_lang",
     "sample_exact_split_3way",
+    "semantic_dedup_prune",
     "sample_exact_quota",
     "scalar_battery",
     "scan_pruned_filter",
@@ -362,7 +366,6 @@ FIRST_WINDOW: list[str] = [
     "q11_important_parts",
     "q12_shipmode_priority",
     "q13_order_distribution",
-    "q14_promo_share",
 ]
 
 
