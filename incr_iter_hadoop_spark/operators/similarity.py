@@ -684,6 +684,19 @@ def semantic_dedup(
     Returns (id, cell, c_sim, kept). Catalyst shape: centroids broadcast
     (tiny dim table), assignment one hash-agg, candidate pairs equi-join
     on cell, never a non-broadcast cartesian."""
+    asgn = _semantic_assign(vectors, n_cells, id_col, vec_col)
+    dropped = _semantic_drops(asgn, asgn, tau)
+    return _semantic_apply(asgn, dropped, id_col)
+
+
+def _semantic_assign(
+    vectors: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Quantizer pass: (nid, nvec, cell, c_sim) — nearest-centroid cell
+    (ties to the smaller cell) plus the rounded centroid similarity.
+    Centroids = first ``n_cells`` vectors by id, broadcast; per-row
+    results depend only on the row and the fixed centroid table, which
+    is what makes the prune incrementalizable."""
     cents = (
         vectors.orderBy(id_col)
         .limit(n_cells)
@@ -695,7 +708,7 @@ def semantic_dedup(
     v = vectors.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
     )
-    asgn = (
+    return (
         v.crossJoin(F.broadcast(cents))
         .select(
             "nid", "nvec", "cell",
@@ -714,19 +727,27 @@ def semantic_dedup(
             F.round(F.col("b.s"), 6).alias("c_sim"),
         )
     )
-    a = asgn.select(
+
+
+def _semantic_drops(
+    asgn_a: DataFrame, asgn_b: DataFrame, tau: float
+) -> DataFrame:
+    """The nids dropped FROM the b side: j in b is dropped iff some i in
+    a shares its cell, has cosine >= tau with it, and a strictly smaller
+    priority key (c_sim, id). One equi-join on cell."""
+    a = asgn_a.select(
         "cell",
         F.col("nid").alias("i"),
         F.col("nvec").alias("va"),
         F.col("c_sim").alias("ca"),
     )
-    b = asgn.select(
+    b = asgn_b.select(
         "cell",
         F.col("nid").alias("j"),
         F.col("nvec").alias("vb"),
         F.col("c_sim").alias("cb"),
     )
-    dropped = (
+    return (
         a.join(b, "cell")
         .where(F.col("i") != F.col("j"))
         .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
@@ -736,9 +757,15 @@ def semantic_dedup(
         )
         .select(F.col("j").alias("nid"))
         .distinct()
-        .withColumn("is_dup", F.lit(True))
     )
-    return asgn.join(dropped, "nid", "left").select(
+
+
+def _semantic_apply(
+    asgn: DataFrame, dropped: DataFrame, id_col: str
+) -> DataFrame:
+    return asgn.join(
+        dropped.withColumn("is_dup", F.lit(True)), "nid", "left"
+    ).select(
         F.col("nid").alias(id_col),
         "cell",
         "c_sim",
@@ -756,9 +783,7 @@ _SEMDEDUP_COS = (
 )
 
 
-@register(
-    "semantic_dedup_prune",
-    oracle=f"""
+_SEMDEDUP_ORACLE = f"""
     WITH cents AS (
       SELECT CAST(vec_id AS INT) AS cell,
              list_transform(embedding, x -> x::DOUBLE) AS cvec
@@ -792,7 +817,12 @@ _SEMDEDUP_COS = (
     SELECT a.nid AS vec_id, a.cell, a.c_sim,
            (d.nid IS NULL) AS kept
     FROM asgn a LEFT JOIN dup d ON d.nid = a.nid
-    """,
+    """
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=_SEMDEDUP_ORACLE,
     doc="SemDeDup cluster-then-prune (round 13): 16-cell deterministic "
     "coarse quantizer (centroids = first 16 vectors, max-cosine "
     f"assignment, ties to the smaller cell), then within-cell pairs at "
@@ -808,3 +838,43 @@ _SEMDEDUP_COS = (
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(emb)
+
+
+_SEMDEDUP_NEW_MOD = 10  # delta = every 10th vector (held out of the base)
+
+
+@register(
+    "incr_semantic_dedup",
+    oracle=_SEMDEDUP_ORACLE,  # the incremental union must equal the full recompute
+    doc="incremental SemDeDup (I7 on the embedding domain): base corpus "
+    f"= vec_id % {_SEMDEDUP_NEW_MOD} != 0, delta = the held-out tenth. "
+    "The quantizer is FIXED (the full index's first-16 centroid table, "
+    "trained once like a production coarse quantizer), so cell and "
+    "c_sim are per-row facts that never change under insertion — and "
+    "the drop rule is MONOTONE in the corpus (a row is dropped iff a "
+    "smaller-key neighbor exists; insertions only add witnesses, never "
+    "remove them). Preserved base-by-base drops are therefore reused "
+    "verbatim; the delta recomputes only pairs touching a new vector "
+    "(new-side drops AND old rows newly dropped by a less-prototypical "
+    "new arrival) — per-delta work is O(|new| x cell occupancy), the "
+    "same preserve/delta discipline as incr_dedup_minhash_pairs. Union "
+    "of the three directed drop sets equals the full-recompute drop set "
+    "exactly; oracle = the full recompute, so the equivalence is "
+    "hash-checked row by row.",
+)
+def incr_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    asgn = _semantic_assign(
+        emb, _SEMDEDUP_CELLS, "vec_id", "embedding"
+    )
+    is_new = F.col("nid") % _SEMDEDUP_NEW_MOD == 0
+    base, new = asgn.where(~is_new), asgn.where(is_new)
+    tau = _SEMDEDUP_TAU
+    dropped = (
+        _semantic_drops(base, base, tau)      # preserved old-by-old
+        .unionByName(_semantic_drops(new, asgn, tau))   # new drops anyone
+        .unionByName(_semantic_drops(base, new, tau))   # old drops a new
+        .distinct()
+    )
+    return _semantic_apply(asgn, dropped, "vec_id")
+

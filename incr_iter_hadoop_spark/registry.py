@@ -253,8 +253,10 @@ WINDOW_PRIORITY: list[str] = [
     "lpa_converged",
     "sample_quality_buckets_by_lang",
     "sample_exact_split_3way",
-    # r13-new: SemDeDup cluster-then-prune over embeddings
+    # r13-new: SemDeDup cluster-then-prune over embeddings + its
+    # preserve/delta incremental twin
     "semantic_dedup_prune",
+    "incr_semantic_dedup",
     # refactored this round onto the shared stratified_rank helper (same
     # plan, new code path) — re-witness
     "sample_exact_quota",
@@ -309,17 +311,19 @@ FIRST_WINDOW: list[str] = [
     # oscillation-guarded I4 termination, ask #3;
     # sample_quality_buckets_by_lang — CCNet per-language thresholds,
     # ask #4; sample_exact_split_3way — the parameterized exact split,
-    # ask #5; semantic_dedup_prune — SemDeDup cluster-then-prune) plus
+    # ask #5; semantic_dedup_prune + incr_semantic_dedup — SemDeDup
+    # cluster-then-prune and its preserve/delta twin) plus
     # sample_exact_quota, refactored this round onto the shared
     # stratified_rank helper (same plan, new code path). Fill = pure
     # staleness: the COMPLETE 17-query r8 straggler cohort, then the
-    # r9 cohort alphabetically (28 of 49). After a green round 13
-    # nothing in the ledger is older than r9 (21 r9 stragglers remain
+    # r9 cohort alphabetically (27 of 49). After a green round 13
+    # nothing in the ledger is older than r9 (22 r9 stragglers remain
     # for the r14 fill).
     "lpa_converged",
     "sample_quality_buckets_by_lang",
     "sample_exact_split_3way",
     "semantic_dedup_prune",
+    "incr_semantic_dedup",
     "sample_exact_quota",
     "scalar_battery",
     "scan_pruned_filter",
@@ -365,7 +369,6 @@ FIRST_WINDOW: list[str] = [
     "q10_returned_items",
     "q11_important_parts",
     "q12_shipmode_priority",
-    "q13_order_distribution",
 ]
 
 

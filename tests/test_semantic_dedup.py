@@ -90,3 +90,64 @@ def test_plan_broadcast_centroids_no_product(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast 16-row cross
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    # the preserve/delta union must equal the full recompute bit-for-bit
+    # (monotone drop rule + corpus-independent per-row keys)
+    from incr_iter_hadoop_spark.operators.similarity import (
+        incr_semantic_dedup,
+    )
+
+    full = sorted(map(tuple, semantic_dedup_query(spark, sf_dir).collect()))
+    incr = sorted(map(tuple, incr_semantic_dedup(spark, sf_dir).collect()))
+    assert incr == full
+
+
+def test_incremental_delta_drop_paths(spark):
+    # fixture where BOTH delta directions fire: new 30 (lower key) drops
+    # preserved old 7, and old 3 (lower key) drops new 40 — plus an
+    # old-by-old preserved pair (17, 19) that the delta must not disturb.
+    # ids % 10 == 0 are "new". One cell (single centroid id 0).
+    from incr_iter_hadoop_spark.operators.similarity import (
+        _semantic_assign,
+        _semantic_drops,
+        _semantic_apply,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # centroid (old)
+        (3, [0.3, 0.9, 0.0, 0.0]),     # old, low c_sim
+        (40, [0.35, 0.9, 0.0, 0.0]),   # new, ~ same direction as 3, higher c_sim
+        (7, [0.9, 0.3, 0.0, 0.0]),     # old, high c_sim
+        (30, [0.5, 0.85, 0.2, 0.0]),   # new
+        (17, [0.0, 0.6, 0.8, 0.0]),    # old pair member
+        (19, [0.05, 0.6, 0.8, 0.0]),   # old pair member (higher c_sim? data decides)
+    ]
+    vs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    tau = 0.9
+    asgn = _semantic_assign(vs, 1, "vec_id", "embedding")
+    is_new = F.col("nid") % 10 == 0
+    base, new = asgn.where(~is_new), asgn.where(is_new)
+    dropped = (
+        _semantic_drops(base, base, tau)
+        .unionByName(_semantic_drops(new, asgn, tau))
+        .unionByName(_semantic_drops(base, new, tau))
+        .distinct()
+    )
+    incr = sorted(
+        map(tuple, _semantic_apply(asgn, dropped, "vec_id").collect())
+    )
+    from incr_iter_hadoop_spark.operators.similarity import semantic_dedup
+
+    full = sorted(
+        map(tuple, semantic_dedup(vs, n_cells=1, tau=tau).collect())
+    )
+    assert incr == full
+    kept = {r[0]: r[3] for r in incr}
+    # at least one old row and one new row are dropped (both delta
+    # directions exercised), and not everything is dropped
+    dropped_ids = {k for k, v in kept.items() if not v}
+    assert any(i % 10 == 0 for i in dropped_ids)
+    assert any(i % 10 != 0 for i in dropped_ids)
+    assert len(dropped_ids) < len(rows)
