@@ -684,7 +684,11 @@ def semantic_dedup(
     Returns (id, cell, c_sim, kept). Catalyst shape: centroids broadcast
     (tiny dim table), assignment one hash-agg, candidate pairs equi-join
     on cell, never a non-broadcast cartesian."""
-    asgn = _semantic_assign(vectors, n_cells, id_col, vec_col)
+    # persist: the quantizer pass (scan + broadcast-centroid cross +
+    # per-row argmax agg) feeds BOTH sides of the pair join AND the final
+    # apply — without it Catalyst re-executes that subtree three times
+    # (seen in explain('formatted'); the incremental twin would pay 7x)
+    asgn = _semantic_assign(vectors, n_cells, id_col, vec_col).persist()
     dropped = _semantic_drops(asgn, asgn, tau)
     return _semantic_apply(asgn, dropped, id_col)
 
@@ -866,7 +870,7 @@ def incr_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     asgn = _semantic_assign(
         emb, _SEMDEDUP_CELLS, "vec_id", "embedding"
-    )
+    ).persist()
     is_new = F.col("nid") % _SEMDEDUP_NEW_MOD == 0
     base, new = asgn.where(~is_new), asgn.where(is_new)
     tau = _SEMDEDUP_TAU
