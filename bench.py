@@ -521,6 +521,14 @@ def main() -> None:
         # the normalized decontamination gate — trended from day one
         ("dedup_paragraphs_fp", "dedup_paragraphs_fp_sec"),
         ("decontaminate_normalized", "decontaminate_normalized_sec"),
+        # r13: SemDeDup cluster-then-prune (batch + preserve/delta twin —
+        # the pair should trend together; the incr line re-derives the
+        # base drops in-query, so its value is the plan-shape cost, not a
+        # steady-state ratio) and the oscillation-guarded LPA — trended
+        # from day one
+        ("semantic_dedup_prune", "semantic_dedup_sec"),
+        ("incr_semantic_dedup", "incr_semantic_dedup_sec"),
+        ("lpa_converged", "lpa_converged_sec"),
     ]:
         xs: list[float] = []
         for _rep in range(REPS):
@@ -762,6 +770,9 @@ def _write_trend_table(results_dir: str) -> None:
         "incr_dedup_paragraphs_sec",
         "dedup_paragraphs_fp_sec",
         "decontaminate_normalized_sec",
+        "semantic_dedup_sec",
+        "incr_semantic_dedup_sec",
+        "lpa_converged_sec",
         "dedup_paragraphs_shuffle_mb",
         "dedup_paragraphs_fp_shuffle_mb",
         "paragraph_fp_shuffle_ratio",

@@ -622,6 +622,69 @@ def main() -> None:
         "recall_ok": ar1 >= 0.9 and ar2 >= 0.9,
     }
 
+    # ---- 2h. SemDeDup at 10x vectors (round 13) -------------------------
+    # Same planted-twin fixture as 2g (ids % 100 == 1 are near-identical
+    # perturbations of id-1 → 1% known duplicate pairs). K grows with the
+    # corpus (n/625, the published deployment's discipline: occupancy,
+    # not corpus size, bounds the pair join), tau = 0.9 so ONLY planted
+    # twins can pair (random 64-dim cosines concentrate near 0 — 0.9 is
+    # ~7 sigma). Pins: every vector gets a verdict row, twin recall >= 0.9
+    # (a twin pair can only be missed if the quantizer splits it across
+    # cells), and ZERO false drops (dropped <= planted).
+    from incr_iter_hadoop_spark.operators.similarity import semantic_dedup
+
+    def time_semdedup(n_vecs: int):
+        vecs = synth_vecs(n_vecs).persist()
+        vecs.count()
+        k_cells = max(16, n_vecs // 625)
+        t0 = time.perf_counter()
+        res = semantic_dedup(vecs, n_cells=k_cells, tau=0.9).persist()
+        n_dropped = res.where(~F.col("kept")).count()
+        n_total = res.count()
+        wall = time.perf_counter() - t0
+        res.unpersist()
+        vecs.unpersist()
+        planted = n_vecs // 100
+        return planted, n_dropped, n_total, round(wall, 2), round(
+            wall / (n_vecs / 1e3), 3
+        )
+
+    sd_small = 20_000
+    sd_big = sd_small * 10
+    sp1, sd1, st1, sw1, sc1 = time_semdedup(sd_small)
+    sp2, sd2, st2, sw2, sc2 = time_semdedup(sd_big)
+    for n, planted, dropped, total in (
+        (sd_small, sp1, sd1, st1),
+        (sd_big, sp2, sd2, st2),
+    ):
+        if total != n:
+            violations.append(
+                f"semantic_dedup: n={n} got {total} verdict rows"
+            )
+        if dropped < 0.9 * planted:
+            violations.append(
+                f"semantic_dedup: n={n} twin recall "
+                f"{dropped}/{planted} below 0.9"
+            )
+        if dropped > planted:
+            violations.append(
+                f"semantic_dedup: n={n} {dropped} drops exceed the "
+                f"{planted} planted pairs — false merges at tau=0.9"
+            )
+    out["semantic_dedup"] = {
+        "vecs_small": sd_small, "cells_small": max(16, sd_small // 625),
+        "planted_small": sp1, "dropped_small": sd1,
+        "wall_small_sec": sw1, "sec_per_kvecs_small": sc1,
+        "vecs_big": sd_big, "cells_big": max(16, sd_big // 625),
+        "planted_big": sp2, "dropped_big": sd2,
+        "wall_big_sec": sw2, "sec_per_kvecs_big": sc2,
+        "scaling_ratio": round(sc2 / sc1, 3) if sc1 else None,
+        "twin_recall_small": round(sd1 / sp1, 4) if sp1 else None,
+        "twin_recall_big": round(sd2 / sp2, 4) if sp2 else None,
+        "exactness_ok": sd1 <= sp1 and sd2 <= sp2
+        and st1 == sd_small and st2 == sd_big,
+    }
+
     # ---- 3. Disk-store refresh ratio vs state size ----------------------
     from incr_iter_hadoop_spark.catalog import load_table
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
@@ -1201,10 +1264,13 @@ def _write_stress_md(results_dir: str) -> None:
         " | para-skew s/kdocs 1x -> Nx (ratio, drops ok, skew/uniform)"
         " | para-fp@1KB Nx wall fp/content (shuffle fp/content, drops ok)"
         " | skewed-sort s/Mrows 1x -> Nx (ratio, balance)"
-        " | ann-lsh s/kvecs 1x -> Nx (ratio, recall@1) | depth sweep"
+        " | ann-lsh s/kvecs 1x -> Nx (ratio, recall@1)"
+        " | semdedup s/kvecs 1x -> 10x (ratio, twin-recall, exact)"
+        " | depth sweep"
         " early -> late med (growth; post-compact) | scd2 era sweep"
         " early -> late read (growth; post-snapshot) |",
-        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|"
+        "---|---|",
     ]
     for r in rows:
         pg, mh = r.get("pagerank", {}), r.get("minhash", {})
@@ -1280,6 +1346,15 @@ def _write_stress_md(results_dir: str) -> None:
             f" {al.get('recall_small')}/{al.get('recall_big')})"
             if al else "—"
         )
+        sdd = r.get("semantic_dedup", {})
+        semded = (
+            f"{sdd.get('sec_per_kvecs_small')}"
+            f" -> {sdd.get('sec_per_kvecs_big')}"
+            f" ({sdd.get('scaling_ratio')},"
+            f" {sdd.get('twin_recall_small')}/{sdd.get('twin_recall_big')},"
+            f" {sdd.get('exactness_ok')})"
+            if sdd else "—"
+        )
         ss = r.get("skewed_sort", {})
         skew_sort = (
             f"{ss.get('sec_per_Mrows_small')} -> {ss.get('sec_per_Mrows_big')}"
@@ -1306,7 +1381,7 @@ def _write_stress_md(results_dir: str) -> None:
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
             f" | {disks} | {media} | {star} | {lpa} | {scd2} | {store_pit}"
             f" | {decon} | {para} | {para_skew} | {para_fp} | {skew_sort}"
-            f" | {ann} | {depth} | {era} |"
+            f" | {ann} | {semded} | {depth} | {era} |"
         )
     with open(os.path.join(results_dir, "STRESS.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
