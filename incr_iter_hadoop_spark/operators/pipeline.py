@@ -256,3 +256,73 @@ def pipeline_build_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tok_cnt").cast("bigint").alias("n_tokens"),
         F.sum("fp").cast("bigint").alias("manifest_fp"),
     )
+
+
+from .sampling import _QBL_ORACLE, _split3_values_sql
+from .similarity import _SEMDEDUP_ORACLE
+
+_CURATED_SPLIT_ORACLE = f"""
+    WITH qual AS MATERIALIZED ({_QBL_ORACLE}),
+    sem AS MATERIALIZED ({_SEMDEDUP_ORACLE}),
+    surv AS (
+      SELECT q.doc_id, d.source, q.lang, q.bucket
+      FROM qual q
+      JOIN sem s ON s.vec_id = q.doc_id AND s.kept
+      JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    {_split3_values_sql()},
+    r AS (
+      SELECT doc_id, source, lang, bucket,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cursplit|' || CAST(doc_id AS VARCHAR))
+             ) AS rk
+      FROM surv
+    )
+    SELECT r.doc_id, r.source, r.lang, r.bucket, CAST(r.rk AS BIGINT) AS rk,
+           CASE WHEN r.rk <= q.n_test THEN 'test'
+                WHEN r.rk <= q.n_test + q.n_val THEN 'val'
+                ELSE 'train' END AS split
+    FROM r JOIN q USING (source)
+"""
+
+
+@register(
+    "pipeline_curated_split",
+    oracle=_CURATED_SPLIT_ORACLE,
+    doc="round-13 curation capstone: the three r13 operators composed as "
+    "ONE declarative plan — per-language CCNet quality buckets (head + "
+    "hash-gated middle/tail) ∩ SemDeDup survivors (cluster-then-prune "
+    "keep flags on the aligned embedding table), then the EXACT "
+    "per-source train/val/test split over the curated survivors (two-"
+    "level stratified rank, broadcast quota map, seed 'cursplit' so the "
+    "ranks are independent of the standalone split query). Each stage "
+    "is the exact operator its standalone query hash-checks; the oracle "
+    "nests those oracles verbatim (DuckDB nested-WITH subqueries) and "
+    "recomputes the split rank over the survivor set, so the whole "
+    "composition is hash-checked end to end. Scale shape inherits the "
+    "components': broadcast thresholds/centroids/quotas, cell-bounded "
+    "pair join, no whole-stratum window.",
+)
+def pipeline_curated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sampling import (
+        _SPLIT3_QUOTAS,
+        sample_exact_split,
+        sample_quality_buckets_by_lang,
+    )
+    from .similarity import semantic_dedup_query
+
+    qual = sample_quality_buckets_by_lang(spark, sf_dir).select(
+        "doc_id", "lang", "bucket"
+    )
+    sem = (
+        semantic_dedup_query(spark, sf_dir)
+        .where(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    surv = qual.join(sem, "doc_id").join(d, "doc_id")
+    out = sample_exact_split(
+        surv, "source", "doc_id", _SPLIT3_QUOTAS, seed="cursplit"
+    )
+    return out.select("doc_id", "source", "lang", "bucket", "rk", "split")

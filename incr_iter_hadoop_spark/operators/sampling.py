@@ -515,9 +515,7 @@ def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.where(keep).select("doc_id", "bucket", "n_tokens", "avg_logprob")
 
 
-@register(
-    "sample_quality_buckets_by_lang",
-    oracle=f"""
+_QBL_ORACLE = f"""
     WITH {UNIGRAM_LP_SQL},
     lpl AS (
       SELECT lp.doc_id, d.lang, lp.n_tokens, lp.avg_logprob
@@ -545,7 +543,12 @@ def sample_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR (bucket = 'tail'
            AND {_GATE_SQL.format(seed='qbl-tail', key='doc_id',
                                  thr=_hex_threshold(_QB_TAIL_FRAC))})
-    """,
+    """
+
+
+@register(
+    "sample_quality_buckets_by_lang",
+    oracle=_QBL_ORACLE,
     doc="PER-LANGUAGE quality-bucketed sampling (round 13 — VERDICT r12 "
     "ask #4): CCNet computes its head/middle/tail perplexity thresholds "
     "PER LANGUAGE (a zh log-prob is incomparable to an en one under a "

@@ -257,6 +257,9 @@ WINDOW_PRIORITY: list[str] = [
     # preserve/delta incremental twin
     "semantic_dedup_prune",
     "incr_semantic_dedup",
+    # r13-new: the composed curation capstone (quality buckets ∩ SemDeDup
+    # survivors → exact per-source split)
+    "pipeline_curated_split",
     # refactored this round onto the shared stratified_rank helper (same
     # plan, new code path) — re-witness
     "sample_exact_quota",
@@ -316,14 +319,15 @@ FIRST_WINDOW: list[str] = [
     # sample_exact_quota, refactored this round onto the shared
     # stratified_rank helper (same plan, new code path). Fill = pure
     # staleness: the COMPLETE 17-query r8 straggler cohort, then the
-    # r9 cohort alphabetically (27 of 49). After a green round 13
-    # nothing in the ledger is older than r9 (22 r9 stragglers remain
+    # r9 cohort alphabetically (26 of 49). After a green round 13
+    # nothing in the ledger is older than r9 (23 r9 stragglers remain
     # for the r14 fill).
     "lpa_converged",
     "sample_quality_buckets_by_lang",
     "sample_exact_split_3way",
     "semantic_dedup_prune",
     "incr_semantic_dedup",
+    "pipeline_curated_split",
     "sample_exact_quota",
     "scalar_battery",
     "scan_pruned_filter",
@@ -368,7 +372,6 @@ FIRST_WINDOW: list[str] = [
     "pipeline_build_training_set",
     "q10_returned_items",
     "q11_important_parts",
-    "q12_shipmode_priority",
 ]
 
 

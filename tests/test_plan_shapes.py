@@ -589,3 +589,13 @@ def test_incr_dedup_paragraphs_probe_is_equi_anti_no_product(spark, sf_dir):
     assert "CartesianProduct" not in plan_fp
     assert "BroadcastNestedLoopJoin" not in plan_fp
     assert "rangepartitioning" not in plan_fp.lower()
+
+
+def test_pipeline_curated_split_no_product(spark, sf_dir):
+    # the r13 capstone composes quality buckets ∩ SemDeDup ∩ exact split:
+    # thresholds/centroids/quotas all enter as broadcasts; the only
+    # nested-loop is the broadcast 16-row centroid cross inside the
+    # persisted quantizer pass — never a non-broadcast cartesian, never
+    # a whole-stratum window (ranks stay two-level)
+    plan = _executed_plan(spark, sf_dir, "pipeline_curated_split")
+    assert "CartesianProduct" not in plan
