@@ -631,28 +631,47 @@ def main() -> None:
     # ~7 sigma). Pins: every vector gets a verdict row, twin recall >= 0.9
     # (a twin pair can only be missed if the quantizer splits it across
     # cells), and ZERO false drops (dropped <= planted).
-    from incr_iter_hadoop_spark.operators.similarity import semantic_dedup
+    # Staged timing: the quantizer (N x K dots; K grows with N, so this
+    # term is the flat-IVF N*K cost — the documented scale path past ~1M
+    # cells is a hierarchical coarse quantizer) vs the prune (pair join;
+    # occupancy is CONSTANT under the K = N/625 discipline, so its
+    # per-unit cost must stay flat — that is the pinned claim).
+    from incr_iter_hadoop_spark.operators.similarity import (
+        _semantic_apply,
+        _semantic_assign,
+        _semantic_drops,
+    )
 
     def time_semdedup(n_vecs: int):
         vecs = synth_vecs(n_vecs).persist()
         vecs.count()
         k_cells = max(16, n_vecs // 625)
         t0 = time.perf_counter()
-        res = semantic_dedup(vecs, n_cells=k_cells, tau=0.9).persist()
+        asgn = _semantic_assign(vecs, k_cells, "vec_id", "embedding").persist()
+        asgn.count()
+        t1 = time.perf_counter()
+        res = _semantic_apply(
+            asgn, _semantic_drops(asgn, asgn, 0.9), "vec_id"
+        ).persist()
         n_dropped = res.where(~F.col("kept")).count()
         n_total = res.count()
-        wall = time.perf_counter() - t0
+        t2 = time.perf_counter()
         res.unpersist()
+        asgn.unpersist()
         vecs.unpersist()
         planted = n_vecs // 100
-        return planted, n_dropped, n_total, round(wall, 2), round(
-            wall / (n_vecs / 1e3), 3
+        return (
+            planted, n_dropped, n_total,
+            round(t2 - t0, 2),
+            round((t2 - t0) / (n_vecs / 1e3), 3),
+            round(t1 - t0, 2),
+            round((t2 - t1) / (n_vecs / 1e3), 3),
         )
 
     sd_small = 20_000
     sd_big = sd_small * 10
-    sp1, sd1, st1, sw1, sc1 = time_semdedup(sd_small)
-    sp2, sd2, st2, sw2, sc2 = time_semdedup(sd_big)
+    sp1, sd1, st1, sw1, sc1, sa1, spr1 = time_semdedup(sd_small)
+    sp2, sd2, st2, sw2, sc2, sa2, spr2 = time_semdedup(sd_big)
     for n, planted, dropped, total in (
         (sd_small, sp1, sd1, st1),
         (sd_big, sp2, sd2, st2),
@@ -671,6 +690,11 @@ def main() -> None:
                 f"semantic_dedup: n={n} {dropped} drops exceed the "
                 f"{planted} planted pairs — false merges at tau=0.9"
             )
+    if spr1 and spr2 / spr1 > 1.5:
+        violations.append(
+            f"semantic_dedup: prune-stage s/kvec grew {spr1} -> {spr2} "
+            "(>1.5x) despite constant cell occupancy"
+        )
     out["semantic_dedup"] = {
         "vecs_small": sd_small, "cells_small": max(16, sd_small // 625),
         "planted_small": sp1, "dropped_small": sd1,
@@ -679,6 +703,10 @@ def main() -> None:
         "planted_big": sp2, "dropped_big": sd2,
         "wall_big_sec": sw2, "sec_per_kvecs_big": sc2,
         "scaling_ratio": round(sc2 / sc1, 3) if sc1 else None,
+        "assign_wall_small_sec": sa1, "assign_wall_big_sec": sa2,
+        "prune_sec_per_kvecs_small": spr1,
+        "prune_sec_per_kvecs_big": spr2,
+        "prune_scaling_ratio": round(spr2 / spr1, 3) if spr1 else None,
         "twin_recall_small": round(sd1 / sp1, 4) if sp1 else None,
         "twin_recall_big": round(sd2 / sp2, 4) if sp2 else None,
         "exactness_ok": sd1 <= sp1 and sd2 <= sp2
@@ -1374,12 +1402,21 @@ def _write_stress_md(results_dir: str) -> None:
             f" ({es.get('depth_growth')}; {es.get('post_snapshot_read')})"
             if es else "—"
         )
-        lines.append(
-            f"| {r.get('ts', '?')} | {pg.get('sec_per_iter_per_Medges_small')}"
+        pgc = (
+            f"{pg.get('sec_per_iter_per_Medges_small')}"
             f" -> {pg.get('sec_per_iter_per_Medges_big')}"
-            f" ({pg.get('scaling_ratio')}) | {mh.get('sec_per_kdocs_small')}"
+            f" ({pg.get('scaling_ratio')})"
+            if pg else "—"
+        )
+        mhc = (
+            f"{mh.get('sec_per_kdocs_small')}"
             f" -> {mh.get('sec_per_kdocs_big')} ({mh.get('scaling_ratio')})"
-            f" | {disks} | {media} | {star} | {lpa} | {scd2} | {store_pit}"
+            if mh else "—"
+        )
+        lines.append(
+            f"| {r.get('ts', '?')} | {pgc} | {mhc}"
+            f" | {disks or '—'} | {media} | {star} | {lpa} | {scd2}"
+            f" | {store_pit}"
             f" | {decon} | {para} | {para_skew} | {para_fp} | {skew_sort}"
             f" | {ann} | {semded} | {depth} | {era} |"
         )

@@ -56,3 +56,15 @@ def l1_distance(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def unit(a: Column, norm_col: Column) -> Column:
+    """Element-wise a / |a| given a precomputed norm column; all-zeros for
+    zero-norm input, so a plain ``dot`` of two unit vectors reproduces
+    ``cosine``'s 0.0 zero-norm convention. The norm MUST be a plain bound
+    column (not an inline aggregate): a captured aggregate expression
+    inside the transform lambda would re-evaluate per element."""
+    return F.when(
+        norm_col > 0,
+        F.transform(a, lambda x: x.cast("double") / norm_col),
+    ).otherwise(F.transform(a, lambda x: F.lit(0.0)))

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from ..functions.vector import cosine, dot
+from ..functions.vector import cosine, dot, norm2, unit
 from ..registry import register
 
 TOP_K = 5
@@ -701,6 +701,23 @@ def _semantic_assign(
     Centroids = first ``n_cells`` vectors by id, broadcast; per-row
     results depend only on the row and the fixed centroid table, which
     is what makes the prune incrementalizable."""
+    # Two measured reformulations (bench/stress.py, 20k -> 200k vectors):
+    # 1. the argmax is array_max over ONE broadcast row holding the whole
+    #    centroid table as array<struct<cell,cvec>> — a pure map, zero
+    #    shuffle. The naive crossJoin x n_cells + groupBy(nid, nvec)
+    #    .max(struct) spent its time hash-aggregating N*K rows keyed by
+    #    the 64-float vector.
+    # 2. every vector is NORMALIZED ONCE (unit vectors) so each of the
+    #    N*K assignment tests and the occupancy-bounded pair tests is a
+    #    single dot instead of dot + two norms — the similarity battery
+    #    is evaluated as (non-codegen) higher-order expressions, so
+    #    collapsing 3 array-folds to 1 is a direct ~3x on the flop-bound
+    #    stages. dot(unit(a), unit(b)) keeps cosine()'s conventions:
+    #    argmax and zero-norm-=-0.0 are unchanged, and the oracle
+    #    normalizes identically (same fold order), so results stay
+    #    hash-exact.
+    # The returned frame carries the UNIT vector in ``nvec`` — every
+    # downstream consumer (_semantic_drops) relies on that.
     cents = (
         vectors.orderBy(id_col)
         .limit(n_cells)
@@ -708,22 +725,35 @@ def _semantic_assign(
             F.col(id_col).cast("int").alias("cell"),
             F.col(vec_col).alias("cvec"),
         )
+        .withColumn("cn", norm2(F.col("cvec")))
+        .select(
+            F.collect_list(
+                F.struct(
+                    F.col("cell"),
+                    unit(F.col("cvec"), F.col("cn")).alias("cvec"),
+                )
+            ).alias("cents")
+        )
     )
-    v = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    v = (
+        vectors.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("raw")
+        )
+        .withColumn("nn", norm2(F.col("raw")))
+        .select("nid", unit(F.col("raw"), F.col("nn")).alias("nvec"))
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                dot(F.col("nvec"), c["cvec"]).alias("s"),
+                (-c["cell"]).alias("nc"),
+            ),
+        )
     )
     return (
         v.crossJoin(F.broadcast(cents))
-        .select(
-            "nid", "nvec", "cell",
-            cosine(F.col("nvec"), F.col("cvec")).alias("s"),
-        )
-        .groupBy("nid", "nvec")
-        .agg(
-            F.max(
-                F.struct(F.col("s"), (-F.col("cell")).alias("nc"))
-            ).alias("b")
-        )
+        .withColumn("b", best)
         .select(
             "nid",
             "nvec",
@@ -738,7 +768,9 @@ def _semantic_drops(
 ) -> DataFrame:
     """The nids dropped FROM the b side: j in b is dropped iff some i in
     a shares its cell, has cosine >= tau with it, and a strictly smaller
-    priority key (c_sim, id). One equi-join on cell."""
+    priority key (c_sim, id). One equi-join on cell. Inputs carry UNIT
+    vectors (what _semantic_assign returns), so the cosine test is a
+    plain dot."""
     a = asgn_a.select(
         "cell",
         F.col("nid").alias("i"),
@@ -754,7 +786,7 @@ def _semantic_drops(
     return (
         a.join(b, "cell")
         .where(F.col("i") != F.col("j"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= tau)
+        .where(F.round(dot(F.col("va"), F.col("vb")), 6) >= tau)
         .where(
             (F.col("ca") < F.col("cb"))
             | ((F.col("ca") == F.col("cb")) & (F.col("i") < F.col("j")))
@@ -777,26 +809,32 @@ def _semantic_apply(
     )
 
 
-_SEMDEDUP_COS = (
-    "CASE WHEN sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b})) > 0"
-    " THEN list_dot_product({a}, {b})"
-    " / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b})))"
-    " ELSE 0.0 END"
+# similarities are plain dots of pre-normalized unit vectors (the CTEs
+# below normalize with the same fold order the Spark side uses, so the
+# doubles — and the round-6 hash — stay identical)
+_SEMDEDUP_COS = "list_dot_product({a}, {b})"
+
+_SEMDEDUP_UNIT = (
+    "CASE WHEN sqrt(list_dot_product({v}, {v})) > 0"
+    " THEN list_transform({v}, x -> x / sqrt(list_dot_product({v}, {v})))"
+    " ELSE list_transform({v}, x -> 0.0) END"
 )
 
 
 _SEMDEDUP_ORACLE = f"""
     WITH cents AS (
-      SELECT CAST(vec_id AS INT) AS cell,
-             list_transform(embedding, x -> x::DOUBLE) AS cvec
-      FROM embeddings WHERE vec_id < {_SEMDEDUP_CELLS}
+      SELECT cell, {_SEMDEDUP_UNIT.format(v='cvecd')} AS cvec FROM (
+        SELECT CAST(vec_id AS INT) AS cell,
+               list_transform(embedding, x -> x::DOUBLE) AS cvecd
+        FROM embeddings WHERE vec_id < {_SEMDEDUP_CELLS}
+      )
     ),
     ev AS (
-      SELECT vec_id AS nid,
-             list_transform(embedding, x -> x::DOUBLE) AS ev
-      FROM embeddings
+      SELECT nid, {_SEMDEDUP_UNIT.format(v='evd')} AS ev FROM (
+        SELECT vec_id AS nid,
+               list_transform(embedding, x -> x::DOUBLE) AS evd
+        FROM embeddings
+      )
     ),
     asgn AS (
       SELECT nid, cell, ROUND(s, 6) AS c_sim FROM (
