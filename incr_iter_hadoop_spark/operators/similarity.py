@@ -144,37 +144,55 @@ def ann_ivf_topk(
 
     Centroids are the first ``n_cells`` vectors by id (deterministic, same
     convention as the k-means init — IterKmeans.java:492-538)."""
+    # Both quantizer passes are maps over ONE broadcast row carrying the
+    # centroid table as array<struct> — r13 reformulation, measured on the
+    # SemDeDup twin of this pass (bench/stress.py 2h ladder): the earlier
+    # crossJoin x n_cells + groupBy(nid, nvec) argmax spent its time
+    # hash-aggregating N*K array-keyed rows. Semantics unchanged
+    # (max/sort on struct(s, -cell) == highest similarity, ties to the
+    # smaller cell), so the oracle text is untouched.
     cents = (
         vectors.orderBy(id_col)
         .limit(n_cells)
         .select(
-            F.col(id_col).cast("int").alias("cell"), F.col(vec_col).alias("cvec")
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).cast("int").alias("cell"),
+                    F.col(vec_col).alias("cvec"),
+                )
+            ).alias("cents")
         )
     )
     v = vectors.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"))
-    # assignment pass: nearest centroid per vector (broadcast dim table)
+    cell_sims = lambda vec: F.transform(  # noqa: E731 — local shape helper
+        F.col("cents"),
+        lambda c: F.struct(
+            (-cosine(vec, c["cvec"])).alias("ns"), c["cell"].alias("cell")
+        ),
+    )
+    # assignment pass: nearest centroid per vector (argmax = array_min on
+    # struct(-s, cell): highest similarity first, ties to the smaller cell)
     v_cells = (
         v.crossJoin(F.broadcast(cents))
         .select(
-            "nid", "nvec", "cell", cosine(F.col("nvec"), F.col("cvec")).alias("s")
+            "nid",
+            "nvec",
+            F.array_min(cell_sims(F.col("nvec")))["cell"].alias("cell"),
         )
-        .groupBy("nid", "nvec")
-        .agg(F.max(F.struct(F.col("s"), (-F.col("cell")).alias("nc"))).alias("b"))
-        .select("nid", "nvec", (-F.col("b.nc")).cast("int").alias("cell"))
     )
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-    # probe list: n_probe nearest cells per query
+    # probe list: n_probe nearest cells per query (sorted prefix of the
+    # same struct ordering)
     q_cells = (
         q.crossJoin(F.broadcast(cents))
-        .select("qid", "qvec", "cell", cosine(F.col("qvec"), F.col("cvec")).alias("s"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy(F.desc("s"), F.asc("cell"))
-            ),
+        .select(
+            "qid",
+            "qvec",
+            F.explode(
+                F.slice(F.array_sort(cell_sims(F.col("qvec"))), 1, n_probe)
+            ).alias("pc"),
         )
-        .where(F.col("rk") <= n_probe)
-        .select("qid", "qvec", "cell")
+        .select("qid", "qvec", F.col("pc.cell").alias("cell"))
     )
     sims = (
         v_cells.join(q_cells, "cell")
