@@ -839,8 +839,10 @@ _SEMDEDUP_UNIT = (
 )
 
 
-_SEMDEDUP_ORACLE = f"""
-    WITH cents AS (
+# the quantizer CTEs (cents/ev/asgn) are shared verbatim by every oracle
+# that consumes cell assignments (semantic dedup, cluster-balanced sampling)
+_SEMDEDUP_ASGN_CTES = f"""
+    cents AS (
       SELECT cell, {_SEMDEDUP_UNIT.format(v='cvecd')} AS cvec FROM (
         SELECT CAST(vec_id AS INT) AS cell,
                list_transform(embedding, x -> x::DOUBLE) AS cvecd
@@ -863,7 +865,11 @@ _SEMDEDUP_ORACLE = f"""
                  c.cell) AS rn
         FROM ev e CROSS JOIN cents c
       ) WHERE rn = 1
-    ),
+    )"""
+
+
+_SEMDEDUP_ORACLE = f"""
+    WITH {_SEMDEDUP_ASGN_CTES},
     dup AS (
       SELECT DISTINCT
              CASE WHEN (a.c_sim, a.nid) < (b.c_sim, b.nid)
@@ -938,3 +944,94 @@ def incr_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _semantic_apply(asgn, dropped, "vec_id")
 
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced (diversity-preserving) sampling over the semantic cells
+# ---------------------------------------------------------------------------
+
+
+def cluster_balanced_sample(
+    vectors: DataFrame,
+    n_cells: int = _SEMDEDUP_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "cbal",
+) -> DataFrame:
+    """Exactly floor(sqrt(|cell|)) vectors per semantic cell, in
+    deterministic md5 order — sqrt-temperature allocation, so dominant
+    clusters are downsampled hard and small clusters keep representation
+    (the cluster-balanced selection rule of DoReMi-style mixture work,
+    run over the SAME fixed coarse quantizer the SemDeDup/IVF family
+    uses). Scale shape: quantizer is a broadcast-centroid map, per-cell
+    quotas are ONE tiny aggregate broadcast back, and the within-cell
+    rank is the two-level stratified_rank — no whole-cell window task,
+    no product."""
+    from .sampling import stratified_rank
+
+    # persist: the quantizer pass feeds the quota aggregate, the ranked
+    # side, AND stratified_rank's per-bucket counts — without it the
+    # scan + broadcast-centroid map is planned three times (the same
+    # measured fix as semantic_dedup's assignment reuse)
+    asgn = (
+        _semantic_assign(vectors, n_cells, id_col, vec_col)
+        .select("nid", "cell")
+        .persist()
+    )
+    quotas = (
+        asgn.groupBy("cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cell_n"))
+        .withColumn(
+            "quota", F.floor(F.sqrt(F.col("cell_n"))).cast("bigint")
+        )
+    )
+    ranked = stratified_rank(asgn, "cell", "nid", seed)
+    return (
+        ranked.join(F.broadcast(quotas), "cell")
+        .where(F.col("rk") <= F.col("quota"))
+        .select(
+            F.col("nid").alias(id_col),
+            "cell",
+            F.col("rk").cast("bigint").alias("rk"),
+            "cell_n",
+            "quota",
+        )
+    )
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=f"""
+    WITH {_SEMDEDUP_ASGN_CTES},
+    cq AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cell_n,
+             CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS quota
+      FROM asgn GROUP BY cell
+    ),
+    r AS (
+      SELECT nid, cell,
+             ROW_NUMBER() OVER (PARTITION BY cell
+               ORDER BY md5('cbal|' || CAST(nid AS VARCHAR))) AS rk
+      FROM asgn
+    )
+    SELECT r.nid AS vec_id, r.cell, CAST(r.rk AS BIGINT) AS rk,
+           cq.cell_n, cq.quota
+    FROM r JOIN cq USING (cell) WHERE r.rk <= cq.quota
+    """,
+    doc="cluster-balanced coreset sampling (round 13): exactly "
+    "floor(sqrt(|cell|)) vectors per coarse-quantizer cell in "
+    "deterministic md5 order — the sqrt-temperature allocation that "
+    "keeps dominant semantic clusters from swamping a curated subset "
+    "while small clusters keep representation. Composes the FIXED "
+    "SemDeDup/IVF quantizer (broadcast-centroid map, zero shuffle) with "
+    "the two-level stratified rank (per-(cell, md5-bucket) row_number + "
+    "broadcast offsets — no whole-cell window at 100 TB); quotas are "
+    "floor(sqrt(BIGINT)) — IEEE-correctly-rounded in both engines, so "
+    "the whole allocation is integer-exact. Oracle = quantizer CTEs "
+    "shared verbatim with semantic_dedup_prune + single-window "
+    "ROW_NUMBER recompute: every selected row and its rank is "
+    "hash-checked.",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(emb)

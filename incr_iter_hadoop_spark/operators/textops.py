@@ -1411,3 +1411,122 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed linear quality classifier (round 13)
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 512  # hashed feature space (fastText -bucket, scaled to SF)
+_CLF_SEED_W = "ftw"  # weight-table derivation seed
+_CLF_SEED_F = "ftf"  # feature-hash seed
+
+
+def classifier_weights(
+    spark: SparkSession, n_buckets: int = CLF_BUCKETS, seed: str = _CLF_SEED_W
+) -> DataFrame:
+    """(bucket, w) — the model's weight vector as a relation.
+
+    Production shape: a TRAINED weight vector is loaded from wherever the
+    trainer wrote it and enters the plan as a broadcast (n_buckets rows —
+    2M in fastText's default, still broadcast-sized). For the registered
+    demo query the weights are md5-derived integers in [-100, 100] so the
+    oracle can rebuild the identical table with zero side-channel config."""
+    h = F.substring(
+        F.md5(F.concat(F.lit(seed + "|"), F.col("id").cast("string"))), 1, 4
+    )
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (F.conv(h, 16, 10).cast("bigint") % 201 - 100).alias("w"),
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = CLF_BUCKETS,
+    threshold: int = 0,
+) -> DataFrame:
+    """Hashed bag-of-ngrams linear classifier (fastText, Joulin et al.
+    2016) — the quality-classifier curation gate of the GPT-3/Llama
+    pipelines, kept BIGINT-exact so it is oracle-checkable.
+
+    Features = unigrams + space-joined bigrams (the canonical ws_tokens /
+    token_ngrams pair), hashed into ``n_buckets`` via the md5-prefix
+    convention; score = SUM of the bucket weights (integer margin — a
+    trained float model would round-fix its weights the same way);
+    keep = margin >= threshold.
+
+    Scale shape: one map (tokenize + hash) → explode → BroadcastHashJoin
+    against the weight table → one hash-agg keyed by doc id. The model
+    never shuffles; the corpus shuffles once, keyed by id, already
+    combined map-side. No Python in the row path."""
+    toks = ws_tokens(F.col(text_col))
+    feats = F.concat(toks, token_ngrams(toks, 2))
+    fh = F.substring(
+        F.md5(F.concat(F.lit(_CLF_SEED_F + "|"), F.col("f"))), 1, 4
+    )
+    fb = docs.select(F.col(id_col), F.explode(feats).alias("f")).select(
+        id_col,
+        (F.conv(fh, 16, 10).cast("bigint") % n_buckets).alias("bucket"),
+    )
+    return (
+        fb.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.sum("w").cast("bigint").alias("margin"),
+        )
+        .withColumn("keep", F.col("margin") >= F.lit(threshold))
+    )
+
+
+@register(
+    "text_classifier_filter",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, unnest(list_concat(w,
+        list_transform(range(1, len(w)),
+          i -> array_to_string(w[i:i+1], ' ')))) AS f
+      FROM b
+    ),
+    wt AS (
+      SELECT CAST(range AS BIGINT) AS bucket,
+             ('0x' || substr(md5('{_CLF_SEED_W}|' || CAST(range AS VARCHAR)),
+              1, 4))::BIGINT % 201 - 100 AS w
+      FROM range({CLF_BUCKETS})
+    ),
+    fb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('{_CLF_SEED_F}|' || f), 1, 4))::BIGINT
+               % {CLF_BUCKETS} AS bucket
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(wt.w) AS BIGINT) AS margin,
+           (SUM(wt.w) >= 0) AS keep
+    FROM fb JOIN wt USING (bucket) GROUP BY doc_id
+    """,
+    doc="hashed linear quality classifier (round 13): the fastText "
+    "hashing-trick architecture (unigram + bigram features hashed into "
+    f"{CLF_BUCKETS} buckets, linear weight per bucket, sign-of-margin "
+    "label) that the GPT-3/Llama curation pipelines run as their "
+    "model-based quality gate. Weights enter as a BROADCAST relation "
+    "(the production path for a trained vector — never shuffled); the "
+    "demo weights are md5-derived integers so margin arithmetic is pure "
+    "BIGINT and every doc's (n_feats, margin, keep) is hash-checked "
+    "exactly. Plan: map-side tokenize/hash, explode, BroadcastHashJoin, "
+    "one doc-keyed hash-agg with map-side partials — the corpus crosses "
+    "the wire once at 100 TB.",
+)
+def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return classifier_score(d, classifier_weights(spark))

@@ -263,6 +263,11 @@ WINDOW_PRIORITY: list[str] = [
     # refactored this round onto the shared stratified_rank helper (same
     # plan, new code path) — re-witness
     "sample_exact_quota",
+    # r13-new (second wave): the fastText-style hashed linear quality
+    # classifier and the sqrt-temperature cluster-balanced sampler over
+    # the SemDeDup/IVF quantizer cells
+    "text_classifier_filter",
+    "sample_cluster_balanced",
 ]
 
 
@@ -319,8 +324,10 @@ FIRST_WINDOW: list[str] = [
     # sample_exact_quota, refactored this round onto the shared
     # stratified_rank helper (same plan, new code path). Fill = pure
     # staleness: the COMPLETE 17-query r8 straggler cohort, then the
-    # r9 cohort alphabetically (26 of 49). After a green round 13
-    # nothing in the ledger is older than r9 (23 r9 stragglers remain
+    # r9 cohort alphabetically (24 of 49; the second-wave additions
+    # text_classifier_filter + sample_cluster_balanced take two more
+    # priority slots). After a green round 13
+    # nothing in the ledger is older than r9 (25 r9 stragglers remain
     # for the r14 fill).
     "lpa_converged",
     "sample_quality_buckets_by_lang",
@@ -329,6 +336,8 @@ FIRST_WINDOW: list[str] = [
     "incr_semantic_dedup",
     "pipeline_curated_split",
     "sample_exact_quota",
+    "text_classifier_filter",
+    "sample_cluster_balanced",
     "scalar_battery",
     "scan_pruned_filter",
     "scan_text_kv_roundtrip",
@@ -370,8 +379,6 @@ FIRST_WINDOW: list[str] = [
     "pack_sequences",
     "pagerank_converged",
     "pipeline_build_training_set",
-    "q10_returned_items",
-    "q11_important_parts",
 ]
 
 

@@ -61,7 +61,10 @@ DOC_QUERIES = [
     "sample_mixture_epochs",
     "sample_mixture_temperature",
     "sample_quality_buckets",
+    "sample_quality_buckets_by_lang",
     "sample_exact_quota",
+    "sample_exact_split_3way",
+    "text_classifier_filter",
     "pipeline_clean_corpus",
     "pipeline_build_training_set",
     "decontaminate_overlap",
@@ -112,6 +115,9 @@ EMB_QUERIES = [
     "kmeans_bounded2",
     "incr_kmeans_delta2",
     "kmeans_converged",
+    "semantic_dedup_prune",
+    "incr_semantic_dedup",
+    "sample_cluster_balanced",
 ]
 
 
