@@ -24,6 +24,7 @@ from __future__ import annotations
 import itertools
 import os
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -75,14 +76,59 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# candidate count above which verification switches to the spread shape —
+# below it the single-task plan finishes in well under the extra stages'
+# fixed cost (measured at sf0.1: 406k candidates = 14.1s single-task vs
+# 2.2s spread; 300 candidates = 0.3s single-task vs ~1s of spread overhead)
+_VERIFY_SPREAD_MIN_CANDS = 20_000
+
+
 def _verify_pairs(
-    cands: DataFrame, sets: DataFrame, threshold: float
+    cands: DataFrame,
+    sets: DataFrame,
+    threshold: float,
+    n_cands: int | None = None,
 ) -> DataFrame:
     """Join candidate (i, j) pairs back to shingle sets and keep pairs with
-    exact Jaccard ≥ threshold. Output (i, j, jac)."""
+    exact Jaccard ≥ threshold. Output (i, j, jac).
+
+    Shape (r13, guide §2.5/§3.1): the Jaccard compute is the expensive part
+    — O(|candidates| · shingles-per-doc) set intersections — so for large
+    candidate streams it must run at candidate parallelism. Left to itself
+    the planner broadcasts the CANDIDATE side (its size estimate is the
+    smallest) and streams the tiny doc-set relation, which serializes every
+    intersection onto the set side's (often single, AQE-coalesced)
+    partitions — measured 14.1s single-task vs 2.2s parallel for the
+    SimHash family at sf0.1. Callers that already materialize a candidate
+    count pass it as ``n_cands``; above ``_VERIFY_SPREAD_MIN_CANDS`` the
+    candidates are hash-repartitioned on (i, j) to the session's shuffle
+    parallelism and the set sides become the BUILD sides of two broadcast
+    joins, semi-join-reduced to candidate-TOUCHED docs first — which is
+    what keeps the broadcast bounded at scale: candidates are df-capped /
+    banded (≪ corpus), so the touched slice grows with candidate count,
+    not corpus size. Below the cutoff (or with no count available) the
+    plan stays the lean three-join shape whose fixed cost is lower."""
     a = sets.select(F.col("id").alias("i"), F.col("shingles").alias("sa"))
     b = sets.select(F.col("id").alias("j"), F.col("shingles").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    if n_cands is not None and n_cands >= _VERIFY_SPREAD_MIN_CANDS:
+        spark = cands.sparkSession
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spread = cands.repartition(n, "i", "j")
+        ids = (
+            spread.select(F.col("i").alias("id"))
+            .union(spread.select(F.col("j").alias("id")))
+            .distinct()
+        )
+        touched = sets.join(ids, "id", "left_semi")
+        a = touched.select(
+            F.col("id").alias("i"), F.col("shingles").alias("sa")
+        )
+        b = touched.select(
+            F.col("id").alias("j"), F.col("shingles").alias("sb")
+        )
+        cands = spread
+        a, b = F.broadcast(a), F.broadcast(b)
     return (
         cands.join(a, "i")
         .join(b, "j")
@@ -261,8 +307,8 @@ def minhash_lsh_pairs(
     # eager materialization: the verify join then plans against the cached
     # candidate/shingle leaves instead of re-optimizing the full signature
     # tree (measured 67s → 18s at sf0.1 for the SimHash variant)
-    cands.count()
-    return _verify_pairs(cands, sets, threshold)
+    n_cands = cands.count()
+    return _verify_pairs(cands, sets, threshold, n_cands=n_cands)
 
 
 def minhash_lsh_pairs_incr(
@@ -299,8 +345,38 @@ def minhash_lsh_pairs_incr(
         .distinct()
         .persist()
     )
-    cands.count()  # eager: see minhash_lsh_pairs
-    return _verify_pairs(cands, sets, threshold)
+    n_cands = cands.count()  # eager: see minhash_lsh_pairs
+    return _verify_pairs(cands, sets, threshold, n_cands=n_cands)
+
+
+def _simhash_blocks_udf(n_blocks: int):
+    """Arrow-vectorized SimHash: hs (array<long> of 64-bit shingle hashes)
+    -> ``n_blocks`` block values. Bit j's vote is Σ ±1 over hashes (+1 when
+    bit set); bit value = vote ≥ 0; block b packs its bits little-endian.
+    Pure int64 arithmetic (no floats), so results are exactly the values
+    the former Catalyst lambda expression produced."""
+    import numpy as np
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    bits_per_block = 64 // n_blocks
+    shifts = np.arange(64, dtype=np.uint64)[:, None]
+    packs = np.arange(bits_per_block, dtype=np.int64)[None, :]
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def simhash_blocks(hs_col: pd.Series) -> pd.Series:
+        out = []
+        for hs_list in hs_col:
+            h = np.asarray(hs_list, dtype=np.int64).view(np.uint64)
+            bits = (h[None, :] >> shifts) & np.uint64(1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=1)
+            blocks = (
+                (votes >= 0).astype(np.int64).reshape(n_blocks, bits_per_block)
+                << packs
+            ).sum(axis=1)
+            out.append(blocks.astype(np.int32))
+        return pd.Series(out)
+
+    return simhash_blocks
 
 
 def simhash_pairs(
@@ -319,30 +395,17 @@ def simhash_pairs(
         "id", F.xxhash64("sh").alias("h")
     )
     # per-bit signed vote: +1 if bit set else -1; sign of the sum is the
-    # bit. One collect_list + higher-order transforms instead of 64 sum-agg
-    # columns — identical work, 2-expression plan (see minhash_signatures).
+    # bit. The votes were a 64-lambda interpreted higher-order expression
+    # (Catalyst never codegens lambda bodies — 64·|shingles| interpreted
+    # steps per doc, measured 5.4s at sf0.1); r13 moves them into ONE
+    # Arrow-vectorized pandas UDF doing the same integer arithmetic as a
+    # numpy bit-matrix (guide §4.2) — measured 2.0s-to-sub-second for the
+    # same stage, bit-exact (pinned by test_simhash_blocks_match_expr).
     hs = exploded.groupBy("id").agg(F.collect_list("h").alias("hs"))
-    # SQL lambdas: the Python shiftrightunsigned API only takes a literal
-    # shift amount, but the SQL function accepts the lambda variable
-    votes_arr = F.expr(
-        """
-        transform(sequence(0, 63), j -> aggregate(hs, 0, (acc, h) ->
-          acc + CASE WHEN (shiftrightunsigned(h, j) & 1) = 1
-                     THEN 1 ELSE -1 END))
-        """
-    )
-    block_arr = F.expr(
-        f"""
-        transform(sequence(0, {n_blocks - 1}), b ->
-          aggregate(sequence(0, {bits_per_block - 1}), 0, (acc, k) ->
-            acc + CASE WHEN element_at(votes, b * {bits_per_block} + k + 1)
-                            >= 0
-                       THEN cast(shiftleft(1, k) as int) ELSE 0 END))
-        """
-    )
     blocks = (
-        hs.select("id", votes_arr.alias("votes"))
-        .select("id", block_arr.alias("blks"))
+        hs.select(
+            "id", _simhash_blocks_udf(n_blocks)("hs").alias("blks")
+        )
         .select(
             "id",
             *[
@@ -371,8 +434,8 @@ def simhash_pairs(
         .distinct()
         .persist()
     )
-    cands.count()  # eager: see minhash_lsh_pairs
-    return _verify_pairs(cands, sets, threshold)
+    n_cands = cands.count()  # eager: see minhash_lsh_pairs
+    return _verify_pairs(cands, sets, threshold, n_cands=n_cands)
 
 
 # ---------------------------------------------------------------------------

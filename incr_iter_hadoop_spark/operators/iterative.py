@@ -2316,9 +2316,19 @@ def label_propagation(
     shuffle + the state left-join — argmax via max(struct(cnt, -label)),
     never a per-node window sort."""
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r13 (guide §2.4): pin the loop-invariant symmetrized edge list to a
+    # src-hash partitioning ONCE — without it every round's sym⋈state join
+    # re-exchanged all |2E| edge rows (measured: the edge re-shuffle was
+    # most of lpa_converged's 144 MB of shuffle writes at sf0.1); with it
+    # only the small per-round state/label relations move.
+    n = negotiate_partitions(edges)
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n, "src")
+    )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     state0 = nodes.select("node", F.col("node").alias("label"))
@@ -2419,9 +2429,17 @@ def label_propagation_converged(
     NULL p2 in round 1 counts as changed, disabling the period-2 test
     until two states exist."""
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # r13: loop-invariant edges pinned to one src-hash partitioning, as in
+    # label_propagation above (guide §2.4 — the per-round edge re-shuffle
+    # dominated this query's shuffle bytes)
+    n = negotiate_partitions(edges)
+    sym = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition(n, "src")
+    )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = sym.select(F.col("src").alias("node")).distinct()
     state0 = nodes.select(

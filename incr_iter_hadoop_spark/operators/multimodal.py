@@ -93,6 +93,19 @@ def _meta_dims(doc_id: int) -> tuple[int, int]:
     return 4 + doc_id % _META_WMOD, 4 + (doc_id * 3) % _META_HMOD
 
 
+
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Hash-spread a tiny id relation across the session's shuffle
+    parallelism before the Arrow codec stages (r13, guide §2.6/§4): the sf
+    corpora arrive as ONE parquet scan partition, which would run every
+    per-row encode/decode on a single task — a 32x parallelism loss that
+    dwarfs the cost of shuffling a few thousand longs. Downstream
+    mapInPandas stages are narrow, so the whole synthesize->decode chain
+    inherits the spread. Hash on doc_id keeps placement deterministic
+    (guide §2.5's rand-repartition warning)."""
+    n = int(ids.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return ids.repartition(n, "doc_id")
+
 def _attach_png_dims(df: DataFrame, id_col: str, dims_fn) -> DataFrame:
     """Shared synthesize-PNG-per-row stage: ``dims_fn(doc_id) -> (w, h)``
     picks each image's dimensions; pixels are the pure ``_pixel`` formula
@@ -102,7 +115,7 @@ def _attach_png_dims(df: DataFrame, id_col: str, dims_fn) -> DataFrame:
     path can never diverge between them."""
     from ..functions.png import encode_png_rgb
 
-    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = _spread_ids(df.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -392,8 +405,10 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
     from ..functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
 
-    ids = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ids = _spread_ids(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -634,8 +649,10 @@ AUDIO_SCHEMA = StructType(
 def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.wav import decode_wav_pcm16, encode_wav_pcm16
 
-    ids = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ids = _spread_ids(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -705,7 +722,7 @@ def attach_jpeg(df: DataFrame, id_col: str) -> DataFrame:
 
     from ..functions.jpeg import encode_jpeg_gray
 
-    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = _spread_ids(df.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -845,8 +862,10 @@ def _adpcm_block_value(doc_id: int, b: int) -> int:
 def multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.adpcm import decode_wav_adpcm, encode_wav_adpcm
 
-    ids = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ids = _spread_ids(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -929,8 +948,10 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
     from ..functions.jpeg import decode_jpeg_gray, encode_jpeg_gray
 
-    ids = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ids = _spread_ids(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1175,8 +1196,10 @@ GIF_DECODE_SCHEMA = StructType(
 def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.gif import decode_gif, encode_gif
 
-    ids = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("long").alias("doc_id")
+    ids = _spread_ids(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        )
     )
     palette = [((i * 3) % 256, (i * 7) % 256, (i * 11) % 256) for i in range(256)]
 
@@ -1264,19 +1287,17 @@ def _ahash_from_pixels(px) -> tuple[int, int, int]:
     so cross-engine bit arithmetic never touches the sign bit. The ONE
     copy of this formula — ahash_media and decode_stats_and_ahash both
     feed the shared _PHASH_ORACLE_PREFIX, so they must hash identically."""
+    import numpy as np
+
     h, w = px.shape
     boxes = px.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
     total = int(px.sum())
-    bits = boxes * 64 > total  # (oy, ox), integer-exact
-    lo = hi = 0
-    for oy in range(8):
-        for ox in range(8):
-            if bits[oy, ox]:
-                i = oy * 8 + ox
-                if i < 32:
-                    lo |= 1 << i
-                else:
-                    hi |= 1 << (i - 32)
+    bits = (boxes * 64 > total).reshape(64)  # bit i = oy*8+ox, integer-exact
+    # identical packing to the former per-bit loop, vectorized (r13):
+    # lo = bits 0..31 little-endian, hi = bits 32..63
+    weights = np.int64(1) << np.arange(32, dtype=np.int64)
+    lo = int((bits[:32] * weights).sum())
+    hi = int((bits[32:] * weights).sum())
     return total, hi, lo
 
 
@@ -1321,7 +1342,7 @@ def attach_jpeg_phash(df: DataFrame, id_col: str) -> DataFrame:
 
     from ..functions.jpeg import encode_jpeg_gray
 
-    ids = df.select(F.col(id_col).cast("long").alias("doc_id"))
+    ids = _spread_ids(df.select(F.col(id_col).cast("long").alias("doc_id")))
 
     def tile(base: int, bx: int, by: int) -> int:
         return int(
