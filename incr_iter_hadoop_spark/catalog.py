@@ -65,3 +65,23 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread_scan(df: DataFrame, key: str) -> DataFrame:
+    """Conditional input-spread (r13; guide §2.5 "input skew" remedy —
+    "one huge unsplittable file ... repartition immediately after the
+    read"). The sf corpora land as ONE parquet row-group, so every
+    map-heavy stage over a raw scan (tokenize/shingle/codec/regex) runs
+    single-task no matter how many cores the session has — measured as
+    the dominant cost of the text and multimodal families at sf0.1.
+    When the plan arrives with fewer partitions than the session's
+    shuffle parallelism, hash-repartition on ``key`` once right after
+    the read (deterministic placement — guide §2.5's rand-repartition
+    warning); at cluster scale the scan already carries >= parallelism
+    splits and this returns the input unchanged, so the exchange never
+    exists in a 100 TB plan."""
+    spark = df.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, key)

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import token_ngrams, ws_tokens
 from ..registry import register
 
@@ -54,6 +54,7 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_N) 
     docs with fewer than n tokens are dropped (both sides of the oracle).
     Built on the ONE guarded n-gram builder (functions/text.token_ngrams,
     r9 consolidation)."""
+    df = spread_scan(df, id_col)  # r13: single-row-group scans tokenize 32-way
     return (
         df.select(F.col(id_col).alias("id"), _tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") >= n)
@@ -103,31 +104,20 @@ def _verify_pairs(
     count pass it as ``n_cands``; above ``_VERIFY_SPREAD_MIN_CANDS`` the
     candidates are hash-repartitioned on (i, j) to the session's shuffle
     parallelism and the set sides become the BUILD sides of two broadcast
-    joins, semi-join-reduced to candidate-TOUCHED docs first — which is
-    what keeps the broadcast bounded at scale: candidates are df-capped /
-    banded (≪ corpus), so the touched slice grows with candidate count,
-    not corpus size. Below the cutoff (or with no count available) the
-    plan stays the lean three-join shape whose fixed cost is lower."""
+    joins, so the Jaccard compute streams over the candidate partitioning.
+    (A semi-join reduction of the broadcast side to candidate-touched docs
+    was measured and REJECTED here: each broadcast build re-derives the id
+    set, costing more than it saves at every tested scale — at broadcast-cap
+    corpus sizes the caller should pre-reduce ``sets`` instead.) Below the
+    cutoff (or with no count available) the plan stays the lean three-join
+    shape whose fixed cost is lower."""
     a = sets.select(F.col("id").alias("i"), F.col("shingles").alias("sa"))
     b = sets.select(F.col("id").alias("j"), F.col("shingles").alias("sb"))
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     if n_cands is not None and n_cands >= _VERIFY_SPREAD_MIN_CANDS:
         spark = cands.sparkSession
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        spread = cands.repartition(n, "i", "j")
-        ids = (
-            spread.select(F.col("i").alias("id"))
-            .union(spread.select(F.col("j").alias("id")))
-            .distinct()
-        )
-        touched = sets.join(ids, "id", "left_semi")
-        a = touched.select(
-            F.col("id").alias("i"), F.col("shingles").alias("sa")
-        )
-        b = touched.select(
-            F.col("id").alias("j"), F.col("shingles").alias("sb")
-        )
-        cands = spread
+        cands = cands.repartition(n, "i", "j")
         a, b = F.broadcast(a), F.broadcast(b)
     return (
         cands.join(a, "i")
@@ -602,7 +592,9 @@ _NEW_DOC_MOD = 10  # delta = every 10th doc (held out of the base corpus)
 
 
 def _doc_split(spark: SparkSession, sf_dir: str):
-    d = load_table(spark, sf_dir, "documents")
+    # r13: spread the one-row-group scan so the gram/fingerprint map work
+    # downstream runs at session parallelism (catalog.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     base = d.where(F.col("doc_id") % _NEW_DOC_MOD != 0)
     new = d.where(F.col("doc_id") % _NEW_DOC_MOD == 0)
     return d, base, new
@@ -2208,7 +2200,7 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes Java's \\s exactly Unicode White_Space, the set the oracle's
     RE2 class reproduces char-for-char (equivalence pinned in
     tests/test_paragraph_properties.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     w = ws_tokens(F.regexp_replace(F.col("text"), r"(?U)\s", " "))
     return (
         d.select("doc_id", w.alias("w"))

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import EN_STOPWORDS, token_ngrams, ws_tokens
 from ..registry import register
 
@@ -81,7 +81,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "length, composite score.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     w = _toks(F.col("text"))
     tok_cnt = F.size(w)
     stops = F.size(F.filter(w, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
@@ -294,7 +294,7 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tokens); switch to the explode form for pathological single-doc sizes.",
 )
 def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     t = (
         d.select("doc_id", _toks(F.col("text")).alias("toks"))
         .withColumn("n", F.size("toks"))
@@ -1114,7 +1114,7 @@ def gopher_dup_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     "independent formulation of the same statistic.",
 )
 def text_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     w = _toks(F.col("text"))
     base = d.select("doc_id", w.alias("w")).where(F.size("w") > 0)
 
@@ -1250,7 +1250,7 @@ def text_dup_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines.",
 )
 def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     base = (
         d.select("doc_id", _toks(F.col("text")).alias("w"))
         .where(F.size("w") > 0)
@@ -1385,7 +1385,7 @@ def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sides.",
 )
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     w = _toks(F.col("text"))
     base = d.select("doc_id", w.alias("w")).where(F.size("w") > 0)
 
@@ -1528,5 +1528,5 @@ def classifier_score(
     "the wire once at 100 TB.",
 )
 def text_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return classifier_score(d, classifier_weights(spark))
