@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.vector import cosine
 from ..plans.loopdriver import (
     IterationResult,
@@ -95,11 +95,16 @@ def pagerank(
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r13: node set in ONE exchange — explode both endpoints, repartition
+    # by node, dedup WITHIN the node-hash partitions (hash(node) already
+    # co-locates equal nodes, so the dropDuplicates adds no second
+    # exchange). The former union+distinct+repartition paid two.
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
+        edges.select(
+            F.explode(F.array(F.col("src"), F.col("dst"))).alias("node")
+        )
         .repartition(n, "node")
+        .dropDuplicates(["node"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     converged_mode = threshold is not None
@@ -989,7 +994,7 @@ _KM_CENTERS_SQL = """
     "centers = embeddings vec_id<10; cluster sizes + mean similarity.",
 )
 def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pts = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -1119,7 +1124,7 @@ _KMEANS2_SQL = """
     "output = final centers exploded to (cluster, pos, c).",
 )
 def kmeans_bounded2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pts = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -1221,7 +1226,7 @@ _INCR_KM_SQL = (
     "Output = final centers exploded to (cluster, pos, c).",
 )
 def incr_kmeans_delta2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pts_all = emb.select(
         F.col("vec_id").alias("id"),
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
@@ -1349,7 +1354,7 @@ GROUP BY a.cluster"""
     "is total even on a non-converging fixture.",
 )
 def kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     pts = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
@@ -1401,28 +1406,36 @@ def connected_components(
     # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
+    # r13: symmetrize in ONE exchange — repartition by src, dedup within
+    # the src-hash partitions (equal (src, dst) rows are co-located, so
+    # dropDuplicates adds no second exchange); the former
+    # union+distinct+repartition paid two |2E| shuffles. Same fusion for
+    # the node set below: one node-hash exchange, in-partition dedup.
     sym = (
         edges.select("src", "dst")
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
         .repartition(n, "src")
+        .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     endpoint_nodes = sym.select(F.col("src").alias("node"))
     all_nodes = (
-        endpoint_nodes.union(nodes.select("node")) if nodes is not None
-        else endpoint_nodes
-    ).distinct()
+        (
+            endpoint_nodes.union(nodes.select("node"))
+            if nodes is not None
+            else endpoint_nodes
+        )
+        .repartition(n, "node")
+        .dropDuplicates(["node"])
+    )
     if init_labels is not None:
         labeled = all_nodes.join(init_labels, "node", "left").select(
             "node", F.coalesce("comp", F.col("node")).alias("comp")
-        )
+        ).repartition(n, "node")
     else:
+        # all_nodes already carries hash(node, n) through the select
         labeled = all_nodes.select("node", F.col("node").alias("comp"))
-    state = (
-        labeled.repartition(n, "node")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    state = labeled.persist(StorageLevel.MEMORY_AND_DISK)
     state.count()
     backing = state  # the persisted DF whose blocks this round reads
     frontier = state  # round 1: every node announces its own label
@@ -2322,15 +2335,20 @@ def label_propagation(
     # most of lpa_converged's 144 MB of shuffle writes at sf0.1); with it
     # only the small per-round state/label relations move.
     n = negotiate_partitions(edges)
+    # r13: symmetrize in ONE exchange — repartition by src first, then
+    # dedup within the src-hash partitions (hash(src) co-locates equal
+    # (src, dst) rows, so dropDuplicates adds no second exchange); the
+    # former union+distinct+repartition paid two |2E| shuffles. The node
+    # set dedups within the same partitioning for free.
     sym = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition(n, "src")
+        .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = sym.dropDuplicates(["src"]).select(F.col("src").alias("node"))
     state0 = nodes.select("node", F.col("node").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
@@ -2433,15 +2451,20 @@ def label_propagation_converged(
     # label_propagation above (guide §2.4 — the per-round edge re-shuffle
     # dominated this query's shuffle bytes)
     n = negotiate_partitions(edges)
+    # r13: symmetrize in ONE exchange — repartition by src first, then
+    # dedup within the src-hash partitions (hash(src) co-locates equal
+    # (src, dst) rows, so dropDuplicates adds no second exchange); the
+    # former union+distinct+repartition paid two |2E| shuffles. The node
+    # set dedups within the same partitioning for free.
     sym = (
         edges.union(
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        .distinct()
         .repartition(n, "src")
+        .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    nodes = sym.select(F.col("src").alias("node")).distinct()
+    nodes = sym.dropDuplicates(["src"]).select(F.col("src").alias("node"))
     state0 = nodes.select(
         "node",
         F.col("node").alias("label"),

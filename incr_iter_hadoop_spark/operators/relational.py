@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.stable import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
@@ -580,7 +580,7 @@ def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import norm2
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     v = F.transform("embedding", lambda x: x.cast("double"))
     total = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
     return emb.select(

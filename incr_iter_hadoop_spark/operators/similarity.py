@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.vector import cosine, dot, norm2, unit
 from ..registry import register
 
@@ -242,7 +242,7 @@ _COSINE_PAIRS_SQL = """
     doc="exact cosine top-5 neighbors for queries vec_id<10.",
 )
 def ann_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return ann_bruteforce_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
@@ -300,7 +300,7 @@ def _lsh_buckets_cte() -> str:
     "brute-force baseline is separately asserted in tests).",
 )
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return ann_lsh_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
@@ -379,7 +379,7 @@ _IVF_PROBE = 4
     "and the result is hash-exact.",
 )
 def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return ann_ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
@@ -475,7 +475,7 @@ def embedding_top_pairs_lsh(
     "hyperplane bucketing, so the approximate result is still hash-exact.",
 )
 def embedding_top_pairs_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return embedding_top_pairs_lsh(emb)
 
 
@@ -505,7 +505,7 @@ def embedding_top_pairs_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame
     "cosine baseline; LSH variant bounds it at scale).",
 )
 def embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
     sims = (
@@ -543,7 +543,7 @@ _EMB_DIMS = 64
     "traffic at 100 TB. Output is (label, dim, value) long-form.",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     aggs = [
         F.avg(F.col("embedding").getItem(i)).alias(f"c{i}")
         for i in range(_EMB_DIMS)
@@ -632,7 +632,7 @@ _CLUSTER_BAND = 4    # planes per band; 2 bands OR-amplify recall
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .iterative import connected_components
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     planes = _hyperplanes(2 * _CLUSTER_BAND, _PAIR_DIM)
     v = emb.select(
         F.col("vec_id").alias("vid"),
@@ -902,7 +902,7 @@ _SEMDEDUP_ORACLE = f"""
     "rule, and drop set, so every row's kept flag is hash-checked.",
 )
 def semantic_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return semantic_dedup(emb)
 
 
@@ -929,7 +929,7 @@ _SEMDEDUP_NEW_MOD = 10  # delta = every 10th vector (held out of the base)
     "hash-checked row by row.",
 )
 def incr_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     asgn = _semantic_assign(
         emb, _SEMDEDUP_CELLS, "vec_id", "embedding"
     ).persist()
@@ -1033,5 +1033,5 @@ def cluster_balanced_sample(
     "hash-checked.",
 )
 def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread_scan(load_table(spark, sf_dir, "embeddings"), "vec_id")
     return cluster_balanced_sample(emb)
