@@ -167,10 +167,22 @@ def pagerank(
 
 
 def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic graph derived from the driver tables: part→supplier."""
+    """Deterministic graph derived from the driver tables: part→supplier.
+
+    r13 (guide §2.5 input skew): the sf lineitem lands as ONE row group, so
+    the distinct's partial aggregate ran single-task over every row no
+    matter the session cores. ``spread_scan`` on the projected edge rows
+    hash-spreads them by src first — and because hash(src) clusters every
+    (src, dst) group, the distinct then completes WITHIN partitions with no
+    second exchange (same subset-clustering rule the sym build relies on).
+    At cluster scale the scan is already split, the spread is a no-op, and
+    the distinct keeps its normal partial → exchange → final shape."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+    return spread_scan(
+        li.select(
+            F.col("l_partkey").alias("src"), F.col("l_suppkey").alias("dst")
+        ),
+        "src",
     ).distinct()
 
 
