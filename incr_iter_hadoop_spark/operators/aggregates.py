@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.stable import davg, davg_sql, dsum, dsum_sql
 from ..registry import register
 
@@ -37,7 +37,17 @@ from ..registry import register
     "UniqValueCount → builtin sum/max/min/countDistinct with partial agg.",
 )
 def agg_value_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # r13 (guide §2.5 input skew): one-row-group scan made the partial
+    # battery (incl. the countDistinct expand) single-task; spread the four
+    # needed columns after the scan (measured 0.79→0.51 s at sf0.1; no-op
+    # when the scan is already split). All aggregates here are
+    # order-independent (bigint/decimal sums, min/max, distinct count).
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_quantity", "l_extendedprice", "l_partkey"
+        ),
+        "l_partkey",
+    )
     return li.groupBy("l_returnflag").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("qty_sum"),
         dsum("l_extendedprice").alias("price_sum"),
