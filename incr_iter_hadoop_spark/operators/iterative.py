@@ -2364,10 +2364,23 @@ def label_propagation(
     state0 = nodes.select("node", F.col("node").alias("label"))
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        counts = (
+        # r13 §8 (guide §2.3/§2.4): ONE aggregation exchange per round.
+        # The natural groupBy(dst,label)→groupBy(dst) pair pays two
+        # exchanges (hash(dst,label) does not satisfy the dst argmax's
+        # clustering). Repartitioning the joined neighbor-labels on dst
+        # FIRST lets both aggregates complete within that one exchange —
+        # HashPartitioning(dst) satisfies ClusteredDistribution(dst,label)
+        # — and in round 1 the (dst,label) pairs are all-distinct anyway,
+        # so the map-side combine the explicit repartition forgoes had
+        # nothing to combine. Integer count/argmax is order-independent:
+        # results are bit-identical (oracle re-proved).
+        nbr = (
             sym.join(state, sym.src == state.node)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("dst", "label")
+            .repartition(n, "dst")
+        )
+        counts = nbr.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         winners = (
             counts.groupBy("dst")
@@ -2485,10 +2498,18 @@ def label_propagation_converged(
     )
 
     def step(state: DataFrame, i: int) -> DataFrame:
-        counts = (
+        # r13 §8: one aggregation exchange per round — see the bounded
+        # twin above for the full rationale (repartition on dst, then both
+        # the (dst,label) count and the dst argmax complete within that
+        # single exchange); projecting to (dst,label) first keeps the
+        # carried p1/p2 history columns out of the exchange (guide §2.2).
+        nbr = (
             sym.join(state, sym.src == state.node)
-            .groupBy("dst", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("dst", "label")
+            .repartition(n, "dst")
+        )
+        counts = nbr.groupBy("dst", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
         winners = (
             counts.groupBy("dst")
