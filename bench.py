@@ -59,12 +59,18 @@ HEADLINE = [
 # historically swing the most under ambient sandbox contention (multi-job
 # iterative loops — most exposed to scheduling jitter). They run
 # NOISY_REPS samples per draw; EXPECTED_BAND is each one's min-max across
-# ALL 59 recorded sf0.1 draws (bench/results/2026-08-14..17.json, rounded
-# outward) — the initial last-20 bands proved too tight the very day they
-# shipped (identical-code draws of nmf 4.93 / cc 5.84 fell outside), and
-# the controlled A/Bs read ~flat across the whole span, so the full-history
-# envelope is the honest ambient ceiling. Emitted in the compact line so
-# the driver separates regressions from weather.
+# ALL 60 recorded sf0.1 draws (bench/results/2026-08-14..17.json at commit
+# a83ea94 — the band commit's comment said 59; ADVICE r13 recounted 60,
+# and the shipped bands do bound the 60-draw min/max, so only the count
+# was wrong) — the initial last-20 bands proved too tight the very day
+# they shipped (identical-code draws of nmf 4.93 / cc 5.84 fell outside),
+# and the controlled A/Bs read ~flat across the whole span, so the
+# full-history envelope is the honest ambient ceiling. Emitted in the
+# compact line so the driver separates regressions from weather.
+# The bands are ADVISORY metadata, not a pass/fail gate: they only filter
+# out-of-band alarms. In-band drift on these four queries must still be
+# adjudicated by the interleaved --ab protocol (or, from r14 on, by the
+# deterministic per-query queries_struct shuffle/stage metrics).
 NOISY_HEADLINE = [
     "pagerank_converged",
     "incr_pagerank_delta5",
@@ -152,6 +158,17 @@ def main() -> None:
         spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     runs: dict[str, list[float]] = {}
+    # r14 (VERDICT r13 ask #1): deterministic structural metrics per
+    # headline query — shuffle-write MB + stage count, stage-id-keyed from
+    # the app status store (same protocol as the dedup family's shuffle
+    # lines, r11/r12). Wall-clock on this sandbox swings ±40% on identical
+    # code (recorded identical-code totals span 15.9-432.6 s), so the
+    # driver could not adjudicate r13's optimization claims; these numbers
+    # are byte-stable across reps on unchanged code and move ONLY when the
+    # plan moves. Captured on rep 0: the status-store read happens strictly
+    # OUTSIDE the per-query timing window (m0 before t0, the sum after t1),
+    # so the timed seconds are untouched.
+    struct: dict[str, list] = {}
 
     def _run_one(name: str, rep: int) -> None:
         spec = specs.get(name)
@@ -159,10 +176,18 @@ def main() -> None:
             if rep == 0:
                 print(f"bench: skipping unknown query {name}", file=sys.stderr)
             return
+        m0 = _max_stage_id(spark) if rep == 0 else None
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         runs.setdefault(name, []).append(round(time.perf_counter() - t0, 3))
+        if rep == 0:
+            new = {
+                sid: b
+                for sid, b in _stage_shuffle_writes(spark).items()
+                if sid > m0
+            }
+            struct[name] = [round(sum(new.values()) / 1e6, 3), len(new)]
 
     for rep in range(REPS):
         for name in HEADLINE:
@@ -621,6 +646,25 @@ def main() -> None:
             shuffle_write_bytes_after(spark, m0) / 1e6, 3
         )
 
+    # r14 (VERDICT r13 ask #3): lpa_converged's structural trend —
+    # shuffle-write MB + stage count for the whole converged run (the r13
+    # one-exchange-round claim read 128.27→109.63 MB / 55→48 stages on the
+    # builder's harness; this makes the same numbers driver-visible every
+    # round). Deterministic: byte-identical across reps on unchanged code.
+    m0 = _max_stage_id(spark)
+    specs["lpa_converged"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    _lpa_new = {
+        sid: b
+        for sid, b in _stage_shuffle_writes(spark).items()
+        if sid > m0
+    }
+    r6_extras["lpa_converged_shuffle_mb"] = round(
+        sum(_lpa_new.values()) / 1e6, 3
+    )
+    r6_extras["lpa_converged_stages"] = len(_lpa_new)
+
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -628,6 +672,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_struct": {q: struct[q] for q in HEADLINE if q in struct},
         "queries_spread": spreads,
         "queries_runs": runs,
         "reps": REPS,
@@ -715,6 +760,14 @@ def main() -> None:
         "reps": REPS,
         "noisy_reps": NOISY_REPS,
         "queries": timings,
+        # r14 (VERDICT r13 ask #1): per-headline-query [shuffle-write MB,
+        # stage count] — deterministic plan-shape evidence the driver can
+        # adjudicate optimization rounds on, since identical-code wall
+        # totals on this sandbox span 15.9-432.6 s. Byte-stable across
+        # reps on unchanged code; moves only when the plan moves.
+        "queries_struct": {q: struct[q] for q in HEADLINE if q in struct},
+        "lpa_converged_shuffle_mb": r6_extras["lpa_converged_shuffle_mb"],
+        "lpa_converged_stages": r6_extras["lpa_converged_stages"],
         "incr_disk_refresh_vs_full_recompute": disk_ratio,
         "incr_disk_ratio_meaningful": result["incr_disk_ratio_meaningful"],
         "incr_mem_linear_refresh_vs_full_recompute": linear_ratio,
@@ -776,6 +829,8 @@ def _write_trend_table(results_dir: str) -> None:
         "semantic_dedup_sec",
         "incr_semantic_dedup_sec",
         "lpa_converged_sec",
+        "lpa_converged_shuffle_mb",
+        "lpa_converged_stages",
         "dedup_paragraphs_shuffle_mb",
         "dedup_paragraphs_fp_shuffle_mb",
         "paragraph_fp_shuffle_ratio",
