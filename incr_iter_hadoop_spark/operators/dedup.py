@@ -2199,8 +2199,20 @@ def _synth_para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an all-tab doc an oracle row with no engine counterpart. (?U)
     makes Java's \\s exactly Unicode White_Space, the set the oracle's
     RE2 class reproduces char-for-char (equivalence pinned in
-    tests/test_paragraph_properties.py)."""
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    tests/test_paragraph_properties.py).
+
+    NOT spread (r14, VERDICT r13 ask #2): the r13 ``spread_scan`` here
+    inserted a full-document-text exchange into every consumer's lineage —
+    including the delta-restricted pass the bench times steady-state —
+    and the driver measured ``incr_dedup_paragraphs`` regressing on BOTH
+    core counts (0.733 → 2.537 s c32 / 1.542 s c8) while paragraph-family
+    shuffle bytes grew deterministically 1.409 → 5.052 MB. The synthesis
+    map work (one regexp_replace + split per doc) is far cheaper than
+    moving the text, unlike the shingle/gram paths that keep their spread;
+    at cluster scale the scan arrives already split, so the spread was a
+    designed no-op there anyway — the exchange only ever existed at the
+    scale where it hurt."""
+    d = load_table(spark, sf_dir, "documents")
     w = ws_tokens(F.regexp_replace(F.col("text"), r"(?U)\s", " "))
     return (
         d.select("doc_id", w.alias("w"))
