@@ -129,7 +129,18 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="declared rollup (absent in reference).",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # r14 (VERDICT r13 ask #7, guide §2.5): the one-row-group scan made the
+    # expand (x3 rows) + partial aggregate single-task; spread the three
+    # needed columns keyed on the high-cardinality l_orderkey (the grouping
+    # columns are 3-4 distinct values — hashing on them would put all rows
+    # in <=4 partitions, §2.5's too-few-distinct-keys trap). count +
+    # decimal sum are order-independent; no-op when the scan arrives split.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus", "l_quantity"
+        ),
+        "l_orderkey",
+    )
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -156,7 +167,15 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="declared cube (absent in reference).",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # r14: same guarded spread as agg_rollup — the cube's x4 expand ran
+    # single-task over the one-row-group scan; keyed on o_orderkey (the
+    # cube columns are 3x5 distinct values). count is order-independent.
+    o = spread_scan(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority", "o_orderstatus"
+        ),
+        "o_orderkey",
+    )
     return (
         o.cube("o_orderpriority", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -180,7 +199,15 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="declared grouping sets (absent in reference; SQL surface).",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    # r14: same guarded spread as agg_rollup (the grouping-sets expand is
+    # the same single-task shape); the view carries only the columns the
+    # SQL touches plus the spread key
+    spread_scan(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_linestatus"
+        ),
+        "l_orderkey",
+    ).createOrReplaceTempView("lineitem")
     return spark.sql(
         """
         SELECT COALESCE(l_returnflag, 'ALL') AS rf,
