@@ -29,7 +29,22 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    # r14 (VERDICT r13 ask #4): the driver heap default scales with the
+    # local core count — a fixed 12 g heap runs 4x the concurrent tasks in
+    # the same memory at local[32] vs local[8], the prime GC suspect for
+    # every r13 scaling ratio reading < 1 (8 cores beat 32 on all 14
+    # headline queries). local-mode executors share the driver JVM, so
+    # per-task execution memory is heap/cores; 512 MiB+ per concurrent
+    # task keeps hash aggregates and broadcast builds off the GC floor.
+    # SPARK_GRAFT_DRIVER_MEM still overrides (deployments size their own
+    # driver); the 12 g floor keeps <=16-core runs byte-identical to the
+    # r4..r13 recorded history.
+    try:
+        n_cores = int(cpus)
+    except ValueError:  # "*" — all machine cores
+        n_cores = os.cpu_count() or 8
+    default_mem = f"{max(12, (n_cores * 3) // 4)}g"
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", default_mem)
 
     builder = (
         SparkSession.builder.appName(app_name)
