@@ -2374,6 +2374,15 @@ def label_propagation(
         # so the map-side combine the explicit repartition forgoes had
         # nothing to combine. Integer count/argmax is order-independent:
         # results are bit-identical (oracle re-proved).
+        # Combine-loss tradeoff (ADVICE r13): from round 2 on labels
+        # converge, so this shape shuffles raw |2E| neighbor-label rows
+        # where a groupBy-first plan would combine them map-side to
+        # (dst,label) pairs before its two exchanges. Measured at sf0.1
+        # across ALL rounds of the converged runs it is still a net win
+        # (128.27→109.63 MB total shuffle, 3 exchanges→1) — but the
+        # balance is scale/convergence-dependent: re-check shuffle bytes
+        # (lpa_converged_shuffle_mb in the bench line) if the converged
+        # workload moves to a larger SF or more max_iterations.
         nbr = (
             sym.join(state, sym.src == state.node)
             .select("dst", "label")
@@ -2501,8 +2510,12 @@ def label_propagation_converged(
         # r13 §8: one aggregation exchange per round — see the bounded
         # twin above for the full rationale (repartition on dst, then both
         # the (dst,label) count and the dst argmax complete within that
-        # single exchange); projecting to (dst,label) first keeps the
-        # carried p1/p2 history columns out of the exchange (guide §2.2).
+        # single exchange) and for the ADVICE r13 combine-loss tradeoff
+        # note (rounds >= 2 shuffle raw |2E| label rows; measured net win
+        # at sf0.1 over whole converged runs — re-check via the bench's
+        # lpa_converged_shuffle_mb if SF or max_iterations grow);
+        # projecting to (dst,label) first keeps the carried p1/p2 history
+        # columns out of the exchange (guide §2.2).
         nbr = (
             sym.join(state, sym.src == state.node)
             .select("dst", "label")
