@@ -16,7 +16,14 @@ SF_DIR = f"/root/testdata/{TEST_SF}"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # r14 (VERDICT r13 ask #6): the test session defaults to local[8], not
+    # local[*] — at test scale 8 cores beat 32 on every r13 driver scaling
+    # ratio (task-launch overhead dominates sub-second stages; the 60-test
+    # focused slice measured 192 s at local[*]=32 vs 149 s at local[8],
+    # same hour). SPARK_GRAFT_CPUS still overrides for width-sensitive
+    # debugging.
+    master = None if "SPARK_GRAFT_CPUS" in os.environ else "local[8]"
+    s = get_spark(app_name="tests", master=master, shuffle_partitions=8)
     yield s
 
 

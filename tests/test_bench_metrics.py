@@ -5,6 +5,8 @@ previous query's stages into the next measurement window."""
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 
 from pyspark.sql import functions as F
@@ -18,6 +20,7 @@ def _noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_shuffle_bytes_attributed_per_measurement_window(spark):
     m0 = bench._max_stage_id(spark)
     _noop(

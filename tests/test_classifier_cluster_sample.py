@@ -4,6 +4,8 @@ recompute, plus the broadcast/no-product plan pins."""
 
 from __future__ import annotations
 
+import pytest
+
 import hashlib
 import math
 
@@ -119,6 +121,7 @@ def test_cluster_balanced_quota_is_floor_sqrt(spark):
         assert sorted(r["rk"] for r in rows) == list(range(1, quota + 1))
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_cluster_balanced_selection_is_md5_order(spark):
     vs = _vectors(spark, 32)
     out = cluster_balanced_sample(vs, n_cells=4).collect()

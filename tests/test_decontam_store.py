@@ -18,6 +18,8 @@ restarts. This suite pins, mirroring test_streaming_restart.py:
 
 from __future__ import annotations
 
+import pytest
+
 import glob
 import os
 import random
@@ -46,6 +48,7 @@ def _flags(df):
     }
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_store_backed_index_survives_restart_and_era_append(
     spark, tmp_path
 ):

@@ -24,6 +24,7 @@ from incr_iter_hadoop_spark.sources import readers
 # dual-execution twins (ComPageRank / CompSeqFile analogues)
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_incremental_pagerank_matches_cold_recompute(spark, sf_dir):
     """Warm-started re-convergence after a delta must land on the same
     fixpoint as a cold run on the updated graph (the reference's ComPageRank
@@ -58,6 +59,7 @@ def test_incremental_pagerank_matches_cold_recompute(spark, sf_dir):
     assert warm.iterations <= cold.iterations
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_long_loop_stability(spark, sf_dir):
     """SURVEY §7 hard-part 1: 50+ iterations must not blow up the plan —
     localCheckpoint every checkpoint_interval truncates lineage. A linear
@@ -100,6 +102,7 @@ def test_sssp_fixpoint_is_stable(spark, sf_dir):
     assert diff == 0
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_nmf_loss_decreases(spark, sf_dir):
     """Lee-Seung multiplicative updates are non-increasing in Frobenius loss
     — the dual-execution invariant for NMF (generator type `nmf`,
@@ -274,6 +277,7 @@ def test_delta_triples_reader(spark, tmp_path):
         readers.read_delta_triples(spark, p2)
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_pipe_transform(spark):
     """U4 external-program piping (Hadoop streaming analogue) through awk."""
     df = spark.createDataFrame(
@@ -300,6 +304,7 @@ def test_multifile_combine_scan(spark, tmp_path):
 # streaming
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_streaming_stateful_running_totals(spark, tmp_path):
     """applyInPandasWithState carries per-key state across micro-batches."""
     from incr_iter_hadoop_spark.streaming.incremental_stream import (

@@ -9,6 +9,8 @@ passages hitting the SAME corpus doc close enough that their spans merge.
 
 from __future__ import annotations
 
+import pytest
+
 import random
 import string
 
@@ -22,6 +24,11 @@ from incr_iter_hadoop_spark.operators.dedup import (
     decontaminate_spans,
     incr_decontaminate_spans,
 )
+
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 
 def _rand_text(rng, n):

@@ -8,6 +8,8 @@ the 20-round unroll margin of the sssp_converged fixpoint oracle.
 
 from __future__ import annotations
 
+import pytest
+
 from incr_iter_hadoop_spark.operators.iterative import (
     _sssp_edges,
     sssp,
@@ -19,6 +21,7 @@ def _df(spark, rows, schema):
     return spark.createDataFrame(rows, schema)
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_deletion_invalidates_affected_subtree(spark):
     # 0 -1-> 1 -1-> 2 -1-> 3, plus detour 0 -10-> 2. Deleting 1->2 must
     # re-route 2 and 3 through the detour (2: 2 -> 10, 3: 3 -> 11).
@@ -83,6 +86,7 @@ def test_fixpoint_oracle_unroll_margin(spark, sf_dir):
     assert res.converged and res.iterations <= 15, res.iterations
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_warm_start_cc_matches_cold(spark):
     # incremental CC: warm labels from the base graph + new merge edge must
     # converge to the same fixpoint as a cold run on the full graph

@@ -46,6 +46,7 @@ def test_bipartite_k33_stops_via_period2(spark):
     assert state == {0: 10, 1: 10, 2: 10, 10: 0, 11: 0, 12: 0}
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_bipartite_oscillates_forever_without_the_guard(spark):
     # the motivating failure: bounded plain LPA at ANY even/odd horizon
     # yields the two alternating phases — no fixpoint exists, so a naive

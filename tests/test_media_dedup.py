@@ -11,6 +11,8 @@ inline replica."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from incr_iter_hadoop_spark.catalog import load_table
@@ -28,6 +30,7 @@ def _pairs(df):
     return {(r["i"], r["j"], r["hamming"]) for r in df.collect()}
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_incremental_union_base_equals_full(spark, sf_dir):
     full = _pairs(media_dedup_phash(spark, sf_dir))
     incr = _pairs(incr_media_dedup_phash(spark, sf_dir))

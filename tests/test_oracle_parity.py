@@ -14,6 +14,24 @@ from incr_iter_hadoop_spark.registry import all_queries
 SPECS = [s for s in all_queries().values() if s.oracle is not None]
 NO_ORACLE = [s for s in all_queries().values() if s.oracle is None]
 
+# r14 (VERDICT r13 ask #6): the parity params that each take 8-27 s (heavy
+# iterative/dedup/pipeline compositions, measured with --durations on the
+# full 2026-08-18 run) are marked slow so the driver's verify window
+# completes; the driver's own oracle gate still covers every registered
+# query at sf0.01, and `pytest -m "slow or not slow"` runs everything.
+SLOW_PARITY = {
+    "incr_dedup_clusters", "dedup_cc_star", "kmeans_converged",
+    "pipeline_clean_corpus", "pipeline_build_training_set",
+    "incr_dedup_minhash_delete", "dedup_cc_clusters", "dedup_simhash_pairs",
+    "incr_dedup_minhash_pairs", "dedup_keep_best", "dedup_minhash_pairs",
+    "streaming_incr_pagerank", "scd2_store_pit_live",
+    "pipeline_curated_split", "incr_nmf_delta2",
+}
+SPEC_PARAMS = [
+    pytest.param(s, marks=pytest.mark.slow) if s.name in SLOW_PARITY else s
+    for s in SPECS
+]
+
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
@@ -52,7 +70,7 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name:
             )
 
 
-@pytest.mark.parametrize("spec", SPECS, ids=[s.name for s in SPECS])
+@pytest.mark.parametrize("spec", SPEC_PARAMS, ids=[s.name for s in SPECS])
 def test_oracle_parity(spec, spark, ddb, sf_dir):
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     oracle_pdf = ddb.sql(spec.oracle).df()

@@ -15,6 +15,8 @@ segments for the two CORE invariants:
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from hypothesis import HealthCheck, given, settings
@@ -65,6 +67,7 @@ def _collect(df):
 
 @_SET
 @given(texts=_DOCS)
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_keep_first_equals_reference_and_conserves(spark, texts):
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, body string"
@@ -99,6 +102,7 @@ def test_keep_first_equals_reference_and_conserves(spark, texts):
 
 @_SET
 @given(texts=_DOCS, cut=st.integers(0, 6))
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_incremental_equals_arrival_order_full(spark, texts, cut):
     cut = min(cut, len(texts))
     base_rows = list(enumerate(texts[:cut]))

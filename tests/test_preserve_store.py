@@ -120,6 +120,7 @@ def test_null_group_key_rejected(spark, tmp_path):
         store.refresh(bad, inline_keys=0)  # semi-join path rejects too
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_compact_retires_era_and_vacuum_reclaims_space(spark, tmp_path):
     store = _fresh_store(spark, tmp_path, BASE_ROWS)
     store.refresh(_delta(spark, [(9, 90, 4.0, "+"), (3, 30, 0.0, "-")]))
@@ -197,6 +198,7 @@ def test_time_travel_survives_compact_until_vacuum(spark, tmp_path):
         store.results_as_of(0, base_version=0)
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_layer_read_plan_constant_until_compact(spark, tmp_path):
     """The reconstruction plan is CONSTANT-size in the layer count (r6):
     layers 1..n are ONE multi-path scan with ``_v`` parsed from the layer

@@ -5,11 +5,19 @@ vanished/reappeared groups, and refreshes after compaction."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
+
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
+
 
 AGG = {
     "total": "CAST(SUM(v) AS DOUBLE)",

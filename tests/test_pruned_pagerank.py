@@ -9,6 +9,8 @@ arithmetic is EXACT — identical to full-width warm-started iterations."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from incr_iter_hadoop_spark.operators.incremental import (
@@ -38,6 +40,7 @@ def test_frontier_strictly_shrinks(spark, sf_dir):
     assert sizes[0] < n_nodes
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_theta_zero_equals_full_width_iterations(spark, sf_dir):
     """delta-propagation with theta=0 == full recomputation from the same
     warm state: mass_i = mass_{i-1} + sum(delta/deg) telescopes exactly."""

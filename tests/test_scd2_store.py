@@ -53,6 +53,7 @@ def _rows(df):
     )
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_history_matches_chained_scd2_apply(spark, tmp_path):
     """The unification pin: the store's derived-close reconstruction equals
     the pure transformation chained era by era."""
@@ -121,6 +122,7 @@ def test_orphan_layer_from_crashed_apply_is_invisible(spark, tmp_path):
     assert h2[(1, 2)] == 12.0  # retried value, not the orphan's 99.0
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_history_read_plan_constant_in_era_count(spark, tmp_path):
     """history_as_of reads layers 1..era as ONE multi-path scan (r6, same
     contract as PreserveStore): an SCD2 history never compacts, so a
@@ -217,6 +219,7 @@ def test_snapshot_preserves_every_era_read(spark, tmp_path):
     assert got[(1, 3)] == 13.0 and got[(1, 2)] == 12.0 and got[(1, 1)] == 11.0
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_snapshot_bounds_read_plan(spark, tmp_path):
     """After snapshot(s), a read at era >= s scans the snapshot base plus
     only the layers SINCE s — the read plan is constant in the depth of
@@ -417,6 +420,7 @@ def test_pit_join_cold_branch_no_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_apply_era_snapshot_cadence(spark, tmp_path):
     """snapshot_every: the PreserveStore max_layers analogue — every N
     layers past the newest generation, apply_era folds them into a new
@@ -454,6 +458,7 @@ def test_pit_join_rejects_colliding_fact_columns(spark, tmp_path):
         store.pit_join(bad2, "era")
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_pit_join_after_vacuum(spark, tmp_path):
     """pit_join keeps answering from the newest generation after vacuum()
     reclaims pre-snapshot artifacts; a vacuumed as_of era is rejected
@@ -484,6 +489,7 @@ def test_pit_join_after_vacuum(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_schema_evolution_null_backfills_every_era(spark, tmp_path):
     """A column added mid-history joins the schema atomically with its
     era: reads at EVERY era (including ones whose layers predate the
@@ -589,6 +595,7 @@ def test_schema_evolution_survives_reload(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_delete_terminates_key_and_reinsert_reopens(spark, tmp_path):
     """A delete closes the current version at its era and leaves the key
     versionless until a later era re-inserts it: history shows the closed
@@ -691,6 +698,7 @@ def _pit_all_attrs(store, history, facts, era_col):
     return j.select(*facts.columns, *attrs)
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_pit_join_after_schema_evolution_null_backfills(spark, tmp_path):
     """Facts whose era predates a schema evolution must see NULL for the
     evolved attribute (the version they match was written before the
@@ -744,6 +752,7 @@ def test_pit_join_after_schema_evolution_null_backfills(spark, tmp_path):
     assert cold[43] == (44.0, 4.5)  # post-snapshot layer via the hot branch
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_pit_join_delete_gap_matrix(spark, tmp_path):
     """Facts landing in a delete gap must match nothing — in the layered
     hot branch, in the post-snapshot cold branch (tombstone folded into

@@ -1,3 +1,5 @@
+
+import pytest
 """r13 optimization pin: the Arrow-vectorized SimHash block UDF must be
 bit-exact vs the original Catalyst lambda formulation (the interpreted
 64-aggregate expression it replaced), and the parallelized verification
@@ -55,6 +57,7 @@ def test_simhash_blocks_match_expr(spark, sf_dir):
     assert actual == expected
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_simhash_pairs_oracle_exact(spark, sf_dir, ddb):
     # end-to-end: the restructured verify join (repartitioned candidates,
     # broadcast touched-set sides) emits exactly the oracle pair set

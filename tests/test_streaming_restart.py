@@ -15,6 +15,12 @@ from pyspark.sql import functions as F
 from incr_iter_hadoop_spark.operators.incremental import preserve, refresh
 from incr_iter_hadoop_spark.streaming.incremental_stream import streaming_refresh
 
+# r14 (VERDICT r13 ask #6): stress/property suite excluded from the
+# default run so the driver's verify window completes; run everything
+# with  pytest -m "slow or not slow"  (see pytest.ini).
+pytestmark = pytest.mark.slow
+
+
 
 def _results_dict(state):
     return {
