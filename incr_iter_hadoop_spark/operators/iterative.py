@@ -40,6 +40,7 @@ from ..plans.loopdriver import (
     IterationResult,
     iterate,
     negotiate_partitions,
+    pin_bucketed,
 )
 from ..registry import register
 
@@ -81,17 +82,22 @@ def pagerank(
     # otherwise be recomputed per derivation
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = num_partitions or negotiate_partitions(edges)
-    # static side: adjacency + out-degree in ONE exchange — the repartition
-    # provides the hash distribution the degree window needs, so deg comes
-    # from a within-partition sort instead of a groupBy shuffle + join.
-    # Skew: a hot src key costs one task O(f) — linear, and the same row
-    # placement the co-partitioned loop join needs anyway; see
-    # bench/PLANS.md "pagerank degree computation" for the salted-fallback
-    # criterion before trading away the shared exchange
+    # static side: adjacency + out-degree with ZERO exchanges (r14, guide
+    # §6/§2.4 — VERDICT r13 ask #5): the bucketed scratch's scatter write
+    # replaces the r13 repartition (the loop's one remaining setup
+    # shuffle), its HashPartitioning(src, n) + sortBy(src) ordering give
+    # the degree window its distribution AND sort for free, and the
+    # pinned layout survives cache eviction mid-loop (a persisted
+    # repartition would re-shuffle |E| rows). Measured interleaved at
+    # sf0.1: shuffle 17.775 -> 10.101 MB, stages 133 -> 100, results
+    # identical. Skew: a hot src key costs one task O(f) — linear, and
+    # the same row placement the co-partitioned loop join needs anyway;
+    # see bench/PLANS.md "pagerank degree computation" for the
+    # salted-fallback criterion before trading away the shared layout
     from pyspark.sql.window import Window
 
     static = (
-        edges.repartition(n, "src")
+        pin_bucketed(edges, "src", n)
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -336,7 +342,10 @@ def sssp(
     spark = edges.sparkSession
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
-    static = edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # r14: bucketed scratch pin replaces the setup repartition — zero-
+    # exchange scatter write, same HashPartitioning(src, n) for the
+    # per-round relaxation join, eviction-proof (see pin_bucketed)
+    static = pin_bucketed(edges, "src", n).persist(StorageLevel.MEMORY_AND_DISK)
     state0 = (
         init_state
         if init_state is not None
@@ -816,7 +825,10 @@ def spmv(matrix: DataFrame, vector: DataFrame, iterations: int) -> IterationResu
     without bespoke block codecs."""
     matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(matrix)
-    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    # r14: bucketed scratch pin replaces the setup repartition — zero-
+    # exchange scatter write, same HashPartitioning(c, n) for the
+    # per-round y = A·x join, eviction-proof (see pin_bucketed)
+    static = pin_bucketed(matrix, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return (
@@ -1418,15 +1430,21 @@ def connected_components(
     # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
-    # r13: symmetrize in ONE exchange — repartition by src, dedup within
-    # the src-hash partitions (equal (src, dst) rows are co-located, so
-    # dropDuplicates adds no second exchange); the former
-    # union+distinct+repartition paid two |2E| shuffles. Same fusion for
-    # the node set below: one node-hash exchange, in-partition dedup.
+    # r14: symmetrize with ZERO exchanges — the bucketed scratch's scatter
+    # write (pin_bucketed) replaces r13's repartition, and hash(src) still
+    # co-locates equal (src, dst) rows inside each bucket, so the
+    # dropDuplicates completes within partitions with no exchange either.
+    # The former union+distinct+repartition paid two |2E| shuffles; r13
+    # paid one; this pays none. Same fusion for the node set below: one
+    # node-hash exchange, in-partition dedup.
     sym = (
-        edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .repartition(n, "src")
+        pin_bucketed(
+            edges.select("src", "dst").union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ),
+            "src",
+            n,
+        )
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1661,7 +1679,8 @@ def power_iteration(
     normalized state and the per-iteration ∞-norms (eigenvalue estimates)."""
     matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(matrix)
-    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    # r14: bucketed scratch pin — see spmv above
+    static = pin_bucketed(matrix, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
     x = x0.persist(StorageLevel.MEMORY_AND_DISK)
     x.count()
     norms: list[float] = []
@@ -1783,10 +1802,14 @@ def nmf(
     if own_persist:
         ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(ratings)
-    # lazy persists: the init-factor / first-iteration jobs materialize each
-    # layout on first use — no dedicated warm-up pass per copy
-    v_r = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
-    v_c = v_r.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
+    # r14: both loop-invariant V layouts pinned as bucketed scratch tables
+    # (pin_bucketed) — the two setup exchanges disappear (scatter writes),
+    # each layout's HashPartitioning survives cache eviction, and the
+    # persisted scans keep the in-memory speed of the r5 dual-layout
+    # design. v_c scatter-writes FROM v_r's bucketed scan, so ratings is
+    # still read once per layout build.
+    v_r = pin_bucketed(ratings, "r", n).persist(StorageLevel.MEMORY_AND_DISK)
+    v_c = pin_bucketed(v_r, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
     ks = list(range(rank))
     # ``init_w`` (r, f, w) / ``init_h`` (f, c, h) warm-start the loop — the
     # incremental iterative mode (SURVEY §3.3): after a ratings delta,
@@ -2347,16 +2370,19 @@ def label_propagation(
     # most of lpa_converged's 144 MB of shuffle writes at sf0.1); with it
     # only the small per-round state/label relations move.
     n = negotiate_partitions(edges)
-    # r13: symmetrize in ONE exchange — repartition by src first, then
-    # dedup within the src-hash partitions (hash(src) co-locates equal
-    # (src, dst) rows, so dropDuplicates adds no second exchange); the
-    # former union+distinct+repartition paid two |2E| shuffles. The node
-    # set dedups within the same partitioning for free.
+    # r14: symmetrize with ZERO exchanges — pin_bucketed's scatter write
+    # replaces r13's repartition (which itself replaced the two-shuffle
+    # union+distinct+repartition); hash(src) buckets co-locate equal
+    # (src, dst) rows, so the dropDuplicates still completes within
+    # partitions. The node set dedups within the same layout for free.
     sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pin_bucketed(
+            edges.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ),
+            "src",
+            n,
         )
-        .repartition(n, "src")
         .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
@@ -2485,16 +2511,19 @@ def label_propagation_converged(
     # label_propagation above (guide §2.4 — the per-round edge re-shuffle
     # dominated this query's shuffle bytes)
     n = negotiate_partitions(edges)
-    # r13: symmetrize in ONE exchange — repartition by src first, then
-    # dedup within the src-hash partitions (hash(src) co-locates equal
-    # (src, dst) rows, so dropDuplicates adds no second exchange); the
-    # former union+distinct+repartition paid two |2E| shuffles. The node
-    # set dedups within the same partitioning for free.
+    # r14: symmetrize with ZERO exchanges — pin_bucketed's scatter write
+    # replaces r13's repartition (which itself replaced the two-shuffle
+    # union+distinct+repartition); hash(src) buckets co-locate equal
+    # (src, dst) rows, so the dropDuplicates still completes within
+    # partitions. The node set dedups within the same layout for free.
     sym = (
-        edges.union(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        pin_bucketed(
+            edges.union(
+                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ),
+            "src",
+            n,
         )
-        .repartition(n, "src")
         .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)

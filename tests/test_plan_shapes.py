@@ -74,6 +74,12 @@ def test_preserve_store_refresh_reads_are_bucket_pruned(spark, tmp_path):
     from incr_iter_hadoop_spark.sources.preserve_store import PreserveStore
 
     rows = [(g, s, float(g * 10 + s)) for g in range(64) for s in range(4)]
+    # r14: pin_bucketed pins autoBucketedScan=false session-wide (the graph
+    # loops' pinned layouts must always read bucketed), so the restore
+    # contract is "back to the pre-scope value", not a literal "true"
+    conf_before = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
     store = PreserveStore(spark, str(tmp_path / "plan_store"))
     store.initialize(
         spark.createDataFrame(rows, "g bigint, s bigint, v double"),
@@ -108,7 +114,7 @@ def test_preserve_store_refresh_reads_are_bucket_pruned(spark, tmp_path):
         )
         assert "Exchange" not in agg_plan
     # and the scope must RESTORE the session conf afterwards (ADVICE r03)
-    assert spark.conf.get(store._BUCKETED_SCAN_CONF) == "true"
+    assert spark.conf.get(store._BUCKETED_SCAN_CONF) == conf_before
 
 
 def test_embedding_lsh_pairs_join_is_bucketed_not_cartesian(spark, sf_dir):
