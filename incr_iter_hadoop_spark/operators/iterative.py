@@ -2545,6 +2545,14 @@ def label_propagation_converged(
         # lpa_converged_shuffle_mb if SF or max_iterations grow);
         # projecting to (dst,label) first keeps the carried p1/p2 history
         # columns out of the exchange (guide §2.2).
+        # r14 interleaved A/B (VERDICT ask #3) CONFIRMED this shape: the
+        # combine-first alternative (groupBy(dst,label) before the
+        # repartition) shuffled MORE on the full converged run — 132.0 vs
+        # 100.5 MB, 116 vs 95 stages, wall 15.5 vs 13.0 s median — because
+        # a dst's neighbors scatter across map partitions, so (dst,label)
+        # pairs stay mostly distinct map-side even once labels converge;
+        # and session-width n=32 lost to the negotiated n (104.1 MB /
+        # wall 25.6 s median). Numbers in OPTIMIZATION_r14.md §3.
         nbr = (
             sym.join(state, sym.src == state.node)
             .select("dst", "label")

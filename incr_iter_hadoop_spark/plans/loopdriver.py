@@ -56,7 +56,12 @@ def negotiate_partitions(
     iteration while preserving the session default as the ceiling for
     cluster-scale inputs. ``df`` should already be persisted — the count
     doubles as its materialization."""
+    import os
+
     default_n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    env = os.environ.get("SPARK_GRAFT_LOOP_PARTS")  # probe hook (r14 A/B)
+    if env:
+        return int(env)
     return max(floor, min(default_n, df.count() // rows_per_partition + 1))
 
 

@@ -859,6 +859,7 @@ class Scd2Store:
         facts: DataFrame,
         era_col: str,
         as_of: int | None = None,
+        era_cache: dict | None = None,
     ) -> DataFrame:
         """Join each fact row to the dimension version valid at the fact's
         own era (``facts[era_col]`` ∈ [version.valid_from, version.valid_to)
@@ -886,7 +887,21 @@ class Scd2Store:
         Output: facts columns + the dimension attribute columns of the
         matched version (validity bookkeeping dropped). Facts whose key has
         no version, or whose era falls outside every version's range
-        (e.g. negative), are dropped — inner PIT semantics."""
+        (e.g. negative), are dropped — inner PIT semantics.
+
+        ``era_cache`` (r14, VERDICT r13 ask #8 — for callers that join MANY
+        fact batches against the same committed era, e.g. each micro-batch
+        of ``streaming_pit_enrich``): a caller-owned dict this method uses
+        to memoize the prepared history pieces (touched keys + cold/hot
+        history as lazy ``localCheckpoint``s) keyed on the resolved era.
+        Batch 0 materializes them through its own join; later batches at
+        the same era skip the touched-keys job and the base window/anti/
+        semi re-derivation entirely. The cache holds DataFrames derived
+        from the store's COMMITTED state only — values are invalidated
+        when the resolved era moves, so results are identical with or
+        without it. Checkpoint RDDs are freed by the ContextCleaner when
+        the caller drops the dict (the standard localCheckpoint
+        lifecycle); pass ``None`` (default) for the plain at-rest plan."""
         as_of = self._check_era(as_of)
         keys = self.key_cols
         attrs = [c for c in self.meta["columns"] if c not in keys]
@@ -920,26 +935,43 @@ class Scd2Store:
             hist = base.withColumn("valid_to", valid_to).where(live)
             return facts.join(hist, keys).where(era_ok).select(*out_cols)
 
-        # materialized once: three subtrees reference it (two broadcasts +
-        # the hot union's layer scan feeds it), and re-running the layer
-        # scan + distinct per subtree would triple the (small) layer work.
-        # localCheckpoint over persist: registered queries can never
-        # unpersist after the driver collects, and checkpoint RDDs are
-        # freed by the ContextCleaner when the DataFrame drops.
-        touched = (
-            layers.select(*keys).distinct().localCheckpoint(eager=True)
-        )
-        cold_hist = (
-            base.join(F.broadcast(touched), keys, "left_anti")
-            .withColumn("valid_to", valid_to)
-            .where(live)
-        )
-        hot_hist = (
-            base.join(F.broadcast(touched), keys, "left_semi")
-            .unionByName(layers)
-            .withColumn("valid_to", valid_to)
-            .where(live)
-        )
+        if era_cache is not None and era_cache.get("as_of") == as_of:
+            touched, cold_hist, hot_hist = era_cache["pieces"]
+        else:
+            # materialized once: three subtrees reference it (two
+            # broadcasts + the hot union's layer scan feeds it), and
+            # re-running the layer scan + distinct per subtree would
+            # triple the (small) layer work. localCheckpoint over persist:
+            # registered queries can never unpersist after the driver
+            # collects, and checkpoint RDDs are freed by the
+            # ContextCleaner when the DataFrame drops.
+            touched = (
+                layers.select(*keys).distinct().localCheckpoint(eager=True)
+            )
+            cold_hist = (
+                base.join(F.broadcast(touched), keys, "left_anti")
+                .withColumn("valid_to", valid_to)
+                .where(live)
+            )
+            hot_hist = (
+                base.join(F.broadcast(touched), keys, "left_semi")
+                .unionByName(layers)
+                .withColumn("valid_to", valid_to)
+                .where(live)
+            )
+            if era_cache is not None:
+                # lazy checkpoints: the first batch's join materializes
+                # them (no extra warm-up job), every later batch at this
+                # era reuses the stored partitions instead of re-running
+                # the window + anti/semi derivation over the full base.
+                # LogicalRDD keeps the physical partitioning/ordering, so
+                # the cold branch's no-Exchange property survives reuse.
+                cold_hist = cold_hist.localCheckpoint(eager=False)
+                hot_hist = hot_hist.localCheckpoint(eager=False)
+                era_cache.clear()
+                era_cache.update(
+                    as_of=as_of, pieces=(touched, cold_hist, hot_hist)
+                )
         cold = facts.join(cold_hist, keys).where(era_ok)
         hot = facts.join(F.broadcast(hot_hist), keys).where(era_ok)
         return cold.select(*out_cols).unionByName(hot.select(*out_cols))

@@ -387,6 +387,16 @@ def streaming_pit_enrich(
     stream enriches facts with the versions current at their arrival."""
     import os
 
+    # r14 (VERDICT r13 ask #8): per-stream history cache — every batch at
+    # the same committed era reuses the prepared cold/hot history pieces
+    # (lazy localCheckpoints materialized through batch 0's own join)
+    # instead of re-running the touched-keys job + the full-base window and
+    # anti/semi splits per micro-batch. pit_join keys the cache on the
+    # RESOLVED era, so the per-batch meta invalidation below still works:
+    # a dimension advanced by a concurrent writer rebuilds the pieces at
+    # the new era and the stale ones are freed by the ContextCleaner.
+    hist_cache: dict = {}
+
     def enrich(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -394,9 +404,11 @@ def streaming_pit_enrich(
             # re-read the committed era from disk: another writer may
             # have advanced the store since the last batch
             store._meta = None
-        store.pit_join(batch_df, era_col, as_of=as_of).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(sink_dir, f"batch={batch_id}"))
+        store.pit_join(
+            batch_df, era_col, as_of=as_of, era_cache=hist_cache
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch={batch_id}")
+        )
 
     return (
         fact_stream.writeStream.foreachBatch(enrich)

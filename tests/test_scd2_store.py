@@ -440,6 +440,39 @@ def test_apply_era_snapshot_cadence(spark, tmp_path):
         assert cur[1] == v, (e, cur)
 
 
+def test_pit_join_era_cache_reuses_and_invalidates(spark, tmp_path):
+    """r14 (VERDICT r13 ask #8): a caller-owned era_cache memoizes the
+    prepared history pieces across fact batches at the same committed era
+    — identical results to the uncached plan, piece identity stable across
+    calls — and a dimension advanced between batches invalidates the cache
+    (new era resolved -> pieces rebuilt -> the new version is visible)."""
+    store = _store(spark, tmp_path)
+    store.apply_era(_changes1(spark))
+    facts = spark.createDataFrame(
+        [(k, e, 10 * k + e) for k in [1, 2, 3, 99] for e in [0, 1, 7]],
+        "k bigint, era bigint, fid bigint",
+    )
+    cache: dict = {}
+    expected = _pit_rows(store.pit_join(facts, "era"))
+    got1 = _pit_rows(store.pit_join(facts, "era", era_cache=cache))
+    assert got1 == expected
+    pieces1 = cache["pieces"]
+    # second batch at the same era: same cache entry, same result
+    got2 = _pit_rows(store.pit_join(facts, "era", era_cache=cache))
+    assert got2 == expected
+    assert cache["pieces"] is pieces1  # reused, not rebuilt
+    # dimension advances (the streaming per-batch meta invalidation path):
+    # the resolved era moves, the cache must rebuild, new version visible
+    store.apply_era(_changes2(spark))
+    store._meta = None
+    expected2 = _pit_rows(store.pit_join(facts, "era"))
+    assert expected2 != expected  # era 2 changed what era-1+ facts see
+    got3 = _pit_rows(store.pit_join(facts, "era", era_cache=cache))
+    assert got3 == expected2
+    assert cache["pieces"] is not pieces1
+    assert cache["as_of"] == 2
+
+
 def test_pit_join_rejects_colliding_fact_columns(spark, tmp_path):
     """Fact extracts commonly carry their own SCD bookkeeping columns; an
     ambiguous-reference failure (or positional mis-resolution) is the
