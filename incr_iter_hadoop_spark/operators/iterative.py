@@ -40,7 +40,6 @@ from ..plans.loopdriver import (
     IterationResult,
     iterate,
     negotiate_partitions,
-    pin_bucketed,
 )
 from ..registry import register
 
@@ -82,22 +81,23 @@ def pagerank(
     # otherwise be recomputed per derivation
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = num_partitions or negotiate_partitions(edges)
-    # static side: adjacency + out-degree with ZERO exchanges (r14, guide
-    # §6/§2.4 — VERDICT r13 ask #5): the bucketed scratch's scatter write
-    # replaces the r13 repartition (the loop's one remaining setup
-    # shuffle), its HashPartitioning(src, n) + sortBy(src) ordering give
-    # the degree window its distribution AND sort for free, and the
-    # pinned layout survives cache eviction mid-loop (a persisted
-    # repartition would re-shuffle |E| rows). Measured interleaved at
-    # sf0.1: shuffle 17.775 -> 10.101 MB, stages 133 -> 100, results
-    # identical. Skew: a hot src key costs one task O(f) — linear, and
-    # the same row placement the co-partitioned loop join needs anyway;
-    # see bench/PLANS.md "pagerank degree computation" for the
-    # salted-fallback criterion before trading away the shared layout
+    # static side: adjacency + out-degree in ONE exchange — the repartition
+    # provides the hash distribution the degree window needs, so deg comes
+    # from a within-partition sort instead of a groupBy shuffle + join.
+    # Skew: a hot src key costs one task O(f) — linear, and the same row
+    # placement the co-partitioned loop join needs anyway; see
+    # bench/PLANS.md "pagerank degree computation" for the salted-fallback
+    # criterion before trading away the shared exchange.
+    # r14 probe (VERDICT r13 ask #5): a bucketed-scratch pin of this
+    # relation (pin_bucketed) removed the setup exchange (shuffle 17.8 ->
+    # 12.3 MB, stages 133 -> 108, deterministic) but LOST wall decisively
+    # on interleaved A/B (medians 4.7-5.5 s -> 6.0-7.4 s): the parquet
+    # scatter-write + readback costs more than the one in-memory exchange
+    # it replaces at bench scale — REJECTED, see OPTIMIZATION_r14.md §5.
     from pyspark.sql.window import Window
 
     static = (
-        pin_bucketed(edges, "src", n)
+        edges.repartition(n, "src")
         .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -342,10 +342,10 @@ def sssp(
     spark = edges.sparkSession
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
-    # r14: bucketed scratch pin replaces the setup repartition — zero-
-    # exchange scatter write, same HashPartitioning(src, n) for the
-    # per-round relaxation join, eviction-proof (see pin_bucketed)
-    static = pin_bucketed(edges, "src", n).persist(StorageLevel.MEMORY_AND_DISK)
+    # r14 probe: pin_bucketed here lost wall 2x on interleaved A/B
+    # (3.9-7.5 -> 17.2 s) despite fewer shuffle bytes — rejected,
+    # OPTIMIZATION_r14.md §5
+    static = edges.repartition(n, "src").persist(StorageLevel.MEMORY_AND_DISK)
     state0 = (
         init_state
         if init_state is not None
@@ -825,10 +825,10 @@ def spmv(matrix: DataFrame, vector: DataFrame, iterations: int) -> IterationResu
     without bespoke block codecs."""
     matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(matrix)
-    # r14: bucketed scratch pin replaces the setup repartition — zero-
-    # exchange scatter write, same HashPartitioning(c, n) for the
-    # per-round y = A·x join, eviction-proof (see pin_bucketed)
-    static = pin_bucketed(matrix, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
+    # r14 probe: pin_bucketed here lost wall 2.4x on interleaved A/B
+    # (1.5-1.6 -> 3.7-5.0 s) despite shuffle 5.58 -> 3.17 MB — rejected,
+    # OPTIMIZATION_r14.md §5
+    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
 
     def step(state: DataFrame, i: int) -> DataFrame:
         return (
@@ -1430,21 +1430,16 @@ def connected_components(
     # expensive upstream (e.g. a near-dup pair pipeline) evaluates once
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(edges)
-    # r14: symmetrize with ZERO exchanges — the bucketed scratch's scatter
-    # write (pin_bucketed) replaces r13's repartition, and hash(src) still
-    # co-locates equal (src, dst) rows inside each bucket, so the
-    # dropDuplicates completes within partitions with no exchange either.
-    # The former union+distinct+repartition paid two |2E| shuffles; r13
-    # paid one; this pays none. Same fusion for the node set below: one
-    # node-hash exchange, in-partition dedup.
+    # r13: symmetrize in ONE exchange — repartition by src, dedup within
+    # the src-hash partitions (equal (src, dst) rows are co-located, so
+    # dropDuplicates adds no second exchange); the former
+    # union+distinct+repartition paid two |2E| shuffles. Same fusion for
+    # the node set below: one node-hash exchange, in-partition dedup.
+    # (r14's pin_bucketed probe of this setup was wall-negative — see §5.)
     sym = (
-        pin_bucketed(
-            edges.select("src", "dst").union(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ),
-            "src",
-            n,
-        )
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .repartition(n, "src")
         .dropDuplicates(["src", "dst"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -1679,8 +1674,9 @@ def power_iteration(
     normalized state and the per-iteration ∞-norms (eigenvalue estimates)."""
     matrix = matrix.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(matrix)
-    # r14: bucketed scratch pin — see spmv above
-    static = pin_bucketed(matrix, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
+    # r14 probe: pin_bucketed lost wall here too (2.1-3.2 -> 7.4 s
+    # interleaved) — rejected, OPTIMIZATION_r14.md §5
+    static = matrix.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
     x = x0.persist(StorageLevel.MEMORY_AND_DISK)
     x.count()
     norms: list[float] = []
@@ -1802,14 +1798,13 @@ def nmf(
     if own_persist:
         ratings = ratings.persist(StorageLevel.MEMORY_AND_DISK)
     n = negotiate_partitions(ratings)
-    # r14: both loop-invariant V layouts pinned as bucketed scratch tables
-    # (pin_bucketed) — the two setup exchanges disappear (scatter writes),
-    # each layout's HashPartitioning survives cache eviction, and the
-    # persisted scans keep the in-memory speed of the r5 dual-layout
-    # design. v_c scatter-writes FROM v_r's bucketed scan, so ratings is
-    # still read once per layout build.
-    v_r = pin_bucketed(ratings, "r", n).persist(StorageLevel.MEMORY_AND_DISK)
-    v_c = pin_bucketed(v_r, "c", n).persist(StorageLevel.MEMORY_AND_DISK)
+    # lazy persists: the init-factor / first-iteration jobs materialize each
+    # layout on first use — no dedicated warm-up pass per copy.
+    # (r14's pin_bucketed probe of both layouts was wall-negative:
+    # 3.0-3.3 -> 4.5-5.2 s interleaved despite shuffle 7.6 -> 2.8 MB —
+    # rejected, OPTIMIZATION_r14.md §5.)
+    v_r = ratings.repartition(n, "r").persist(StorageLevel.MEMORY_AND_DISK)
+    v_c = v_r.repartition(n, "c").persist(StorageLevel.MEMORY_AND_DISK)
     ks = list(range(rank))
     # ``init_w`` (r, f, w) / ``init_h`` (f, c, h) warm-start the loop — the
     # incremental iterative mode (SURVEY §3.3): after a ratings delta,
@@ -2370,19 +2365,17 @@ def label_propagation(
     # most of lpa_converged's 144 MB of shuffle writes at sf0.1); with it
     # only the small per-round state/label relations move.
     n = negotiate_partitions(edges)
-    # r14: symmetrize with ZERO exchanges — pin_bucketed's scatter write
-    # replaces r13's repartition (which itself replaced the two-shuffle
-    # union+distinct+repartition); hash(src) buckets co-locate equal
-    # (src, dst) rows, so the dropDuplicates still completes within
-    # partitions. The node set dedups within the same layout for free.
+    # r13: symmetrize in ONE exchange — repartition by src first, then
+    # dedup within the src-hash partitions (hash(src) co-locates equal
+    # (src, dst) rows, so dropDuplicates adds no second exchange); the
+    # former union+distinct+repartition paid two |2E| shuffles. The node
+    # set dedups within the same partitioning for free. (r14's
+    # pin_bucketed probe of this setup was wall-negative — see §5.)
     sym = (
-        pin_bucketed(
-            edges.union(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ),
-            "src",
-            n,
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .repartition(n, "src")
         .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
@@ -2511,19 +2504,17 @@ def label_propagation_converged(
     # label_propagation above (guide §2.4 — the per-round edge re-shuffle
     # dominated this query's shuffle bytes)
     n = negotiate_partitions(edges)
-    # r14: symmetrize with ZERO exchanges — pin_bucketed's scatter write
-    # replaces r13's repartition (which itself replaced the two-shuffle
-    # union+distinct+repartition); hash(src) buckets co-locate equal
-    # (src, dst) rows, so the dropDuplicates still completes within
-    # partitions. The node set dedups within the same layout for free.
+    # r13: symmetrize in ONE exchange — repartition by src first, then
+    # dedup within the src-hash partitions (hash(src) co-locates equal
+    # (src, dst) rows, so dropDuplicates adds no second exchange); the
+    # former union+distinct+repartition paid two |2E| shuffles. The node
+    # set dedups within the same partitioning for free. (r14's
+    # pin_bucketed probe of this setup was wall-negative — see §5.)
     sym = (
-        pin_bucketed(
-            edges.union(
-                edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-            ),
-            "src",
-            n,
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        .repartition(n, "src")
         .dropDuplicates(["src", "dst"])
     )
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
@@ -2545,14 +2536,15 @@ def label_propagation_converged(
         # lpa_converged_shuffle_mb if SF or max_iterations grow);
         # projecting to (dst,label) first keeps the carried p1/p2 history
         # columns out of the exchange (guide §2.2).
-        # r14 interleaved A/B (VERDICT ask #3) CONFIRMED this shape: the
-        # combine-first alternative (groupBy(dst,label) before the
-        # repartition) shuffled MORE on the full converged run — 132.0 vs
-        # 100.5 MB, 116 vs 95 stages, wall 15.5 vs 13.0 s median — because
-        # a dst's neighbors scatter across map partitions, so (dst,label)
-        # pairs stay mostly distinct map-side even once labels converge;
-        # and session-width n=32 lost to the negotiated n (104.1 MB /
-        # wall 25.6 s median). Numbers in OPTIMIZATION_r14.md §3.
+        # r14 interleaved A/B (VERDICT ask #3) CONFIRMED this shape: on an
+        # identical setup, the combine-first alternative (groupBy(dst,
+        # label) before the repartition) shuffled MORE over the full
+        # converged run — +31.5 MB / +21 stages / wall 15.5 vs 13.0 s
+        # median — because a dst's neighbors scatter across map
+        # partitions, so (dst,label) pairs stay mostly distinct map-side
+        # even once labels converge; and session-width n=32 lost to the
+        # negotiated n (+3.6 MB / wall 25.6 vs 13.0 s median). Numbers in
+        # OPTIMIZATION_r14.md §3.
         nbr = (
             sym.join(state, sym.src == state.node)
             .select("dst", "label")

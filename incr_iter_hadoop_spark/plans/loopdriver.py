@@ -91,9 +91,21 @@ def pin_bucketed(
     repartition+persist shape paid, still amortized over the loop's
     rounds and still eviction-proof.
 
-    Measured (pagerank_converged, sf0.1, interleaved): shuffle writes
-    17.775 -> 10.101 MB, stages 133 -> 100, wall medians 8.14 -> 7.82 s,
-    results identical.
+    **Status: measured and REJECTED for the shipped loops (r14).** The
+    deterministic wins are real — pagerank shuffle 17.775 -> 12.347 MB /
+    stages 133 -> 108, spmv 5.576 -> 3.166 MB, nmf 7.600 -> 2.838 MB,
+    lpa_converged 109.633 -> 100.447 MB — but a 3-draw interleaved A/B
+    (sf0.1, local[32], alternating order, same machine hour) showed the
+    parquet scatter-write + readback costs MORE wall than the one
+    in-memory exchange it replaces, on every loop: spmv 1.5-1.6 ->
+    3.7-5.0 s, nmf 3.0-3.3 -> 4.5-5.2 s, pagerank 4.7-5.5 -> 6.0-7.4 s,
+    power 2.1-3.2 -> 7.4 s, sssp 3.9-7.5 -> 17.2 s, lpa 9.0-10.5 ->
+    28.3 s (the gap widens under ambient I/O load — the scratch write
+    contends for the same disk the shuffle would have used, without the
+    shuffle's in-memory fast path). All loops ship the r13
+    repartition+persist shape; this helper and its unit tests remain as
+    the probe's implementation (OPTIMIZATION_r14.md §5), for deployments
+    where eviction-durability of the layout outweighs setup wall.
 
     The scratch table + tmpdir live until process exit (atexit removal —
     the operators' standard scratch discipline): table metadata is in the

@@ -51,16 +51,6 @@ def get_spark(
         .master(master)
         .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # r14: the graph/matrix loops pin their static relations as
-        # bucketed scratch tables (plans.loopdriver.pin_bucketed) whose
-        # scans must ALWAYS report the bucketed partitioning — including
-        # from a bare cached scan where the auto heuristic would fall back
-        # to file-split reads and silently re-shuffle the static side
-        # every round. Off from session start so plan shapes never depend
-        # on whether a loop ran earlier (pin_bucketed also sets it at
-        # runtime for driver-owned bare sessions); the preserve store
-        # manages this conf per-read via _scoped_confs regardless.
-        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         # AQE: runtime partition coalescing, skew-join mitigation, plan re-opt
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
