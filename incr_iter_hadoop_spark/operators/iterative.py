@@ -54,7 +54,7 @@ def pagerank(
     retain: float = 0.2,
     max_iterations: int = 50,
     threshold: float | None = None,
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int | None = None,
     num_partitions: int | None = None,
     init_state: DataFrame | None = None,
     observe_counts: bool = False,
@@ -155,6 +155,18 @@ def pagerank(
             (new_rank - F.col("_prev")).alias("delta"),
         )
 
+    # r14 (guide §2.4, measured): bounded mode defaults to materializing
+    # EVERY round. The interval-5 mega-job re-derived the lazily-persisted
+    # invariants (nodes/static are referenced by all 5 chained rounds
+    # before any action caches them), writing DOUBLE the shuffle —
+    # interleaved A/B at sf0.1: pagerank_bounded5 33.386 -> 17.549 MB,
+    # incr_pagerank_delta5 35.813 -> 20.375 MB (deterministic, reproduced
+    # cold and warm), wall flat (3.75 -> 3.68 / 3.55 -> 3.52 s medians).
+    # This is pagerank-specific: the same A/B showed the mega-job's
+    # exchange reuse WINNING for lpa_bounded3 (15.9 vs 45.2 MB warm) and
+    # spmv, so iterate()'s own cadence default is untouched. Converged
+    # mode checkpoints per round regardless (observed-distance path);
+    # an explicit caller interval is honored either way.
     result = iterate(
         state0,
         step_observed if converged_mode else step_bounded,
@@ -163,7 +175,9 @@ def pagerank(
             F.sum(F.abs(F.col("delta"))) if converged_mode else None
         ),
         threshold=threshold if threshold is not None else 0.0,
-        checkpoint_interval=checkpoint_interval,
+        checkpoint_interval=(
+            checkpoint_interval if checkpoint_interval is not None else 1
+        ),
         observe_counts=observe_counts,
     )
     static.unpersist()
